@@ -1,0 +1,40 @@
+"""stencil_tpu — a TPU-native structured-grid stencil framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Sunway
+SW26010 ``athread`` stencil benchmark suite (Pluto-Zy/stencil, surveyed in
+``SURVEY.md``): halo'd grids with Dirichlet boundary conditions, 2D/3D
+star/box stencil specs of arbitrary radius, a float64 golden model with
+differential checking, Pallas kernels streaming VMEM tiles with double
+buffering and temporal blocking, multi-chip halo exchange over ICI via
+``shard_map`` + ``ppermute``, and a typed config + benchmark driver with
+GLUPS/roofline reporting.
+"""
+
+__version__ = "0.1.0"
+
+from stencil_tpu.core.grid import DirichletBC, HaloGrid
+from stencil_tpu.core.spec import (
+    StencilSpec,
+    box,
+    get_spec,
+    jacobi5,
+    jacobi7_3d,
+    jacobi9,
+    jacobi27_3d,
+    star,
+    weighted,
+)
+
+__all__ = [
+    "DirichletBC",
+    "HaloGrid",
+    "StencilSpec",
+    "box",
+    "get_spec",
+    "jacobi5",
+    "jacobi7_3d",
+    "jacobi9",
+    "jacobi27_3d",
+    "star",
+    "weighted",
+]

@@ -1,0 +1,74 @@
+"""Pure-XLA stencil sweep: the baseline "let the compiler do it" method.
+
+This is the JAX-idiomatic expression of the reference's computation with no
+hand-written kernel at all — shifted static slices summed on the VPU, the
+time loop as ``lax.fori_loop`` with functional ping-pong (the analog of the
+reference's buffer swap, ``stencil_dma.cpp:556-557``). XLA fuses the tap
+accumulation into a single pass; this is the method every Pallas kernel must
+beat, and the inner compute reused by the sharded path per-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.spec import StencilSpec
+
+
+def apply_spec(padded: jax.Array, spec: StencilSpec,
+               halo: int | None = None) -> jax.Array:
+    """One sweep over a padded array; returns the new interior.
+
+    Tap accumulation follows the spec's canonical order; uniform-weight specs
+    sum first and multiply once (matches reference arithmetic,
+    ``stencil.cpp:85-125``).
+    """
+    r = spec.radius if halo is None else halo
+    ndim = padded.ndim
+    interior_shape = tuple(s - 2 * r for s in padded.shape)
+    uw = spec.uniform_weight
+    dtype = padded.dtype
+    acc = None
+    for off, w in zip(spec.offsets, spec.weights):
+        start = tuple(r + off[d] for d in range(ndim))
+        limit = tuple(start[d] + interior_shape[d] for d in range(ndim))
+        tap = lax.slice(padded, start, limit)
+        term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+        acc = term if acc is None else acc + term
+    if uw is not None:
+        acc = acc * jnp.asarray(uw, dtype)
+    return acc
+
+
+def sweep(grid: HaloGrid, spec: StencilSpec) -> HaloGrid:
+    """One full sweep: new interior computed, BC ring preserved."""
+    new_interior = apply_spec(grid.data, spec, halo=grid.halo)
+    return grid.with_interior(new_interior)
+
+
+@partial(jax.jit, static_argnames=("spec", "iterations"))
+def iterate(grid: HaloGrid, spec: StencilSpec, iterations: int) -> HaloGrid:
+    """``iterations`` Jacobi sweeps under one jit.
+
+    The iteration count is static here for simplicity; :func:`iterate_dynamic`
+    avoids recompilation across the sweep harness's iteration axis
+    (fixing SURVEY §7 hard part (e))."""
+    return lax.fori_loop(
+        0, iterations, lambda _, g: sweep(g, spec), grid
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def iterate_dynamic(grid: HaloGrid, spec: StencilSpec,
+                    iterations: jax.Array) -> HaloGrid:
+    """Same as :func:`iterate` but with a traced iteration count, so the
+    experiment sweep (iterations axis: 1..1e5, ``run_expr.py:6-15``) reuses
+    one executable."""
+    return lax.fori_loop(
+        0, iterations, lambda _, g: sweep(g, spec), grid
+    )

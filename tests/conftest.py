@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The reference only ever runs on real Sunway hardware (SURVEY §4); we do
+strictly better by making the whole suite CPU-runnable — Pallas kernels in
+interpreter mode, the shard_map/ppermute halo path on 8 virtual devices via
+``--xla_force_host_platform_device_count`` — so correctness is testable
+anywhere, and real-TPU runs are a pure performance concern.
+
+Environment must be set before the first ``import jax`` anywhere in the
+test process, hence this lives at the top of conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
