@@ -1,0 +1,153 @@
+"""Benchmark CLI driver.
+
+Analog of the reference's ``main`` (``/root/reference/src/main.cpp:12-62``):
+for each requested method, optionally run a correctness check against the
+golden model, then run ``--repeat`` timed runs and report per-run and
+average timings — extended with GLUPS/roofline reporting, marginal timing
+(tunnel-safe), JSON output, and heat-map dumps.
+
+Usage examples:
+
+  python -m stencil_tpu -s 512 512 -i 1000 -m xla pallas -c
+  python -m stencil_tpu -s 4096 4096 -i 400 -m pallas_temporal -k 8
+  python -m stencil_tpu -s 256 256 256 --spec jacobi7 -m pallas -c
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from stencil_tpu.config import RunConfig, parse_args
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.ops import golden
+from stencil_tpu import registry
+from stencil_tpu.utils import roofline
+from stencil_tpu.utils.timing import TinyTimer, force, measure_marginal
+
+
+def make_grid(config: RunConfig, spec) -> HaloGrid:
+    """Reference initial conditions: interior 0, Dirichlet halo
+    (``stencil.cpp:190-207``)."""
+    return HaloGrid.create(
+        config.size, halo=spec.radius, dtype=config.dtype
+    )
+
+
+def check_method(config: RunConfig, spec, runner) -> golden.CheckResult:
+    grid = make_grid(config, spec)
+    # use a bounded iteration count for the golden model — the reference
+    # runs the full count, which is O(N^2 * iters) on the host; we cap it
+    # to keep -c usable on big sweeps (full-count check available via the
+    # test suite).
+    iters = min(config.iterations, 50)
+    out = runner.iterate(grid, iters)
+    ref = golden.golden_iterate(
+        np.zeros(config.size, dtype=np.float64), spec, iters, bc=grid.bc
+    )
+    return golden.check_against_golden(
+        np.asarray(out.interior()), ref, tolerance=config.check_tolerance
+    )
+
+
+def bench_method(config: RunConfig, spec, runner):
+    grid = make_grid(config, spec)
+
+    def run_n(n: int):
+        return runner.iterate(grid, n).data
+
+    # marginal timing: cancels the fixed dispatch+fetch overhead of
+    # tunneled TPU backends (~30 ms observed), excludes compilation.
+    # iteration counts are multiples of the runner's granularity so that
+    # temporal-blocking remainder kernels never compile inside the timed
+    # region.
+    g = max(1, getattr(runner, "granularity", 1))
+    lo = max(2, config.iterations // 8, g)
+    lo = -(-lo // g) * g
+    hi = 3 * lo
+    m = measure_marginal(run_n, iters_lo=lo, iters_hi=hi,
+                         warmup_iters=lo,
+                         repeats=config.repeat)
+    return m
+
+
+def run_all(config: RunConfig, out=None) -> List[dict]:
+    out = out if out is not None else sys.stdout
+    spec = config.resolved_spec()
+    points = int(np.prod(config.size))
+    results = []
+    try:
+        hbm = roofline.measure_hbm_bandwidth()
+    except Exception:
+        hbm = None
+
+    for name in config.methods:
+        rec: dict = {"method": name, "size": list(config.size),
+                     "spec": spec.name, "iterations": config.iterations,
+                     "dtype": config.dtype}
+        grid = make_grid(config, spec)
+        try:
+            runner = registry.get_runner(name, config, spec, grid)
+        except Exception as e:
+            print(f"[{name}] unavailable: {e}", file=out)
+            rec["error"] = str(e)
+            results.append(rec)
+            continue
+
+        if config.check:
+            chk = check_method(config, spec, runner)
+            rec["check"] = {
+                "ok": bool(chk.ok),
+                "max_abs_err": chk.max_abs_err,
+                "max_rel_err": chk.max_rel_err,
+            }
+            status = "OK" if chk.ok else "FAILED"
+            print(f"[{name}] correctness: {status} — {chk.message()}",
+                  file=out)
+            if not chk.ok:
+                results.append(rec)
+                continue
+
+        m = bench_method(config, spec, runner)
+        rep = roofline.report(
+            points, 1, m.seconds_per_iteration, config.dtype, hbm
+        )
+        rec["seconds_per_sweep"] = rep.seconds_per_sweep
+        rec["glups"] = rep.glups
+        rec["hbm_gbps"] = rep.hbm_gbps
+        rec["roofline_fraction"] = rep.roofline_fraction
+        print(f"[{name}] {rep.summary()}", file=out)
+        results.append(rec)
+
+        if config.dump_image:
+            from stencil_tpu.utils.image import dump_heatmap
+
+            final = runner.iterate(grid, config.iterations)
+            path = (config.dump_image if len(config.methods) == 1
+                    else f"{name}_{config.dump_image}")
+            dump_heatmap(path, np.asarray(final.interior()))
+            print(f"[{name}] heat map -> {path}", file=out)
+
+    if config.json_out:
+        with open(config.json_out, "w") as f:
+            for rec in results:
+                f.write(json.dumps(rec) + "\n")
+    return results
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    config = parse_args(argv)
+    timer = TinyTimer().start()
+    results = run_all(config)
+    if config.verbose:
+        print(f"total driver time: {timer.pretty()}")
+    bad = [r for r in results
+           if r.get("check", {}).get("ok") is False or "error" in r]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Typed configuration — the single source of truth for CLI, benchmarks, and
+the sweep harness.
+
+Analog of the reference's ``ProgramOptions``
+(``/root/reference/include/stencil/program_options.hpp:8-29``,
+``src/program_options.cpp:8-47``): matrix size, iterations, block size,
+radius, repeats, method list, check flag — extended with rank, dtype,
+stencil-spec name, temporal depth, mesh shape, and output options.
+
+The reference's sweep harness drifted out of sync with its own CLI (stale
+``-m``/``-w`` flags, ``run.sh:2``, ``run_expr.py:18`` vs
+``program_options.cpp:13-37``); here the sweep generator consumes the same
+dataclass the CLI parses into, so that class of drift cannot happen
+(SURVEY §5 "config" note).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+DEFAULT_METHODS = ("xla",)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """One benchmark run: a grid, a stencil, a method list, a protocol."""
+
+    # problem
+    size: Tuple[int, ...] = (512, 512)   # interior shape (-s, reference -s/--matrix-size)
+    iterations: int = 1000               # (-i, reference -i/--iteration)
+    spec: str = "jacobi5"                # named stencil (generalizes -r/--radius)
+    radius: Optional[int] = None         # override radius for star specs
+    dtype: str = "float32"
+
+    # execution
+    methods: Tuple[str, ...] = DEFAULT_METHODS  # (-m, reference -m/--methods)
+    block: Optional[int] = None          # slab rows/planes (-b, reference -b/--block-size)
+    temporal: int = 1                    # sweeps per HBM round trip (k)
+    mesh: Tuple[int, ...] = ()           # device mesh axis sizes ('' = single device)
+    no_overlap: bool = False             # disable comm/compute overlap (sharded)
+
+    # protocol
+    repeat: int = 1                      # (-R, reference -R/--repeat)
+    check: bool = False                  # (-c, reference -c/--check-result)
+    check_tolerance: float = 1e-4        # reference bar (stencil.cpp:137)
+    warmup: int = 1
+
+    # output
+    dump_image: Optional[str] = None     # heat-map BMP path (to_bmp analog)
+    json_out: Optional[str] = None
+    verbose: bool = False
+
+    def resolved_spec(self):
+        from stencil_tpu.core.spec import get_spec, star
+
+        if self.radius is not None:
+            return star(len(self.size), self.radius)
+        sp = get_spec(self.spec)
+        if sp.ndim != len(self.size):
+            raise ValueError(
+                f"spec {self.spec!r} is {sp.ndim}D but size is "
+                f"{len(self.size)}D"
+            )
+        return sp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stencil-tpu",
+        description="TPU-native structured-grid stencil benchmark driver",
+    )
+    p.add_argument("-s", "--size", type=int, nargs="+", default=[512, 512],
+                   help="interior grid shape, e.g. -s 512 512 or -s 256 256 256")
+    p.add_argument("-i", "--iterations", type=int, default=1000)
+    p.add_argument("--spec", type=str, default="jacobi5",
+                   help="named stencil spec (jacobi5/jacobi9/jacobi7/"
+                        "jacobi27/star2d_r2/star3d_r2/laplace2d_ho/laplace3d_ho)")
+    p.add_argument("-r", "--radius", type=int, default=None,
+                   help="star-stencil radius override (reference -r)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("-m", "--methods", type=str, nargs="+",
+                   default=list(DEFAULT_METHODS),
+                   help="methods to run (see registry: xla, pallas, "
+                        "pallas_temporal, sharded, ...)")
+    p.add_argument("-b", "--block", type=int, default=None,
+                   help="slab size (rows for 2D, planes for 3D); default auto")
+    p.add_argument("-k", "--temporal", type=int, default=1,
+                   help="temporal blocking depth (sweeps per HBM round trip)")
+    p.add_argument("--mesh", type=int, nargs="*", default=[],
+                   help="device mesh axis sizes for sharded methods")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="disable comm/compute overlap in sharded methods")
+    p.add_argument("-R", "--repeat", type=int, default=1)
+    p.add_argument("-c", "--check-result", action="store_true", dest="check")
+    p.add_argument("--check-tolerance", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--dump-image", type=str, default=None,
+                   help="write a blue-green-red heat-map BMP of the result")
+    p.add_argument("--json-out", type=str, default=None,
+                   help="write results as JSON lines to this path")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
+    ns = build_parser().parse_args(argv)
+    return RunConfig(
+        size=tuple(ns.size),
+        iterations=ns.iterations,
+        spec=ns.spec,
+        radius=ns.radius,
+        dtype=ns.dtype,
+        methods=tuple(ns.methods),
+        block=ns.block,
+        temporal=ns.temporal,
+        mesh=tuple(ns.mesh),
+        no_overlap=ns.no_overlap,
+        repeat=ns.repeat,
+        check=ns.check,
+        check_tolerance=ns.check_tolerance,
+        warmup=ns.warmup,
+        dump_image=ns.dump_image,
+        json_out=ns.json_out,
+        verbose=ns.verbose,
+    )

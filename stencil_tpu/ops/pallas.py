@@ -1,0 +1,472 @@
+"""Pallas TPU stencil kernels: slab-streaming with double buffering and
+temporal blocking.
+
+TPU-native re-design of the reference's four hand-written CPE kernels
+(``/root/reference/src/stencil/slave/``). The mapping of concepts:
+
+  =====================================  =====================================
+  reference (Sunway athread)             here (Pallas TPU)
+  =====================================  =====================================
+  64KB LDM scratchpad per CPE            ~16MB VMEM per core
+  ``athread_dma_iget/iput`` descriptors  ``pltpu.make_async_copy`` HBM<->VMEM
+  reply counters + ``dma_wait_value``    DMA semaphores (``SemaphoreType.DMA``)
+  8x8 CPE grid over ``block_subview``    sequential Pallas grid over slabs
+  double-buffered iteration pipeline     2 static scratch slots + prefetch
+  ``<BoundaryWidth>`` template unroll    trace-time specialization on the spec
+  ping-pong LDM blocks + host views      ``input_output_aliases`` ping-pong
+  =====================================  =====================================
+
+Design notes (why slabs, not 2D tiles): Mosaic DMA windows on tiled memrefs
+must be 8/128-aligned in the last two dims. Slabs spanning the full minor
+dims are contiguous in HBM, satisfy alignment via the deep-halo layout
+(``layout.PaddedLayout``), and turn the halo exchange *within* a chip into
+plain overfetch of ``halo`` extra leading-dim layers per slab.
+
+Scheduling: each Pallas grid step processes TWO slabs with *static* VMEM
+slot indices (dynamic ``buf[i % 2]`` indexing defeats Mosaic's dependence
+analysis and serializes DMA against compute — measured 131 vs 108 GLUPS at
+temporal depth 8 on a 4096^2 fp32 grid on v5e). The slab count is forced
+even by clamping slab starts to ``lead - slab`` (duplicate coverage of
+overlap rows is recomputed identically and written twice — benign).
+
+Temporal blocking (``sweeps_per_call = k > 1``): each slab is loaded once
+with a ``k*radius``-deep halo and advanced k sweeps entirely in VMEM,
+cutting HBM traffic per sweep by ~k. The compute region shrinks by
+``radius`` layers per virtual sweep; ghost layers that represent the
+physical Dirichlet boundary are re-pinned after every sweep (the
+reference's RMA kernel does the same spatially: edge CPEs synthesize the
+boundary locally, ``stencil_rma.cpp:150-166``). Because the leading-dim pad
+is ``round_up(k*r, 8)`` in 2D, temporal depths up to ``8 // radius`` add
+*zero* extra HBM traffic over k=1. Minor-dim ghost cells arrive via DMA
+already holding BC values (the padded arrays maintain them end to end), so
+only the single compute ping-pong buffer needs a one-time minor-ghost fill.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stencil_tpu.core.grid import DirichletBC, HaloGrid
+from stencil_tpu.core.spec import StencilSpec
+from stencil_tpu.ops.layout import PaddedLayout, round_up
+
+# Budget for explicit VMEM buffers (bytes); real VMEM is ~16MB — leave
+# headroom for Mosaic temporaries (measured: tap temporaries add roughly one
+# window worth of stack).
+DEFAULT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabPlan:
+    """Static geometry for one compiled kernel — the analog of the
+    reference's ``Arguments`` host->device ABI (``stencil_slave.hpp:13-24``),
+    except everything is trace-time static."""
+
+    spec: StencilSpec
+    interior_shape: Tuple[int, ...]
+    dtype: str
+    sweeps_per_call: int  # temporal blocking depth k
+    slab: int             # leading-dim tile size
+    layout: PaddedLayout
+
+    @property
+    def num_slab_pairs(self) -> int:
+        lead = self.interior_shape[0]
+        nt = max(1, -(-lead // self.slab))
+        return (nt + 1) // 2
+
+    @property
+    def halo(self) -> int:
+        return self.sweeps_per_call * self.spec.radius
+
+    @property
+    def window_lead(self) -> int:
+        lo, hi = self.layout.pads[0]
+        return self.slab + lo + hi
+
+
+def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
+    import numpy as np
+
+    layout = PaddedLayout.for_halo(tuple(shape), k * spec.radius)
+    minor = 1
+    for s in layout.padded_shape[1:]:
+        minor *= s
+    lo, hi = layout.pads[0]
+    win = slab + lo + hi
+    itemsize = np.dtype(dtype).itemsize
+    # 2 input slots + 1 compute ping-pong + 2 output slots, plus roughly one
+    # window of Mosaic tap temporaries
+    return (2 * win + win + 2 * slab + win) * minor * itemsize
+
+
+def choose_slab(
+    spec: StencilSpec,
+    interior_shape: Tuple[int, ...],
+    dtype: str = "float32",
+    sweeps_per_call: int = 1,
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+) -> Optional[int]:
+    """Largest feasible leading-dim slab within the VMEM budget.
+
+    2D: the leading dim is the sublane dim — slab and row count must be
+    multiples of 8. 3D: the leading dim is untiled — any slab size.
+    """
+    ndim = len(interior_shape)
+    lead = interior_shape[0]
+    step = 8 if ndim == 2 else 1
+    if ndim == 2 and lead % 8 != 0:
+        return None
+    best = None
+    cand = step
+    while cand <= lead:
+        if _explicit_vmem_bytes(
+            spec, interior_shape, dtype, sweeps_per_call, cand
+        ) <= vmem_budget:
+            best = cand
+            cand += step
+        else:
+            break
+    return best
+
+
+def make_plan(
+    spec: StencilSpec,
+    interior_shape: Tuple[int, ...],
+    dtype: str = "float32",
+    sweeps_per_call: int = 1,
+    slab: Optional[int] = None,
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+) -> SlabPlan:
+    if spec.ndim != len(interior_shape):
+        raise ValueError("spec rank does not match shape rank")
+    if spec.ndim not in (2, 3):
+        raise ValueError("pallas kernels support 2D and 3D grids")
+    if slab is None:
+        slab = choose_slab(spec, interior_shape, dtype, sweeps_per_call,
+                           vmem_budget)
+        if slab is None:
+            raise ValueError(
+                f"no feasible slab for shape {interior_shape} "
+                f"(k={sweeps_per_call}) within VMEM budget {vmem_budget}"
+            )
+    if len(interior_shape) == 2 and (slab % 8 or interior_shape[0] % 8):
+        raise ValueError("2D pallas path requires slab and rows % 8 == 0")
+    if slab > interior_shape[0]:
+        raise ValueError("slab larger than leading dim")
+    layout = PaddedLayout.for_halo(
+        tuple(interior_shape), sweeps_per_call * spec.radius
+    )
+    return SlabPlan(
+        spec=spec,
+        interior_shape=tuple(interior_shape),
+        dtype=dtype,
+        sweeps_per_call=sweeps_per_call,
+        slab=slab,
+        layout=layout,
+    )
+
+
+def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
+    """Compile one outer step: k virtual sweeps over the whole grid.
+
+    Returns ``sweep(cur, nxt) -> new`` over padded arrays. ``nxt`` is
+    aliased to the output, so its BC ring survives (the functional analog of
+    the reference applying BCs to both ping-pong buffers up front,
+    ``stencil.cpp:199-207``).
+    """
+    spec = plan.spec
+    ndim = spec.ndim
+    k = plan.sweeps_per_call
+    r = spec.radius
+    dtype = jnp.dtype(plan.dtype)
+    layout = plan.layout
+    padded_shape = layout.padded_shape
+    slab = plan.slab
+    lead = plan.interior_shape[0]
+    lead_lo = layout.pads[0][0]
+    win_lead = plan.window_lead
+    minor_padded = padded_shape[1:]
+    win_shape = (win_lead,) + minor_padded
+    otile_shape = (slab,) + minor_padded
+    minor_interior = plan.interior_shape[1:]
+    minor_lo = tuple(layout.pads[d][0] for d in range(1, ndim))
+
+    nt = max(1, -(-lead // slab))
+    nt += nt % 2  # force even; clamped starts make the extra slab benign
+    ns = nt // 2
+
+    lead_lo_bc, lead_hi_bc = bc.values[0]
+
+    def taps_into(src_val, lead_a: int, n0: int) -> jax.Array:
+        """Apply the stencil for output region: leading rows
+        [lead_a, lead_a + n0), minor dims = exact interior extents.
+
+        Static ``lax.slice`` windows per tap — the trace-time analog of the
+        reference's fold-expression unrolling
+        (``stencil_dma_static_unroll.cpp:605-624``). Uniform-weight specs
+        sum first and multiply once (``stencil.cpp:85-125``).
+        """
+        uw = spec.uniform_weight
+        acc = None
+        for off, w in zip(spec.offsets, spec.weights):
+            start = (lead_a + off[0],) + tuple(
+                minor_lo[d - 1] + off[d] for d in range(1, ndim)
+            )
+            limit = (start[0] + n0,) + tuple(
+                start[d] + minor_interior[d - 1] for d in range(1, ndim)
+            )
+            tap = lax.slice(src_val, start, limit)
+            term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+            acc = term if acc is None else acc + term
+        if uw is not None:
+            acc = acc * jnp.asarray(uw, dtype)
+        return acc
+
+    def minor_interior_idx(lead_slice):
+        return (lead_slice,) + tuple(
+            slice(minor_lo[d - 1], minor_lo[d - 1] + minor_interior[d - 1])
+            for d in range(1, ndim)
+        )
+
+    def fill_minor_ghosts(ref, n_lead: int):
+        """One-time BC fill of minor-dim ghost slabs of a VMEM buffer
+        (increasing dim order: later dims win in corners, matching
+        ``layout.PaddedLayout.pad``)."""
+        for d in range(1, ndim):
+            lo_v, hi_v = bc.values[d]
+            lo_w = layout.pads[d][0]
+            hi_w = padded_shape[d] - minor_interior[d - 1] - lo_w
+            pre = tuple(
+                slice(None) for _ in range(d - 1)
+            )
+            idx_lo = (slice(0, n_lead),) + pre + (slice(0, lo_w),)
+            idx_hi = (slice(0, n_lead),) + pre + (
+                slice(padded_shape[d] - hi_w, None),
+            )
+            shape_lo = (n_lead,) + padded_shape[1:d] + (lo_w,) + padded_shape[d + 1:]
+            shape_hi = (n_lead,) + padded_shape[1:d] + (hi_w,) + padded_shape[d + 1:]
+            ref[idx_lo] = jnp.full(shape_lo, lo_v, dtype)
+            ref[idx_hi] = jnp.full(shape_hi, hi_v, dtype)
+
+    def kernel(cur_hbm, nxt_hbm, out_hbm, s0, s1, cbuf, o0, o1, isem, osem):
+        i = pl.program_id(0)
+        scratch = (s0, s1)
+        otile = (o0, o1)
+
+        def slab_start(slab_i):
+            s = jnp.minimum(slab_i * slab, lead - slab)
+            if ndim == 2:
+                s = pl.multiple_of(s, 8)
+            return s
+
+        def in_copy(slab_i, sl):
+            return pltpu.make_async_copy(
+                cur_hbm.at[pl.ds(slab_start(slab_i), win_lead)],
+                scratch[sl],
+                isem.at[sl],
+            )
+
+        def out_copy(slab_i, sl):
+            return pltpu.make_async_copy(
+                otile[sl],
+                out_hbm.at[pl.ds(slab_start(slab_i) + lead_lo, slab)],
+                osem.at[sl],
+            )
+
+        def compute(sl, slab_i):
+            """k virtual sweeps on slot ``sl``; result lands in otile[sl]."""
+            start = slab_start(slab_i)
+            is_first = start == 0
+            is_last = start == lead - slab
+            bufs = (scratch[sl], cbuf)
+            for t in range(1, k + 1):
+                need = (k - t) * r
+                lead_a = lead_lo - need
+                n0 = slab + 2 * need
+                src = bufs[(t - 1) % 2]
+                y = taps_into(src[...], lead_a, n0)
+                if t < k:
+                    dst = bufs[t % 2]
+                    dst[minor_interior_idx(pl.ds(lead_a, n0))] = y
+                    # re-pin physical lead-dim ghosts (first/last slab only;
+                    # interior slabs never read outside the valid region)
+                    @pl.when(is_first)
+                    def _():
+                        dst[minor_interior_idx(slice(0, lead_lo))] = jnp.full(
+                            (lead_lo,) + minor_interior, lead_lo_bc, dtype
+                        )
+
+                    @pl.when(is_last)
+                    def _():
+                        dst[minor_interior_idx(
+                            slice(win_lead - lead_lo, None)
+                        )] = jnp.full(
+                            (lead_lo,) + minor_interior, lead_hi_bc, dtype
+                        )
+                else:
+                    ot = otile[sl]
+                    ot[minor_interior_idx(slice(None))] = y
+
+        # --- schedule: two slabs per grid step, static slots ----------------
+        a = 2 * i
+        b = 2 * i + 1
+
+        @pl.when(i == 0)
+        def _():
+            # one-time minor-ghost BC fill of persistent buffers; scratch
+            # slots are refilled by DMA (windows include ghosts with BC
+            # values straight from HBM), so only cbuf/otile need it.
+            if k > 1:
+                fill_minor_ghosts(cbuf, win_lead)
+            fill_minor_ghosts(o0, slab)
+            fill_minor_ghosts(o1, slab)
+            in_copy(0, 0).start()
+            in_copy(1, 1).start()
+
+        # slab a (slot 0)
+        in_copy(a, 0).wait()
+
+        @pl.when(i >= 1)
+        def _():
+            out_copy(a - 2, 0).wait()  # frees otile[0]
+
+        compute(0, a)
+
+        @pl.when(i + 1 < ns)
+        def _():
+            in_copy(a + 2, 0).start()
+
+        out_copy(a, 0).start()
+
+        # slab b (slot 1)
+        in_copy(b, 1).wait()
+
+        @pl.when(i >= 1)
+        def _():
+            out_copy(b - 2, 1).wait()
+
+        compute(1, b)
+
+        @pl.when(i + 1 < ns)
+        def _():
+            in_copy(b + 2, 1).start()
+
+        out_copy(b, 1).start()
+
+        @pl.when(i == ns - 1)
+        def _():
+            out_copy(a, 0).wait()
+            out_copy(b, 1).wait()
+
+    @jax.jit
+    def sweep(cur, nxt):
+        return pl.pallas_call(
+            kernel,
+            grid=(ns,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct(padded_shape, dtype),
+            scratch_shapes=[
+                pltpu.VMEM(win_shape, dtype),
+                pltpu.VMEM(win_shape, dtype),
+                pltpu.VMEM(win_shape if k > 1 else (1,) * ndim, dtype),
+                pltpu.VMEM(otile_shape, dtype),
+                pltpu.VMEM(otile_shape, dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={1: 0},
+            interpret=interpret,
+        )(cur, nxt)
+
+    return sweep
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool):
+    return build_sweep(plan, bc, interpret)
+
+
+class PallasStencil:
+    """User-facing handle: iterate a HaloGrid with the slab kernel.
+
+    ``sweeps_per_call`` is the temporal-blocking depth k; iteration counts
+    that are not multiples of k run the remainder on a k'=remainder kernel.
+    """
+
+    def __init__(
+        self,
+        spec: StencilSpec,
+        interior_shape: Tuple[int, ...],
+        dtype: str = "float32",
+        sweeps_per_call: int = 1,
+        slab: Optional[int] = None,
+        interpret: bool = False,
+        vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    ):
+        self.plan = make_plan(
+            spec, tuple(interior_shape), dtype, sweeps_per_call, slab,
+            vmem_budget,
+        )
+        self.spec = spec
+        self.interpret = interpret
+        self.vmem_budget = vmem_budget
+
+    # -- plumbing ------------------------------------------------------------
+
+    def prepare(self, grid: HaloGrid) -> Tuple[jax.Array, jax.Array]:
+        padded = self.plan.layout.pad_grid(grid)
+        # nxt must be a distinct buffer: the kernel reads cur while writing
+        # into the aliased nxt (ping-pong WAR hazard otherwise). jnp.array
+        # on a concrete array makes a real device copy.
+        return padded, jnp.array(padded, copy=True)
+
+    def extract(self, padded: jax.Array, grid: HaloGrid) -> HaloGrid:
+        interior = self.plan.layout.unpad(padded)
+        return HaloGrid.from_interior(interior, halo=grid.halo, bc=grid.bc)
+
+    def _runner(self, bc: DirichletBC):
+        sweep = _cached_sweep(self.plan, bc, self.interpret)
+
+        @jax.jit
+        def run(cur, nxt, n_outer):
+            def body(_, carry):
+                c, n = carry
+                return (sweep(c, n), c)
+
+            return lax.fori_loop(0, n_outer, body, (cur, nxt))
+
+        return run
+
+    # -- main entry ------------------------------------------------------------
+
+    def iterate(self, grid: HaloGrid, iterations: int) -> HaloGrid:
+        k = self.plan.sweeps_per_call
+        cur, nxt = self.prepare(grid)
+        n_outer, rem = divmod(iterations, k)
+        if n_outer:
+            cur, nxt = self._runner(grid.bc)(cur, nxt, n_outer)
+        if rem:
+            rem_method = PallasStencil(
+                self.spec, self.plan.interior_shape, self.plan.dtype,
+                sweeps_per_call=rem, slab=self.plan.slab,
+                interpret=self.interpret, vmem_budget=self.vmem_budget,
+            )
+            rem_sweep = _cached_sweep(rem_method.plan, grid.bc, self.interpret)
+            interior = self.plan.layout.unpad(cur)
+            cur2 = rem_method.plan.layout.pad(interior, grid.bc)
+            cur = rem_sweep(cur2, jnp.array(cur2, copy=True))
+            return rem_method.extract(cur, grid)
+        return self.extract(cur, grid)

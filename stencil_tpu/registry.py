@@ -1,0 +1,152 @@
+"""Method registry: name -> iterate implementation.
+
+Analog of the reference's method-name map (``stencil.cpp:61-66``:
+``{DMA, DMAStaticUnroll, DMASlavePack, RMA}``). The TPU-native method
+families and their reference counterparts:
+
+  ``xla``              pure-XLA fused-slice sweep — no reference analog
+                       (the baseline every kernel must beat)
+  ``pallas``           slab-streaming Pallas kernel, k=1 — contiguous VMEM
+                       block incl. halo ring ≙ DMASlavePack
+                       (``stencil_dma_slave_pack.cpp``); taps Python-unrolled
+                       at trace time ≙ DMAStaticUnroll fold-expressions
+                       (``stencil_dma_static_unroll.cpp``)
+  ``pallas_temporal``  same kernel, k>1 sweeps per HBM round trip — the TPU
+                       lever with no reference analog (SURVEY §7 step 6)
+  ``sharded``          shard_map + ppermute halo exchange over the device
+                       mesh ≙ RMA core-to-core push (``stencil_rma.cpp``),
+                       with interior-first overlap ≙ its pipeline
+  ``sharded_noverlap`` same without the interior/boundary split (≙ DMA-family
+                       per-iteration barrier semantics)
+
+Each entry is a factory ``(config, spec, grid) -> Runner`` where a Runner
+has ``iterate(grid, n) -> HaloGrid``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.spec import StencilSpec
+
+
+@dataclasses.dataclass
+class Runner:
+    name: str
+    iterate: Callable[[HaloGrid, int], HaloGrid]
+    description: str = ""
+    # benchmark protocol hints: iteration counts that are multiples of
+    # `granularity` avoid compiling remainder kernels inside timed regions
+    granularity: int = 1
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def make_xla(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
+    import jax.numpy as jnp
+
+    from stencil_tpu.ops import xla
+
+    # dynamic iteration count: one executable serves every n (the sweep
+    # harness varies n over orders of magnitude, SURVEY §7 hard part (e))
+    return Runner(
+        name="xla",
+        iterate=lambda g, n: xla.iterate_dynamic(g, spec, jnp.int32(n)),
+        description="pure-XLA fused-slice sweep (baseline)",
+    )
+
+
+def _make_pallas(config, spec, grid, k: int) -> Runner:
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    method = PallasStencil(
+        spec,
+        grid.interior_shape,
+        dtype=str(grid.dtype),
+        sweeps_per_call=k,
+        slab=config.block if config is not None else None,
+        interpret=not _on_tpu(),
+    )
+    return Runner(
+        name="pallas" if k == 1 else f"pallas_temporal(k={k})",
+        iterate=method.iterate,
+        description=(
+            "slab-streaming Pallas kernel, double-buffered HBM<->VMEM DMA"
+            + ("" if k == 1 else f", {k} sweeps per round trip")
+        ),
+        granularity=k,
+    )
+
+
+def make_pallas(config, spec, grid) -> Runner:
+    return _make_pallas(config, spec, grid, 1)
+
+
+def make_pallas_temporal(config, spec, grid) -> Runner:
+    k = config.temporal if config is not None and config.temporal > 1 else 8
+    return _make_pallas(config, spec, grid, k)
+
+
+def _make_sharded(config, spec, grid, overlap: bool) -> Runner:
+    from stencil_tpu.parallel.halo import ShardedStencil, make_mesh
+
+    mesh_sizes = tuple(config.mesh) if config is not None and config.mesh else None
+    if mesh_sizes is None:
+        n = len(jax.devices())
+        mesh_sizes = (n,)
+    axis_names = []
+    names = iter(("x", "y", "z"))
+    for d in range(spec.ndim):
+        if d < len(mesh_sizes) and mesh_sizes[d] > 1:
+            axis_names.append(next(names))
+        else:
+            axis_names.append(None)
+    mesh = make_mesh(
+        [s for s in mesh_sizes if s > 1],
+        [n for n in axis_names if n is not None],
+    )
+    method = ShardedStencil(spec, tuple(axis_names), overlap=overlap)
+    return Runner(
+        name="sharded" if overlap else "sharded_noverlap",
+        iterate=lambda g, n: method.iterate(g, n, mesh),
+        description=(
+            "shard_map + ppermute halo exchange over the device mesh"
+            + (" (interior-first overlap)" if overlap else "")
+        ),
+    )
+
+
+def make_sharded(config, spec, grid) -> Runner:
+    return _make_sharded(config, spec, grid, True)
+
+
+def make_sharded_noverlap(config, spec, grid) -> Runner:
+    return _make_sharded(config, spec, grid, False)
+
+
+REGISTRY: Dict[str, Callable] = {
+    "xla": make_xla,
+    "pallas": make_pallas,
+    "pallas_temporal": make_pallas_temporal,
+    "sharded": make_sharded,
+    "sharded_noverlap": make_sharded_noverlap,
+}
+
+
+def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
+    try:
+        factory = REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown method {name!r}; available: {sorted(REGISTRY)}"
+        ) from None
+    return factory(config, spec, grid)

@@ -1,0 +1,111 @@
+"""Experiment sweep harness.
+
+Analog of the reference's ``run_expr.py``
+(``/root/reference/run_expr.py:1-43``), which shells out to LSF jobs and
+regex-scrapes "average time" lines into ``output.csv`` — and whose flags had
+drifted out of sync with the CLI it drives (SURVEY §5). Here the sweep
+builds ``RunConfig`` objects directly (same dataclass the CLI parses into)
+and runs in-process, so the config surface cannot drift, and results are
+structured (CSV + JSON) rather than scraped.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import itertools
+import json
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence
+
+from stencil_tpu.config import RunConfig
+from stencil_tpu.cli import run_all
+
+
+# the reference sweep space (run_expr.py:6-15): block in {8..120},
+# iterations in {1..1e5}, grid side = 8 * block. TPU defaults are scaled to
+# chip-sized problems.
+DEFAULT_SIZES: Sequence[int] = (512, 1024, 2048, 4096)
+DEFAULT_ITERATIONS: Sequence[int] = (100, 1000)
+DEFAULT_METHODS: Sequence[str] = ("xla", "pallas", "pallas_temporal")
+
+
+def sweep_configs(
+    sizes: Iterable[int] = DEFAULT_SIZES,
+    iterations: Iterable[int] = DEFAULT_ITERATIONS,
+    methods: Sequence[str] = DEFAULT_METHODS,
+    ndim: int = 2,
+    spec: Optional[str] = None,
+    temporal: int = 8,
+    check: bool = False,
+) -> List[RunConfig]:
+    spec = spec or ("jacobi5" if ndim == 2 else "jacobi7")
+    out = []
+    for size, iters in itertools.product(sizes, iterations):
+        out.append(RunConfig(
+            size=(size,) * ndim,
+            iterations=iters,
+            spec=spec,
+            methods=tuple(methods),
+            temporal=temporal,
+            check=check,
+        ))
+    return out
+
+
+def run_sweep(
+    configs: Sequence[RunConfig],
+    csv_path: str | Path = "sweep.csv",
+    json_path: Optional[str | Path] = "sweep.jsonl",
+    progress=print,
+) -> List[dict]:
+    rows: List[dict] = []
+    for i, cfg in enumerate(configs):
+        progress(f"[{i + 1}/{len(configs)}] size={cfg.size} "
+                 f"iters={cfg.iterations} methods={cfg.methods}")
+        for rec in run_all(cfg):
+            rows.append(rec)
+    if rows:
+        keys = sorted({k for r in rows for k in r
+                       if not isinstance(r.get(k), (dict, list))})
+        keys = ["method", "spec", "iterations", "dtype"] + [
+            k for k in keys if k not in
+            ("method", "spec", "iterations", "dtype")
+        ]
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(keys + ["size"])
+            for r in rows:
+                w.writerow([r.get(k, "") for k in keys]
+                           + ["x".join(map(str, r.get("size", [])))])
+    if json_path:
+        with open(json_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return rows
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="stencil-tpu-sweep")
+    p.add_argument("--sizes", type=int, nargs="+", default=list(DEFAULT_SIZES))
+    p.add_argument("--iterations", type=int, nargs="+",
+                   default=list(DEFAULT_ITERATIONS))
+    p.add_argument("--methods", type=str, nargs="+",
+                   default=list(DEFAULT_METHODS))
+    p.add_argument("--ndim", type=int, default=2, choices=[2, 3])
+    p.add_argument("--spec", type=str, default=None)
+    p.add_argument("--temporal", type=int, default=8)
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--csv", type=str, default="sweep.csv")
+    p.add_argument("--json", type=str, default="sweep.jsonl")
+    ns = p.parse_args(argv)
+    cfgs = sweep_configs(ns.sizes, ns.iterations, ns.methods, ns.ndim,
+                         ns.spec, ns.temporal, ns.check)
+    run_sweep(cfgs, ns.csv, ns.json)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Heat-map image output: 24-bit BMP with blue->green->red colorization.
+
+Analog of the reference's ``BMPImage`` writer
+(``/root/reference/include/stencil/bmp_image.hpp:10-31``,
+``src/stencil/bmp_image.cpp:7-64``: hand-rolled headers) and
+``Stencil::to_bmp()`` colorization (blue->green->red over [0, 1],
+``src/stencil/stencil.cpp:153-188``). In the reference this is dead code —
+never called from ``main``; here it is wired to the CLI's ``--dump-image``.
+Pure stdlib (struct), no image deps.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def colorize(values: np.ndarray, vmin: float = 0.0, vmax: float = 1.0) -> np.ndarray:
+    """Map scalars to RGB uint8 via a blue->green->red ramp over [vmin, vmax]
+    (the reference's scheme: cold=blue, mid=green, hot=red)."""
+    v = np.clip((np.asarray(values, dtype=np.float64) - vmin) / (vmax - vmin), 0.0, 1.0)
+    r = np.clip(2.0 * v - 1.0, 0.0, 1.0)
+    b = np.clip(1.0 - 2.0 * v, 0.0, 1.0)
+    g = 1.0 - r - b
+    rgb = np.stack([r, g, b], axis=-1)
+    return (rgb * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_bmp(path: str | Path, rgb: np.ndarray) -> None:
+    """Serialize an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP.
+
+    Hand-rolled BITMAPFILEHEADER + BITMAPINFOHEADER, rows bottom-up and
+    4-byte padded, pixels stored BGR — the same wire format the reference
+    emits (``bmp_image.cpp:28-64``).
+    """
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {rgb.shape}")
+    h, w, _ = rgb.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    image_size = (row_bytes + pad) * h
+    data_offset = 14 + 40
+    file_size = data_offset + image_size
+
+    header = struct.pack(
+        "<2sIHHI", b"BM", file_size, 0, 0, data_offset
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+
+    Path(path).write_bytes(header + body)
+
+
+def dump_heatmap(path: str | Path, values: np.ndarray,
+                 vmin: float = 0.0, vmax: float = 1.0) -> None:
+    """Colorize a 2D field (or the middle slice of a 3D field) and write BMP."""
+    values = np.asarray(values)
+    if values.ndim == 3:
+        values = values[values.shape[0] // 2]
+    if values.ndim != 2:
+        raise ValueError(f"expected 2D or 3D field, got shape {values.shape}")
+    write_bmp(path, colorize(values, vmin, vmax))

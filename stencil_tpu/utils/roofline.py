@@ -1,0 +1,106 @@
+"""Roofline accounting: GLUPS, bytes/point, and fraction of measured HBM
+bandwidth.
+
+The reference reports only wall-clock ms (``main.cpp:33-43``); the TPU
+build's north star is stated as a fraction of the HBM-bandwidth roofline
+(BASELINE.json), so the driver derives:
+
+  GLUPS      = grid points * sweeps / seconds / 1e9
+  roofline   = measured_HBM_BW / ideal_bytes_per_point_per_sweep
+  fraction   = GLUPS / roofline    (can exceed 1.0 with temporal blocking)
+
+``ideal_bytes_per_point`` is the compulsory traffic of a non-temporally-
+blocked sweep: one read + one write per point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def ideal_bytes_per_point(dtype: str = "float32") -> int:
+    return 2 * np.dtype(dtype).itemsize
+
+
+_measured_bw_cache: dict = {}
+
+
+def measure_hbm_bandwidth(nbytes: int = 256 * 1024 * 1024,
+                          loops: int = 50) -> float:
+    """Measured aggregate HBM bandwidth (GB/s) of a fused read+write stream
+    (``x*a+b`` loop under one jit, marginal over two loop counts)."""
+    key = (nbytes, loops)
+    if key in _measured_bw_cache:
+        return _measured_bw_cache[key]
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    side = int(np.sqrt(n))
+    x = jnp.ones((side, side), jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(x, iters):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, c: c * 1.000001 + 1e-7, x
+        )
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        float(jnp.sum(run(x, iters)[0, :1]))
+        return time.perf_counter() - t0
+
+    timed(2)
+    lo, hi = loops, 3 * loops
+    t_lo, t_hi = timed(lo), timed(hi)
+    dt = (t_hi - t_lo) / (hi - lo)
+    bw = x.size * 4 * 2 / dt / 1e9
+    _measured_bw_cache[key] = bw
+    return bw
+
+
+@dataclasses.dataclass
+class PerfReport:
+    seconds_per_sweep: float
+    glups: float
+    effective_gbps: float       # ideal traffic moved per second
+    hbm_gbps: Optional[float]   # measured device bandwidth
+    roofline_glups: Optional[float]
+    roofline_fraction: Optional[float]
+
+    def summary(self) -> str:
+        s = (f"{self.seconds_per_sweep * 1e3:.3f} ms/sweep, "
+             f"{self.glups:.2f} GLUPS")
+        if self.roofline_fraction is not None:
+            s += (f", {100 * self.roofline_fraction:.0f}% of HBM roofline "
+                  f"({self.roofline_glups:.1f} GLUPS @ "
+                  f"{self.hbm_gbps:.0f} GB/s)")
+        return s
+
+
+def report(
+    points: int,
+    sweeps: int,
+    seconds: float,
+    dtype: str = "float32",
+    hbm_gbps: Optional[float] = None,
+) -> PerfReport:
+    sec_per_sweep = seconds / max(sweeps, 1)
+    glups = points * sweeps / seconds / 1e9
+    bpp = ideal_bytes_per_point(dtype)
+    eff = glups * bpp
+    roof = hbm_gbps / bpp if hbm_gbps else None
+    return PerfReport(
+        seconds_per_sweep=sec_per_sweep,
+        glups=glups,
+        effective_gbps=eff,
+        hbm_gbps=hbm_gbps,
+        roofline_glups=roof,
+        roofline_fraction=(glups / roof) if roof else None,
+    )

@@ -1,0 +1,126 @@
+"""Timing utilities.
+
+``TinyTimer`` is the analog of the reference's pause/resume accumulating
+timer (``/root/reference/include/stencil/tiny_timer.hpp:40-78``) — which is
+dead code there; here it is actually used by the CLI driver.
+
+``measure`` implements the benchmark protocol: the reference brackets
+spawn→join with ``std::chrono::steady_clock`` and averages ``-R`` repeats
+(``main.cpp:27-43``). On TPU behind a remote tunnel, a fixed dispatch+fetch
+overhead (observed ~30 ms on the axon tunnel) would swamp per-run wall
+clock, so we time *marginally*: run the jitted loop at two iteration counts
+and divide the time difference by the iteration delta. Results are forced
+with a device->host scalar fetch (``block_until_ready`` alone is not a
+reliable fence on tunneled platforms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class TinyTimer:
+    """Accumulating start/pause/restart timer (seconds)."""
+
+    def __init__(self):
+        self._acc = 0.0
+        self._t0 = None
+
+    def start(self) -> "TinyTimer":
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
+        return self
+
+    def pause(self) -> "TinyTimer":
+        if self._t0 is not None:
+            self._acc += time.perf_counter() - self._t0
+            self._t0 = None
+        return self
+
+    def restart(self) -> "TinyTimer":
+        self._acc = 0.0
+        self._t0 = time.perf_counter()
+        return self
+
+    @property
+    def seconds(self) -> float:
+        extra = (time.perf_counter() - self._t0) if self._t0 is not None else 0.0
+        return self._acc + extra
+
+    def pretty(self) -> str:
+        s = self.seconds
+        if s < 1e-6:
+            return f"{s * 1e9:.1f} ns"
+        if s < 1e-3:
+            return f"{s * 1e6:.1f} us"
+        if s < 1.0:
+            return f"{s * 1e3:.2f} ms"
+        return f"{s:.3f} s"
+
+
+def force(x) -> float:
+    """Force execution of a device computation and fence on it by fetching a
+    scalar reduction to the host."""
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.sum(leaves[0].ravel()[:1]))
+
+
+@dataclasses.dataclass
+class Measurement:
+    seconds_per_iteration: float
+    iterations_measured: int
+    raw_seconds: tuple
+
+
+def measure_marginal(
+    run: Callable[[int], object],
+    iters_lo: int = 10,
+    iters_hi: int = 30,
+    warmup_iters: int = 2,
+    repeats: int = 1,
+) -> Measurement:
+    """Marginal per-iteration time of ``run(n)``.
+
+    ``run(n)`` must execute n iterations on device and return a jax value.
+    Returns min-over-repeats of (t(hi) - t(lo)) / (hi - lo), which cancels
+    dispatch/fetch overhead and compilation is excluded by the warmup call.
+    """
+    force(run(warmup_iters))
+    best = float("inf")
+    raws = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        force(run(iters_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        force(run(iters_hi))
+        t_hi = time.perf_counter() - t0
+        raws.append((t_lo, t_hi))
+        marginal = (t_hi - t_lo) / (iters_hi - iters_lo)
+        # tiny workloads can produce a negative difference from timer noise;
+        # fall back to the (overhead-inclusive) per-iteration bound
+        if marginal <= 0:
+            marginal = t_hi / iters_hi
+        best = min(best, marginal)
+    return Measurement(
+        seconds_per_iteration=best,
+        iterations_measured=iters_hi - iters_lo,
+        raw_seconds=tuple(raws),
+    )
+
+
+def measure_wall(run: Callable[[], object], repeats: int = 3) -> Sequence[float]:
+    """Plain wall-clock repeats (reference protocol, ``main.cpp:29-43``):
+    returns the per-repeat seconds including dispatch overhead."""
+    force(run())
+    out = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        force(run())
+        out.append(time.perf_counter() - t0)
+    return out

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Some environments force a hardware platform via a plugin (e.g. the axon
+# TPU tunnel sets JAX_PLATFORMS=axon at a higher priority than our env
+# override); the config API wins over both.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
