@@ -53,6 +53,17 @@ class RunConfig:
     json_out: Optional[str] = None
     verbose: bool = False
 
+    # platform override ('' = whatever JAX picks). Needed because platform
+    # plugins (e.g. the axon TPU tunnel) take priority over the
+    # JAX_PLATFORMS env var; only the config API reliably wins.
+    platform: str = ""
+
+    def apply_platform(self) -> None:
+        if self.platform:
+            import jax
+
+            jax.config.update("jax_platforms", self.platform)
+
     def resolved_spec(self):
         from stencil_tpu.core.spec import get_spec, star
 
@@ -103,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json-out", type=str, default=None,
                    help="write results as JSON lines to this path")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu' to run the "
+                        "sharded methods on a virtual device mesh; "
+                        "overrides platform plugins that ignore "
+                        "JAX_PLATFORMS)")
     return p
 
 
@@ -126,4 +142,5 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         dump_image=ns.dump_image,
         json_out=ns.json_out,
         verbose=ns.verbose,
+        platform=ns.platform,
     )

@@ -257,7 +257,8 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             ref[idx_lo] = jnp.full(shape_lo, lo_v, dtype)
             ref[idx_hi] = jnp.full(shape_hi, hi_v, dtype)
 
-    def kernel(cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile, isem, osem):
+    def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
+               isem, osem):
         # The whole sweep runs as ONE kernel invocation with an internal
         # fori_loop over slabs. Pallas grid steps carry ~7us of boundary
         # overhead each, which capped the DMA pipeline at ~330 GB/s; the
@@ -286,8 +287,12 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         def compute(sl, slab_i):
             """k virtual sweeps on slot ``sl``; result lands in otile[sl]."""
             start = slab_start(slab_i)
-            is_first = start == 0
-            is_last = start == lead - slab
+            # pin physical Dirichlet ghosts only where this block's edge IS
+            # the physical boundary. pins_ref[0]/[1] are 0 on mesh-interior
+            # devices in the sharded path (their lead-dim ghosts hold live
+            # neighbor data, redundantly recomputed each virtual sweep).
+            is_first = (start == 0) & (pins_ref[0] != 0)
+            is_last = (start == lead - slab) & (pins_ref[1] != 0)
             bufs = (scratch.at[sl], cbuf)
             for t in range(1, k + 1):
                 need = (k - t) * r
@@ -349,14 +354,22 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         out_copy(nt - 1, 1 if nt % 2 == 0 else 0).wait()
 
     @jax.jit
-    def sweep(cur, nxt):
+    def sweep(cur, nxt, pins=None):
+        """One outer step (k virtual sweeps). ``pins`` is an int32 (2,)
+        array: pins[0]/pins[1] nonzero -> the low/high lead-dim edge of this
+        block is a physical Dirichlet boundary (both, for single-device
+        runs). The sharded path passes 0 for mesh-interior edges, whose
+        ghosts hold live neighbor data from the halo exchange."""
+        if pins is None:
+            pins = jnp.ones((2,), jnp.int32)
         return pl.pallas_call(
             kernel,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(padded_shape, dtype),
             scratch_shapes=[
                 pltpu.VMEM((2,) + win_shape, dtype),
@@ -365,10 +378,10 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={1: 0},
+            input_output_aliases={2: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(cur, nxt)
+        )(pins, cur, nxt)
 
     return sweep
 

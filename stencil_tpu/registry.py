@@ -133,12 +133,48 @@ def make_sharded_noverlap(config, spec, grid) -> Runner:
     return _make_sharded(config, spec, grid, False)
 
 
+def make_sharded_pallas(config, spec, grid) -> Runner:
+    """Production multi-chip path: per-device Pallas slab kernel + ppermute
+    halo exchange (BASELINE config 5). Leading-dim sharding only."""
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    if config is not None and config.mesh:
+        n = 1
+        for s in config.mesh:
+            n *= s
+    else:
+        n = len(jax.devices())
+    mesh = make_mesh((n,), ("x",))
+    k = config.temporal if config is not None and config.temporal > 1 else 1
+    method = ShardedPallasStencil(
+        spec,
+        grid.interior_shape,
+        axis_name="x",
+        dtype=str(grid.dtype),
+        sweeps_per_call=k,
+        slab=config.block if config is not None else None,
+        interpret=not _on_tpu(),
+    )
+    method.local_plan(n)  # validate divisibility/slab feasibility eagerly
+    return Runner(
+        name=f"sharded_pallas(n={n},k={k})",
+        iterate=lambda g, it: method.iterate(g, it, mesh),
+        description=(
+            "per-device Pallas slab kernel + ppermute halo exchange over "
+            "the device mesh (leading-dim sharding)"
+        ),
+        granularity=k,
+    )
+
+
 REGISTRY: Dict[str, Callable] = {
     "xla": make_xla,
     "pallas": make_pallas,
     "pallas_temporal": make_pallas_temporal,
     "sharded": make_sharded,
     "sharded_noverlap": make_sharded_noverlap,
+    "sharded_pallas": make_sharded_pallas,
 }
 
 

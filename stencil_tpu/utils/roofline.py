@@ -29,10 +29,57 @@ def ideal_bytes_per_point(dtype: str = "float32") -> int:
 _measured_bw_cache: dict = {}
 
 
+def prepare_hbm_measurement(nbytes: int = 256 * 1024 * 1024,
+                            loops: int = 50):
+    """Compile/dispatch the bandwidth kernel now (no device->host fetch);
+    returns a thunk that performs the timed measurement. Lets callers
+    overlap compilation with the one-time fetch warmup
+    (``utils.timing.warmup_fetch_async``)."""
+    import jax
+
+    n = nbytes // 4
+    side = int(np.sqrt(n))
+    compiled = _hbm_run_fn()
+    x = jax.jit(lambda: jax.numpy.ones((side, side), jax.numpy.float32))()
+    compiled(x, 2)  # compile both loop shapes ahead of the fetch warmup
+    compiled(x, loops)
+    compiled(x, 3 * loops)
+
+    def thunk() -> float:
+        return measure_hbm_bandwidth(nbytes, loops)
+
+    return thunk
+
+
+_hbm_run_cached = None
+
+
+def _hbm_run_fn():
+    # singleton: jax.jit caches per function object, so prepare/measure
+    # must share one jitted callable for the precompile to stick
+    global _hbm_run_cached
+    if _hbm_run_cached is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def run(x, iters):
+            return jax.lax.fori_loop(
+                0, iters, lambda _, c: c * 1.000001 + 1e-7, x
+            )
+
+        _hbm_run_cached = run
+    return _hbm_run_cached
+
+
 def measure_hbm_bandwidth(nbytes: int = 256 * 1024 * 1024,
                           loops: int = 50) -> float:
     """Measured aggregate HBM bandwidth (GB/s) of a fused read+write stream
-    (``x*a+b`` loop under one jit, marginal over two loop counts)."""
+    (``x*a+b`` loop under one jit, marginal over two loop counts).
+
+    Requires the process's one-time fetch warmup to have been paid (see
+    ``utils.timing.force``) for honest numbers."""
     key = (nbytes, loops)
     if key in _measured_bw_cache:
         return _measured_bw_cache[key]
@@ -42,18 +89,16 @@ def measure_hbm_bandwidth(nbytes: int = 256 * 1024 * 1024,
     n = nbytes // 4
     side = int(np.sqrt(n))
     x = jnp.ones((side, side), jnp.float32)
+    run = _hbm_run_fn()
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def run(x, iters):
-        return jax.lax.fori_loop(
-            0, iters, lambda _, c: c * 1.000001 + 1e-7, x
-        )
+    from stencil_tpu.utils.timing import force
 
     def timed(iters):
+        # fetch-based fence (block_until_ready is a stub on the tunneled
+        # backend); callers must have paid the one-time fetch warmup
+        # (utils.timing.warmup_fetch_async) first
         t0 = time.perf_counter()
-        float(jnp.sum(run(x, iters)[0, :1]))
+        force(run(x, iters))
         return time.perf_counter() - t0
 
     timed(2)

@@ -6,12 +6,12 @@ dead code there; here it is actually used by the CLI driver.
 
 ``measure`` implements the benchmark protocol: the reference brackets
 spawn→join with ``std::chrono::steady_clock`` and averages ``-R`` repeats
-(``main.cpp:27-43``). On TPU behind a remote tunnel, a fixed dispatch+fetch
+(``main.cpp:27-43``). On TPU behind a remote tunnel, a fixed dispatch
 overhead (observed ~30 ms on the axon tunnel) would swamp per-run wall
 clock, so we time *marginally*: run the jitted loop at two iteration counts
 and divide the time difference by the iteration delta. Results are forced
-with a device->host scalar fetch (``block_until_ready`` alone is not a
-reliable fence on tunneled platforms).
+with ``block_until_ready`` — never a device->host fetch, whose first use
+in a process costs minutes on the tunneled backend (see :func:`force`).
 """
 
 from __future__ import annotations
@@ -63,11 +63,52 @@ class TinyTimer:
         return f"{s:.3f} s"
 
 
-def force(x) -> float:
-    """Force execution of a device computation and fence on it by fetching a
-    scalar reduction to the host."""
+def force(x) -> None:
+    """Force execution of a device computation and fence on it.
+
+    The ONLY reliable fence on the axon-tunneled TPU backend is a
+    device->host fetch: ``block_until_ready``/``is_ready`` are stubs there
+    (measured: ``is_ready()`` returns True instantly mid-computation, and
+    marginal times over different iteration counts come out negative), and
+    host callbacks are UNIMPLEMENTED. So we fetch one element of one leaf.
+
+    CAVEAT: the FIRST device->host transfer of a process takes 3-9
+    *minutes* on that backend (measured 187-544 s across fresh processes,
+    any array size, any API — ``float()``, ``device_get``, cross-backend
+    ``device_put``); subsequent fetches take ~30 ms. Call
+    :func:`warmup_fetch_async` as early as possible (it overlaps the cost
+    with kernel compilation) before any timed region.
+    """
     leaves = jax.tree_util.tree_leaves(x)
-    return float(jnp.sum(leaves[0].ravel()[:1]))
+    for leaf in leaves:
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    for leaf in leaves:
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[:1])
+            break
+
+
+_warmup_thread = None
+
+
+def warmup_fetch() -> float:
+    """Pay the backend's one-time device->host cost; returns seconds."""
+    t0 = time.perf_counter()
+    jax.device_get(jnp.zeros((1,), jnp.float32))
+    return time.perf_counter() - t0
+
+
+def warmup_fetch_async():
+    """Start :func:`warmup_fetch` on a daemon thread (idempotent); returns
+    the thread to ``join()`` before the first timed fetch."""
+    global _warmup_thread
+    import threading
+
+    if _warmup_thread is None:
+        _warmup_thread = threading.Thread(target=warmup_fetch, daemon=True)
+        _warmup_thread.start()
+    return _warmup_thread
 
 
 @dataclasses.dataclass

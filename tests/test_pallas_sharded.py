@@ -1,0 +1,95 @@
+"""Differential tests for the sharded-Pallas composition (per-device slab
+kernel + ppermute halo exchange) on the 8-virtual-device CPU mesh, kernels
+in interpreter mode.
+
+This validates the full BASELINE config-5 machinery: leading-dim sharding,
+deep-halo exchange at temporal depth k, boundary pinning disabled on
+mesh-interior devices, and the scatter/gather padded-layout plumbing —
+against the float64 golden model (reference semantics,
+``/root/reference/src/stencil/stencil.cpp:75-151``).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.spec import box, get_spec, star
+from stencil_tpu.ops import golden
+from stencil_tpu.parallel.halo import make_mesh
+from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+
+def _run(spec, shape, iters, k, n_dev=4, dtype="float32"):
+    mesh = make_mesh((n_dev,), ("x",))
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype=dtype)
+    method = ShardedPallasStencil(
+        spec, shape, axis_name="x", dtype=dtype, sweeps_per_call=k,
+        interpret=True,
+    )
+    out = method.iterate(grid, iters, mesh)
+    ref = golden.golden_iterate(
+        np.zeros(shape, dtype=np.float64), spec, iters, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), dtype=np.float64), ref,
+        atol=5e-6, rtol=5e-6,
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_2d_star_matches_golden(k):
+    _run(get_spec("jacobi5"), (64, 40), iters=8, k=k)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_3d_star_matches_golden(k):
+    _run(get_spec("jacobi7"), (16, 12, 20), iters=6, k=k)
+
+
+def test_3d_box_matches_golden():
+    _run(get_spec("jacobi27"), (16, 12, 20), iters=4, k=2)
+
+
+def test_2d_radius2_matches_golden():
+    _run(star(2, 2), (64, 40), iters=6, k=2)
+
+
+def test_remainder_iterations():
+    # iterations not a multiple of k exercises the remainder kernel
+    _run(get_spec("jacobi5"), (64, 40), iters=7, k=4)
+
+
+def test_matches_single_device_pallas():
+    """Cross-method consistency (the reference's -m A B -c pattern,
+    ``main.cpp:46-50``): sharded result == single-device Pallas result."""
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    spec = get_spec("jacobi7")
+    shape = (16, 12, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    mesh = make_mesh((4,), ("x",))
+    sharded = ShardedPallasStencil(
+        spec, shape, sweeps_per_call=2, interpret=True
+    )
+    single = PallasStencil(spec, shape, sweeps_per_call=2, interpret=True)
+    a = np.asarray(sharded.iterate(grid, 6, mesh).interior())
+    b = np.asarray(single.iterate(grid, 6).interior())
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-6)
+
+
+def test_registry_entry():
+    from stencil_tpu import registry
+    from stencil_tpu.config import RunConfig
+
+    spec = get_spec("jacobi5")
+    cfg = RunConfig(size=(64, 40), spec="jacobi5", temporal=2, mesh=(4,))
+    grid = HaloGrid.create((64, 40), halo=1)
+    runner = registry.get_runner("sharded_pallas", cfg, spec, grid)
+    out = runner.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((64, 40), dtype=np.float64), spec, 4, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6
+    )
