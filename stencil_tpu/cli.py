@@ -132,6 +132,19 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
         print(f"[{name}] {rep.summary()}", file=out)
         results.append(rec)
 
+        if config.checkpoint_dir:
+            from stencil_tpu.utils.checkpoint import CheckpointedRun
+
+            ckpt = CheckpointedRun(
+                runner, config.checkpoint_dir,
+                every=config.checkpoint_every, spec_name=spec.name,
+            )
+            final, done = ckpt.run(
+                make_grid(config, spec), config.iterations,
+                progress=lambda m: print(f"[{name}] {m}", file=out),
+            )
+            rec["checkpointed_iterations"] = done
+
         if config.dump_image:
             from stencil_tpu.utils.image import dump_heatmap
 

@@ -48,6 +48,10 @@ class RunConfig:
     check_tolerance: float = 1e-4        # reference bar (stencil.cpp:137)
     warmup: int = 1
 
+    # checkpoint/resume (reference has none — SURVEY §5)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 100
+
     # output
     dump_image: Optional[str] = None     # heat-map BMP path (to_bmp analog)
     json_out: Optional[str] = None
@@ -109,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--check-result", action="store_true", dest="check")
     p.add_argument("--check-tolerance", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="directory for periodic checkpoints; an existing "
+                        "checkpoint there is resumed automatically")
+    p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--dump-image", type=str, default=None,
                    help="write a blue-green-red heat-map BMP of the result")
     p.add_argument("--json-out", type=str, default=None,
@@ -139,6 +147,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         check=ns.check,
         check_tolerance=ns.check_tolerance,
         warmup=ns.warmup,
+        checkpoint_dir=ns.checkpoint_dir,
+        checkpoint_every=ns.checkpoint_every,
         dump_image=ns.dump_image,
         json_out=ns.json_out,
         verbose=ns.verbose,
