@@ -88,8 +88,7 @@ def main() -> int:
 
         g = max(1, runner.granularity)
         try:
-            m = measure_marginal(run_n, iters_lo=3 * g, iters_hi=9 * g,
-                                 warmup_iters=g)
+            m = measure_marginal(run_n, warmup_iters=g, granularity=g)
             glups = points / m.seconds_per_iteration / 1e9
             print(f"# {label}: {glups:.1f} GLUPS", file=sys.stderr)
             if best is None or glups > best[1]:

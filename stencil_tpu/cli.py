@@ -61,18 +61,14 @@ def bench_method(config: RunConfig, spec, runner):
     def run_n(n: int):
         return runner.iterate(grid, n).data
 
-    # marginal timing: cancels the fixed dispatch+fetch overhead of
-    # tunneled TPU backends (~30 ms observed), excludes compilation.
-    # iteration counts are multiples of the runner's granularity so that
-    # temporal-blocking remainder kernels never compile inside the timed
-    # region.
+    # marginal + autoranged timing: cancels the fixed dispatch+fetch
+    # overhead of tunneled TPU backends (tens of ms) and grows iteration
+    # counts until the signal dominates that noise; excludes compilation.
+    # Counts stay multiples of the runner's granularity so that temporal-
+    # blocking remainder kernels never compile inside the timed region.
     g = max(1, getattr(runner, "granularity", 1))
-    lo = max(2, config.iterations // 8, g)
-    lo = -(-lo // g) * g
-    hi = 3 * lo
-    m = measure_marginal(run_n, iters_lo=lo, iters_hi=hi,
-                         warmup_iters=lo,
-                         repeats=config.repeat)
+    m = measure_marginal(run_n, warmup_iters=g, granularity=g,
+                         repeats=max(2, config.repeat))
     return m
 
 

@@ -38,6 +38,17 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def sublane_for_dtype(dtype) -> int:
+    """Minimum sublane (second-to-last dim) tile multiple per dtype:
+    fp32 -> 8, bf16 -> 16, int8/fp8 -> 32 (lane dim is always 128)."""
+    import numpy as np
+
+    itemsize = np.dtype(
+        dtype if not hasattr(dtype, "dtype") else dtype.dtype
+    ).itemsize
+    return {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+
+
 @dataclasses.dataclass(frozen=True)
 class PaddedLayout:
     """Static geometry of a padded array: per-dim (lo, hi) pads."""
@@ -65,7 +76,8 @@ class PaddedLayout:
         )
 
     @staticmethod
-    def for_halo(interior_shape: Tuple[int, ...], halo: int) -> "PaddedLayout":
+    def for_halo(interior_shape: Tuple[int, ...], halo: int,
+                 sublane: int = 8) -> "PaddedLayout":
         ndim = len(interior_shape)
         pads = []
         for d in range(ndim):
@@ -74,7 +86,7 @@ class PaddedLayout:
                 total = round_up(interior_shape[d] + 2 * halo, 128)
                 hi = total - interior_shape[d] - lo
             elif d == ndim - 2:
-                lo = hi = round_up(halo, 8)
+                lo = hi = round_up(halo, sublane)
             else:
                 lo = hi = halo
             pads.append((lo, hi))

@@ -96,7 +96,10 @@ class SlabPlan:
 def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
     import numpy as np
 
-    layout = PaddedLayout.for_halo(tuple(shape), k * spec.radius)
+    from stencil_tpu.ops.layout import sublane_for_dtype
+
+    layout = PaddedLayout.for_halo(tuple(shape), k * spec.radius,
+                                   sublane_for_dtype(dtype))
     minor = 1
     for s in layout.padded_shape[1:]:
         minor *= s
@@ -120,10 +123,12 @@ def choose_slab(
     2D: the leading dim is the sublane dim — slab and row count must be
     multiples of 8. 3D: the leading dim is untiled — any slab size.
     """
+    from stencil_tpu.ops.layout import sublane_for_dtype
+
     ndim = len(interior_shape)
     lead = interior_shape[0]
-    step = 8 if ndim == 2 else 1
-    if ndim == 2 and lead % 8 != 0:
+    step = sublane_for_dtype(dtype) if ndim == 2 else 1
+    if ndim == 2 and lead % step != 0:
         return None
     best = None
     cand = step
@@ -158,12 +163,19 @@ def make_plan(
                 f"no feasible slab for shape {interior_shape} "
                 f"(k={sweeps_per_call}) within VMEM budget {vmem_budget}"
             )
-    if len(interior_shape) == 2 and (slab % 8 or interior_shape[0] % 8):
-        raise ValueError("2D pallas path requires slab and rows % 8 == 0")
+    from stencil_tpu.ops.layout import sublane_for_dtype
+
+    sublane = sublane_for_dtype(dtype)
+    if len(interior_shape) == 2 and (slab % sublane
+                                     or interior_shape[0] % sublane):
+        raise ValueError(
+            f"2D pallas path requires slab and rows % {sublane} == 0 "
+            f"(sublane multiple for dtype {dtype})"
+        )
     if slab > interior_shape[0]:
         raise ValueError("slab larger than leading dim")
     layout = PaddedLayout.for_halo(
-        tuple(interior_shape), sweeps_per_call * spec.radius
+        tuple(interior_shape), sweeps_per_call * spec.radius, sublane
     )
     return SlabPlan(
         spec=spec,
@@ -265,9 +277,11 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         # in-kernel loop sustains ~800-900 GB/s on v5e (measured).
 
         def slab_start(slab_i):
+            from stencil_tpu.ops.layout import sublane_for_dtype
+
             s = jnp.minimum(slab_i * slab, lead - slab)
             if ndim == 2:
-                s = pl.multiple_of(s, 8)
+                s = pl.multiple_of(s, sublane_for_dtype(dtype))
             return s
 
         def in_copy(slab_i, sl):

@@ -30,7 +30,7 @@ _measured_bw_cache: dict = {}
 
 
 def prepare_hbm_measurement(nbytes: int = 256 * 1024 * 1024,
-                            loops: int = 50):
+                            loops: int = 400):
     """Compile/dispatch the bandwidth kernel now (no device->host fetch);
     returns a thunk that performs the timed measurement. Lets callers
     overlap compilation with the one-time fetch warmup
@@ -74,7 +74,7 @@ def _hbm_run_fn():
 
 
 def measure_hbm_bandwidth(nbytes: int = 256 * 1024 * 1024,
-                          loops: int = 50) -> float:
+                          loops: int = 400) -> float:
     """Measured aggregate HBM bandwidth (GB/s) of a fused read+write stream
     (``x*a+b`` loop under one jit, marginal over two loop counts).
 

@@ -120,34 +120,58 @@ class Measurement:
 
 def measure_marginal(
     run: Callable[[int], object],
-    iters_lo: int = 10,
-    iters_hi: int = 30,
+    iters_lo: int = 0,
+    iters_hi: int = 0,
     warmup_iters: int = 2,
-    repeats: int = 1,
+    repeats: int = 2,
+    granularity: int = 1,
+    min_signal_seconds: float = 0.75,
 ) -> Measurement:
     """Marginal per-iteration time of ``run(n)``.
 
     ``run(n)`` must execute n iterations on device and return a jax value.
-    Returns min-over-repeats of (t(hi) - t(lo)) / (hi - lo), which cancels
-    dispatch/fetch overhead and compilation is excluded by the warmup call.
+    Returns median-over-repeats of (t(hi) - t(lo)) / (hi - lo), which
+    cancels the fixed dispatch+fetch overhead; compilation is excluded by
+    the warmup call.
+
+    By default the iteration counts AUTORANGE (like ``timeit``): ``lo`` is
+    grown until one run takes >= ``min_signal_seconds / 3`` and ``hi`` is
+    ``4 * lo``, so the measured difference is >= ``min_signal_seconds``.
+    This matters on tunneled TPU backends where per-call dispatch+fetch
+    noise is tens of ms — a 16-iteration delta of a fast kernel (~5 ms)
+    drowns in it and can even come out negative. Explicit
+    ``iters_lo``/``iters_hi`` skip autoranging (use only when the cost per
+    iteration is large and known).
     """
-    force(run(warmup_iters))
-    best = float("inf")
+    g = max(1, granularity)
+    force(run(max(warmup_iters, g)))
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        force(run(n))
+        return time.perf_counter() - t0
+
+    if not iters_lo or not iters_hi:
+        lo = g
+        t_lo = timed(lo)
+        while t_lo < min_signal_seconds / 3 and lo < 1_000_000:
+            grow = max(2.0, (min_signal_seconds / 3) / max(t_lo, 1e-4))
+            lo = int(-(-int(lo * min(grow, 64.0)) // g) * g)
+            t_lo = timed(lo)
+        iters_lo, iters_hi = lo, 4 * lo
+
+    marginals = []
     raws = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        force(run(iters_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        force(run(iters_hi))
-        t_hi = time.perf_counter() - t0
+        t_lo = timed(iters_lo)
+        t_hi = timed(iters_hi)
         raws.append((t_lo, t_hi))
         marginal = (t_hi - t_lo) / (iters_hi - iters_lo)
-        # tiny workloads can produce a negative difference from timer noise;
-        # fall back to the (overhead-inclusive) per-iteration bound
-        if marginal <= 0:
-            marginal = t_hi / iters_hi
-        best = min(best, marginal)
+        # guard against residual noise: never report below the
+        # overhead-inclusive bound of the big run
+        marginals.append(max(marginal, 0.0) or t_hi / iters_hi)
+    marginals.sort()
+    best = marginals[len(marginals) // 2]
     return Measurement(
         seconds_per_iteration=best,
         iterations_measured=iters_hi - iters_lo,
