@@ -42,9 +42,11 @@ def main() -> int:
     spec = get_spec("jacobi7")
     dtype = "float32"
 
-    # candidate configs (method, temporal depth); best GLUPS wins
+    # candidate configs (method, temporal depth); best GLUPS wins.
+    # pallas_temporal routes 3D grids to the 2D-tiled manual-DMA kernel
+    # (ops.pallas_tiled); measured on v5e: k=8 -> 56 GLUPS vs 11.5 for xla.
     candidates = [("pallas_temporal", 8), ("pallas_temporal", 4),
-                  ("pallas", 1)]
+                  ("xla", 1)]
     if not on_tpu:
         candidates = [("xla", 1)]
 

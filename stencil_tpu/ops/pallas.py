@@ -22,12 +22,14 @@ dims are contiguous in HBM, satisfy alignment via the deep-halo layout
 (``layout.PaddedLayout``), and turn the halo exchange *within* a chip into
 plain overfetch of ``halo`` extra leading-dim layers per slab.
 
-Scheduling: each Pallas grid step processes TWO slabs with *static* VMEM
-slot indices (dynamic ``buf[i % 2]`` indexing defeats Mosaic's dependence
-analysis and serializes DMA against compute — measured 131 vs 108 GLUPS at
-temporal depth 8 on a 4096^2 fp32 grid on v5e). The slab count is forced
-even by clamping slab starts to ``lead - slab`` (duplicate coverage of
-overlap rows is recomputed identically and written twice — benign).
+Scheduling: the whole sweep runs as ONE kernel invocation with an internal
+``fori_loop`` over slabs and two DMA slots (slab count forced even by
+clamping slab starts to ``lead - slab``; duplicate coverage of overlap
+rows is recomputed identically and written twice — benign). For 3D grids
+the registry routes to ``ops.pallas_tiled`` instead, whose 2D tile windows
+keep deep temporal halos within VMEM (this slab kernel's full-minor-plane
+windows cannot); measured v5e 256^3 fp32: slab k=1 18.2 GLUPS vs tiled
+k=8 56.2 GLUPS vs pure-XLA 11.5 GLUPS.
 
 Temporal blocking (``sweeps_per_call = k > 1``): each slab is loaded once
 with a ``k*radius``-deep halo and advanced k sweeps entirely in VMEM,
@@ -405,6 +407,64 @@ def _cached_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool):
     return build_sweep(plan, bc, interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_runner(plan: SlabPlan, bc: DirichletBC, interpret: bool):
+    """n-outer-steps loop over the cached sweep.
+
+    MUST be cached: constructing a fresh ``jax.jit`` closure per call
+    defeats jit's function-identity cache, so every ``iterate()`` would
+    re-trace and re-lower the pallas call (~0.7 s on the remote-compile
+    TPU backend) — measured to dwarf the actual compute and to have been
+    the dominant cost of every benchmark run before the fix.
+    """
+    sweep = _cached_sweep(plan, bc, interpret)
+
+    @jax.jit
+    def run(cur, nxt, n_outer):
+        def body(_, carry):
+            c, n = carry
+            return (sweep(c, n), c)
+
+        return lax.fori_loop(0, n_outer, body, (cur, nxt))
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
+                    grid_halo: int):
+    """End-to-end jitted iterate: grid.data -> grid.data after n_outer
+    outer steps, including the pad/unpad relayout.
+
+    One jit = ONE dispatch per call. The eager pad/fill/unpad path costs
+    ~10 separate dispatches, which on a tunneled backend (~30 ms each)
+    adds a ~0.3 s fixed cost per call that dwarfs the kernel itself.
+    """
+    from stencil_tpu.core.grid import fill_halo
+
+    sweep = _cached_sweep(plan, bc, interpret)
+
+    @jax.jit
+    def run(data, n_outer):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        # distinct output buffer for the aliased kernel write; XLA's
+        # copy-removal is aliasing-aware and must keep this copy because
+        # cur is still read by the first sweep
+        nxt = jnp.copy(cur)
+
+        def body(_, carry):
+            c, n = carry
+            return (sweep(c, n), c)
+
+        cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
+        out = jnp.pad(plan.layout.unpad(cur), h)
+        return fill_halo(out, h, bc)
+
+    return run
+
+
 class PallasStencil:
     """User-facing handle: iterate a HaloGrid with the slab kernel.
 
@@ -444,35 +504,25 @@ class PallasStencil:
         return HaloGrid.from_interior(interior, halo=grid.halo, bc=grid.bc)
 
     def _runner(self, bc: DirichletBC):
-        sweep = _cached_sweep(self.plan, bc, self.interpret)
-
-        @jax.jit
-        def run(cur, nxt, n_outer):
-            def body(_, carry):
-                c, n = carry
-                return (sweep(c, n), c)
-
-            return lax.fori_loop(0, n_outer, body, (cur, nxt))
-
-        return run
+        return _cached_runner(self.plan, bc, self.interpret)
 
     # -- main entry ------------------------------------------------------------
 
     def iterate(self, grid: HaloGrid, iterations: int) -> HaloGrid:
         k = self.plan.sweeps_per_call
-        cur, nxt = self.prepare(grid)
         n_outer, rem = divmod(iterations, k)
+        data = grid.data
         if n_outer:
-            cur, nxt = self._runner(grid.bc)(cur, nxt, n_outer)
+            run = _cached_iterate(self.plan, grid.bc, self.interpret,
+                                  grid.halo)
+            data = run(data, n_outer)
         if rem:
             rem_method = PallasStencil(
                 self.spec, self.plan.interior_shape, self.plan.dtype,
                 sweeps_per_call=rem, slab=self.plan.slab,
                 interpret=self.interpret, vmem_budget=self.vmem_budget,
             )
-            rem_sweep = _cached_sweep(rem_method.plan, grid.bc, self.interpret)
-            interior = self.plan.layout.unpad(cur)
-            cur2 = rem_method.plan.layout.pad(interior, grid.bc)
-            cur = rem_sweep(cur2, jnp.array(cur2, copy=True))
-            return rem_method.extract(cur, grid)
-        return self.extract(cur, grid)
+            run = _cached_iterate(rem_method.plan, grid.bc, self.interpret,
+                                  grid.halo)
+            data = run(data, 1)
+        return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)

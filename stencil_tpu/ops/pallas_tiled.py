@@ -1,0 +1,429 @@
+"""3D temporal-blocked Pallas kernel with 2D (plane x row-panel) tiling.
+
+Why this exists: the slab kernel in ``ops.pallas`` streams full minor
+planes, so for a 256^3+ grid a temporally-blocked window (k*r-deep halo)
+of whole (d1, d2) planes cannot fit VMEM — 3D temporal blocking needs the
+window tiled in d1 as well. The Pallas auto-pipeline cannot express that:
+overlapping ``pl.Element`` windows along the sublane dim crash the Mosaic
+AOT compiler (bisected on v5e; overlap along the untiled d0 is fine), so
+this kernel issues its own double-buffered ``pltpu.make_async_copy`` DMAs
+with 8-aligned d1 window offsets — the TPU equivalent of the reference's
+per-CPE LDM tiles (``/root/reference/src/stencil/slave/stencil_dma.cpp``:
+a 2D grid of scratchpad tiles, pull-model halos re-read from main memory
+each iteration, async get/put descriptors overlapping compute).
+
+Geometry per tile (window-local coordinates):
+
+  d0: [0, s0 + 2*kr)      pad kr each side (untiled dim, exact)
+  d1: [0, t1 + 2*p1)      p1 = round_up(kr, sublane) — aligned overfetch
+  d2: [0, P2)             full padded width (lane dim, 128-aligned)
+
+``k`` virtual sweeps run in VMEM per HBM round trip; the compute region
+shrinks by ``r`` per sweep in d0 and d1 (redundant overlap recompute), and
+physical Dirichlet ghosts are re-pinned between sweeps on tiles that touch
+a physical face (later-dims-win corner order: d0, then d1, then d2).
+``pins`` disables d0 pinning on mesh-interior devices exactly like the
+slab kernel, so this kernel drops into the sharded path unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stencil_tpu.core.grid import DirichletBC, HaloGrid
+from stencil_tpu.core.spec import StencilSpec
+from stencil_tpu.ops.layout import PaddedLayout, round_up, sublane_for_dtype
+
+DEFAULT_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledPlan:
+    spec: StencilSpec
+    interior_shape: Tuple[int, int, int]
+    dtype: str
+    sweeps_per_call: int
+    s0: int            # d0 tile size (planes)
+    t1: int            # d1 tile size (rows)
+    layout: PaddedLayout
+
+    @property
+    def halo(self) -> int:
+        return self.sweeps_per_call * self.spec.radius
+
+    @property
+    def p1(self) -> int:
+        return self.layout.pads[1][0]
+
+    @property
+    def window_shape(self) -> Tuple[int, int, int]:
+        kr = self.halo
+        return (self.s0 + 2 * kr, self.t1 + 2 * self.p1,
+                self.layout.padded_shape[2])
+
+
+def _vmem_bytes(spec, shape, dtype, k, s0, t1) -> int:
+    import numpy as np
+
+    sublane = sublane_for_dtype(dtype)
+    kr = k * spec.radius
+    p1 = round_up(kr, sublane)
+    P2 = round_up(shape[2] + 2 * kr, 128)
+    w0, w1 = s0 + 2 * kr, t1 + 2 * p1
+    itemsize = np.dtype(dtype).itemsize
+    win = w0 * w1 * P2
+    out = s0 * t1 * P2
+    # 2 input slots + 1 compute ping-pong + 2 output slots + ~1 win of
+    # Mosaic tap temporaries
+    cbuf = win if k > 1 else 0
+    return (2 * win + cbuf + 2 * out + win) * itemsize
+
+
+def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
+                 vmem_budget=DEFAULT_VMEM_BUDGET) -> Optional[Tuple[int, int]]:
+    """Pick (s0, t1) maximizing tile volume within budget; t1 % sublane == 0
+    and both must divide the grid dims."""
+    sublane = sublane_for_dtype(dtype)
+    n0, n1, _ = interior_shape
+    best = None
+    best_vol = 0
+    s0_c = [s for s in (4, 8, 16, 32, 64, 128, 256) if n0 % s == 0]
+    t1_c = [t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
+            if t % sublane == 0 and n1 % t == 0]
+    for s0 in s0_c:
+        for t1 in t1_c:
+            if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
+                           s0, t1) <= vmem_budget:
+                # prefer larger tiles (less halo overhead), break ties
+                # toward wider t1 (longer contiguous DMA segments)
+                vol = s0 * t1
+                if vol > best_vol or (vol == best_vol and best
+                                      and t1 > best[1]):
+                    best, best_vol = (s0, t1), vol
+    return best
+
+
+def make_tiled_plan(spec, interior_shape, dtype="float32",
+                    sweeps_per_call=1, tiles=None,
+                    vmem_budget=DEFAULT_VMEM_BUDGET) -> TiledPlan:
+    if spec.ndim != 3 or len(interior_shape) != 3:
+        raise ValueError("tiled kernel is 3D-only")
+    if tiles is None:
+        tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
+                             vmem_budget)
+        if tiles is None:
+            sublane = sublane_for_dtype(dtype)
+            raise ValueError(
+                f"no feasible (s0, t1) tiling for {interior_shape} "
+                f"(k={sweeps_per_call}): dims 0/1 must be divisible by a "
+                f"tile size (candidates: powers-of-two-ish >= {sublane}) "
+                f"that fits the VMEM budget {vmem_budget}"
+            )
+    s0, t1 = tiles
+    sublane = sublane_for_dtype(dtype)
+    n0, n1, _ = interior_shape
+    if n0 % s0 or n1 % t1:
+        raise ValueError(f"tiles {tiles} must divide grid dims {interior_shape[:2]}")
+    if t1 % sublane:
+        raise ValueError(f"t1 must be a multiple of the sublane size {sublane}")
+    layout = PaddedLayout.for_halo(tuple(interior_shape),
+                                   sweeps_per_call * spec.radius, sublane)
+    return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
+                     dtype=dtype, sweeps_per_call=sweeps_per_call,
+                     s0=s0, t1=t1, layout=layout)
+
+
+def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
+                      interpret: bool = False):
+    """Compile one outer step (k virtual sweeps) over the whole 3D grid.
+
+    Returns ``sweep(cur, nxt, pins=None) -> new`` over padded arrays, same
+    contract as ``ops.pallas.build_sweep``.
+    """
+    spec = plan.spec
+    k = plan.sweeps_per_call
+    r = spec.radius
+    kr = plan.halo
+    dtype = jnp.dtype(plan.dtype)
+    layout = plan.layout
+    n0, n1, n2 = plan.interior_shape
+    P0, P1, P2 = layout.padded_shape
+    s0, t1 = plan.s0, plan.t1
+    p1 = plan.p1
+    w0, w1, _ = plan.window_shape
+    d2_lo = layout.pads[2][0]
+    nt0, nt1 = n0 // s0, n1 // t1
+    nt = nt0 * nt1
+
+    (d0_lo_bc, d0_hi_bc), (d1_lo_bc, d1_hi_bc), (d2_lo_bc, d2_hi_bc) = \
+        bc.values
+
+    def fill_d2_ghosts(ref, shape01):
+        ref[:, :, 0:d2_lo] = jnp.full(shape01 + (d2_lo,), d2_lo_bc, dtype)
+        ref[:, :, d2_lo + n2:] = jnp.full(
+            shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
+        )
+
+    def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
+               isem, osem):
+        def tile_rc(i):
+            return i // nt1, i % nt1
+
+        def in_copy(i, sl):
+            i0, i1 = tile_rc(i)
+            c1 = pl.multiple_of(i1 * t1, 8)
+            return pltpu.make_async_copy(
+                cur_hbm.at[pl.ds(i0 * s0, w0), pl.ds(c1, w1)],
+                scratch.at[sl],
+                isem.at[sl],
+            )
+
+        def out_copy(i, sl):
+            i0, i1 = tile_rc(i)
+            c1 = pl.multiple_of(p1 + i1 * t1, 8)
+            return pltpu.make_async_copy(
+                otile.at[sl],
+                out_hbm.at[pl.ds(kr + i0 * s0, s0), pl.ds(c1, t1)],
+                osem.at[sl],
+            )
+
+        def taps_into(src_val, a0, m0, a1, m1):
+            """Stencil over window-local region d0 [a0, a0+m0),
+            d1 [a1, a1+m1), d2 interior."""
+            uw = spec.uniform_weight
+            acc = None
+            for off, wgt in zip(spec.offsets, spec.weights):
+                st = (a0 + off[0], a1 + off[1], d2_lo + off[2])
+                li = (st[0] + m0, st[1] + m1, st[2] + n2)
+                tap = lax.slice(src_val, st, li)
+                term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
+                acc = term if acc is None else acc + term
+            if uw is not None:
+                acc = acc * jnp.asarray(uw, dtype)
+            return acc
+
+        def pin(dst, i, need):
+            """Re-pin physical ghosts of the compute buffer after an
+            intermediate sweep.
+
+            Writes cover d2-INTERIOR columns only: the d2 ghost columns of
+            the (shared, persistent) compute buffers hold the d2 face
+            values from the one-time fill, and they must survive — a
+            full-width band write here would clobber them with the d0/d1
+            face value, which both breaks the later-dims-win corner rule
+            (box stencils) and poisons later tiles' ghost-recompute rows
+            that read d2 ghosts at these band rows (all stencils).
+            """
+            i0, i1 = tile_rc(i)
+            pin_d0lo = (i0 == 0) & (pins_ref[0] != 0)
+            pin_d0hi = (i0 == nt0 - 1) & (pins_ref[1] != 0)
+            d2i = pl.ds(d2_lo, n2)
+
+            @pl.when(pin_d0lo)
+            def _():
+                dst[0:kr, :, d2i] = jnp.full((kr, w1, n2), d0_lo_bc, dtype)
+
+            @pl.when(pin_d0hi)
+            def _():
+                dst[w0 - kr:, :, d2i] = jnp.full((kr, w1, n2), d0_hi_bc,
+                                                 dtype)
+
+            @pl.when(i1 == 0)
+            def _():
+                dst[:, 0:p1, d2i] = jnp.full((w0, p1, n2), d1_lo_bc, dtype)
+
+            @pl.when(i1 == nt1 - 1)
+            def _():
+                dst[:, w1 - p1:, d2i] = jnp.full((w0, p1, n2), d1_hi_bc,
+                                                 dtype)
+
+        def compute(sl, i):
+            # 2-buffer ping-pong: sweep t reads bufs[(t-1) % 2], writes
+            # bufs[t % 2]; even sweeps overwrite the (dead) DMA window in
+            # place — its unwritten rim is never read again, because sweep
+            # t+1 reads exactly the region sweep t wrote.
+            bufs = (scratch.at[sl], cbuf)
+            for t in range(1, k + 1):
+                need = (k - t) * r
+                a0, m0 = kr - need, s0 + 2 * need
+                a1, m1 = p1 - need, t1 + 2 * need
+                src = bufs[(t - 1) % 2]
+                y = taps_into(src[...], a0, m0, a1, m1)
+                if t < k:
+                    dst = bufs[t % 2]
+                    dst[pl.ds(a0, m0), pl.ds(a1, m1),
+                        pl.ds(d2_lo, n2)] = y
+                    pin(dst, i, need)
+                else:
+                    otile[(sl, slice(None), slice(None),
+                           pl.ds(d2_lo, n2))] = y
+
+        # one-time d2 ghost fills: the compute buffer and output tiles
+        # carry constant BC columns that compute never writes (the DMA
+        # window slots get theirs from HBM, where padded arrays maintain
+        # them end to end)
+        if k > 1:
+            fill_d2_ghosts(cbuf, (w0, w1))
+        fill_d2_ghosts(otile.at[0], (s0, t1))
+        fill_d2_ghosts(otile.at[1], (s0, t1))
+
+        in_copy(0, 0).start()
+
+        @pl.when(nt > 1)
+        def _():
+            in_copy(1, 1).start()
+
+        def body(i, _):
+            sl = lax.rem(i, 2)
+            in_copy(i, sl).wait()
+
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, sl).wait()
+
+            compute(sl, i)
+
+            @pl.when(i + 2 < nt)
+            def _():
+                in_copy(i + 2, sl).start()
+
+            out_copy(i, sl).start()
+            return 0
+
+        lax.fori_loop(0, nt, body, 0)
+        out_copy(nt - 1, lax.rem(nt - 1, 2)).wait()
+
+        @pl.when(nt > 1)
+        def _():
+            out_copy(nt - 2, lax.rem(nt - 2, 2)).wait()
+
+    win_shape = plan.window_shape
+    otile_shape = (s0, t1, P2)
+
+    @jax.jit
+    def sweep(cur, nxt, pins=None):
+        if pins is None:
+            pins = jnp.ones((2,), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((P0, P1, P2), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2,) + win_shape, dtype),
+                pltpu.VMEM(win_shape if k > 1 else (1, 1, 1), dtype),
+                pltpu.VMEM((2,) + otile_shape, dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(pins, cur, nxt)
+
+    return sweep
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tiled_sweep(plan: TiledPlan, bc: DirichletBC, interpret: bool):
+    return build_tiled_sweep(plan, bc, interpret)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tiled_runner(plan: TiledPlan, bc: DirichletBC, interpret: bool):
+    # cached for the same reason as ops.pallas._cached_runner: a fresh
+    # jax.jit closure per iterate() re-traces the pallas call every call
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+
+    @jax.jit
+    def run(cur, nxt, n_outer):
+        def body(_, carry):
+            c, n = carry
+            return (sweep(c, n), c)
+
+        return lax.fori_loop(0, n_outer, body, (cur, nxt))
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
+                          grid_halo: int):
+    """End-to-end jitted iterate (single dispatch per call) — see
+    ops.pallas._cached_iterate for why the pad/unpad must live inside."""
+    from stencil_tpu.core.grid import fill_halo
+
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+
+    @jax.jit
+    def run(data, n_outer):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        nxt = jnp.copy(cur)
+
+        def body(_, carry):
+            c, n = carry
+            return (sweep(c, n), c)
+
+        cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
+        out = jnp.pad(plan.layout.unpad(cur), h)
+        return fill_halo(out, h, bc)
+
+    return run
+
+
+class TiledPallasStencil:
+    """User-facing handle mirroring ``ops.pallas.PallasStencil`` for the
+    3D 2D-tiled kernel."""
+
+    def __init__(self, spec, interior_shape, dtype="float32",
+                 sweeps_per_call=1, tiles=None, interpret=False,
+                 vmem_budget=DEFAULT_VMEM_BUDGET):
+        self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
+                                    sweeps_per_call, tiles, vmem_budget)
+        self.spec = spec
+        self.interpret = interpret
+        self.vmem_budget = vmem_budget
+
+    def prepare(self, grid: HaloGrid):
+        padded = self.plan.layout.pad_grid(grid)
+        return padded, jnp.array(padded, copy=True)
+
+    def extract(self, padded, grid: HaloGrid) -> HaloGrid:
+        interior = self.plan.layout.unpad(padded)
+        return HaloGrid.from_interior(interior, halo=grid.halo, bc=grid.bc)
+
+    def _runner(self, bc: DirichletBC):
+        return _cached_tiled_runner(self.plan, bc, self.interpret)
+
+    def iterate(self, grid: HaloGrid, iterations: int) -> HaloGrid:
+        k = self.plan.sweeps_per_call
+        n_outer, rem = divmod(iterations, k)
+        data = grid.data
+        if n_outer:
+            run = _cached_tiled_iterate(self.plan, grid.bc, self.interpret,
+                                        grid.halo)
+            data = run(data, n_outer)
+        if rem:
+            rem_method = TiledPallasStencil(
+                self.spec, self.plan.interior_shape, self.plan.dtype,
+                sweeps_per_call=rem, interpret=self.interpret,
+                vmem_budget=self.vmem_budget,
+            )
+            run = _cached_tiled_iterate(rem_method.plan, grid.bc,
+                                        self.interpret, grid.halo)
+            data = run(data, 1)
+        return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)

@@ -51,6 +51,23 @@ from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.xla import apply_spec
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_iterate_fn(method: "ShardedStencil", mesh: Mesh,
+                        bc: DirichletBC, iterations: int):
+    pspec = method.partition_spec()
+
+    def device_fn(block):
+        def body(_, b):
+            return method._local_sweep(b, bc)
+
+        return lax.fori_loop(0, iterations, body, block)
+
+    mapped = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=(pspec,), out_specs=pspec
+    )
+    return jax.jit(mapped)
+
+
 def make_mesh(
     axis_sizes: Sequence[int],
     axis_names: Optional[Sequence[str]] = None,
@@ -206,19 +223,16 @@ class ShardedStencil:
     # ---- public API --------------------------------------------------------
 
     def iterate_fn(self, mesh: Mesh, bc: DirichletBC, iterations: int):
-        """Jitted global-array -> global-array iteration function."""
-        pspec = self.partition_spec()
+        """Jitted global-array -> global-array iteration function.
 
-        def device_fn(block):
-            def body(_, b):
-                return self._local_sweep(b, bc)
+        Cached per (self, mesh, bc, iterations): rebuilding the jit
+        closure per call would re-trace every time (see
+        ops.pallas._cached_runner).
+        """
+        return _sharded_iterate_fn(self, mesh, bc, iterations)
 
-            return lax.fori_loop(0, iterations, body, block)
-
-        mapped = jax.shard_map(
-            device_fn, mesh=mesh, in_specs=(pspec,), out_specs=pspec
-        )
-        return jax.jit(mapped)
+    def __hash__(self):
+        return hash((self.spec, self.axis_names, self.overlap))
 
     def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh) -> HaloGrid:
         interior = grid.interior()

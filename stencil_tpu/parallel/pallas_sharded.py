@@ -35,6 +35,7 @@ kernel with zero repacking.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -48,6 +49,23 @@ from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.pallas import (
     DEFAULT_VMEM_BUDGET, SlabPlan, _cached_sweep, make_plan,
 )
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_pallas_iterate_fn(method: "ShardedPallasStencil", mesh: Mesh,
+                               bc: DirichletBC, n_outer: int):
+    n = mesh.shape[method.axis_name]
+    plan = method.local_plan(n)
+    pspec = P(method.axis_name)
+    device_fn = method._device_fn(plan, bc, n_outer)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation, so shard_map's collective-safety check can't see
+    # through it
+    mapped = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=(pspec, pspec),
+        out_specs=(pspec, pspec), check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,19 +178,11 @@ class ShardedPallasStencil:
         dim 0 (each device block carries its own ghost/alignment rows — the
         natural distributed layout; use :meth:`scatter`/:meth:`gather` to
         convert to/from a plain interior array).
+
+        Cached per (self, mesh, bc, n_outer): rebuilding the jit closure
+        per call would re-trace every call (ops.pallas._cached_runner).
         """
-        n = mesh.shape[self.axis_name]
-        plan = self.local_plan(n)
-        pspec = P(self.axis_name)
-        device_fn = self._device_fn(plan, bc, n_outer)
-        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
-        # axes annotation, so shard_map's collective-safety check can't see
-        # through it
-        mapped = jax.shard_map(
-            device_fn, mesh=mesh, in_specs=(pspec, pspec),
-            out_specs=(pspec, pspec), check_vma=False,
-        )
-        return jax.jit(mapped)
+        return _sharded_pallas_iterate_fn(self, mesh, bc, n_outer)
 
     def scatter(self, grid: HaloGrid, mesh: Mesh) -> jax.Array:
         """Global interior -> sharded stacked-padded-blocks array."""

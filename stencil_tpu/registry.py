@@ -68,6 +68,11 @@ def make_xla(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
 def _make_pallas(config, spec, grid, k: int) -> Runner:
     from stencil_tpu.ops.pallas import PallasStencil
 
+    if spec.ndim == 3:
+        # 3D always uses the 2D-tiled kernel: full-minor-plane slabs can't
+        # hold a k*r-deep temporal window in VMEM for production grids,
+        # and tiling both minor-halo'd dims keeps windows small
+        return _make_pallas_tiled(config, spec, grid, k)
     method = PallasStencil(
         spec,
         grid.interior_shape,
@@ -85,6 +90,32 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         ),
         granularity=k,
     )
+
+
+def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    method = TiledPallasStencil(
+        spec,
+        grid.interior_shape,
+        dtype=str(grid.dtype),
+        sweeps_per_call=k,
+        interpret=not _on_tpu(),
+    )
+    return Runner(
+        name=(f"pallas_tiled(k={k},{method.plan.s0}x{method.plan.t1})"),
+        iterate=method.iterate,
+        description=(
+            "2D-tiled Pallas kernel (manual double-buffered DMA windows)"
+            + ("" if k == 1 else f", {k} sweeps per HBM round trip")
+        ),
+        granularity=k,
+    )
+
+
+def make_pallas_tiled(config, spec, grid) -> Runner:
+    k = config.temporal if config is not None and config.temporal > 1 else 1
+    return _make_pallas_tiled(config, spec, grid, k)
 
 
 def make_pallas(config, spec, grid) -> Runner:
@@ -172,6 +203,7 @@ REGISTRY: Dict[str, Callable] = {
     "xla": make_xla,
     "pallas": make_pallas,
     "pallas_temporal": make_pallas_temporal,
+    "pallas_tiled": make_pallas_tiled,
     "sharded": make_sharded,
     "sharded_noverlap": make_sharded_noverlap,
     "sharded_pallas": make_sharded_pallas,

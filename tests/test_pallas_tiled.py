@@ -1,0 +1,95 @@
+"""Differential tests for the 3D 2D-tiled temporal Pallas kernel
+(``ops.pallas_tiled``) in interpreter mode, vs the float64 golden model.
+
+Regression anchors:
+  - out_copy must target the aliased OUTPUT ref (writes to the input ref
+    vanish in interpret mode and alias-write the input on hardware);
+  - pin() must not clobber d2 ghost columns of the shared compute buffer
+    (poisons later tiles' ghost-recompute rows — caught only with
+    multiple tiles and k >= 3).
+"""
+
+import numpy as np
+import pytest
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.spec import get_spec, star
+from stencil_tpu.ops import golden
+from stencil_tpu.ops.pallas_tiled import (
+    TiledPallasStencil, choose_tiles, make_tiled_plan,
+)
+
+
+def _check(spec, shape, k, tiles, iters, dtype="float32", atol=5e-6):
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype=dtype)
+    m = TiledPallasStencil(spec, shape, dtype=dtype, sweeps_per_call=k,
+                           tiles=tiles, interpret=True)
+    out = m.iterate(grid, iters)
+    ref = golden.golden_iterate(
+        np.zeros(shape, dtype=np.float64), spec, iters, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=atol, rtol=atol
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_star_multi_tile(k):
+    _check(get_spec("jacobi7"), (16, 16, 20), k, (8, 8), iters=4)
+
+
+def test_star_deep_temporal_many_tiles():
+    # k=3 with 6 tiles: catches the cross-tile compute-buffer poisoning
+    _check(get_spec("jacobi7"), (24, 16, 20), 3, (8, 8), iters=6)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_box_multi_tile(k):
+    # box stencils read halo corners: catches later-dims-win violations
+    _check(get_spec("jacobi27"), (16, 16, 20), k, (8, 8), iters=4)
+
+
+def test_radius2(k=2):
+    _check(star(3, 2), (16, 16, 20), k, (8, 8), iters=4)
+
+
+def test_remainder_iterations():
+    _check(get_spec("jacobi7"), (12, 24, 20), 3, (4, 8), iters=7)
+
+
+def test_plan_validation():
+    spec = get_spec("jacobi7")
+    with pytest.raises(ValueError, match="3D-only"):
+        make_tiled_plan(get_spec("jacobi5"), (16, 16))
+    with pytest.raises(ValueError, match="must divide"):
+        make_tiled_plan(spec, (15, 16, 20), tiles=(8, 8))
+    with pytest.raises(ValueError, match="sublane"):
+        make_tiled_plan(spec, (16, 12, 20), tiles=(8, 4))
+
+
+def test_choose_tiles_respects_budget():
+    spec = get_spec("jacobi7")
+    tiles = choose_tiles(spec, (256, 256, 256), sweeps_per_call=8)
+    assert tiles is not None
+    s0, t1 = tiles
+    assert 256 % s0 == 0 and 256 % t1 == 0 and t1 % 8 == 0
+    from stencil_tpu.ops.pallas_tiled import _vmem_bytes, DEFAULT_VMEM_BUDGET
+    assert _vmem_bytes(spec, (256, 256, 256), "float32", 8, s0, t1) \
+        <= DEFAULT_VMEM_BUDGET
+
+
+def test_matches_slab_kernel():
+    """Cross-method consistency with the slab kernel."""
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    spec = get_spec("jacobi7")
+    shape = (16, 16, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    a = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True).iterate(grid, 6)
+    b = PallasStencil(spec, shape, sweeps_per_call=2,
+                      interpret=True).iterate(grid, 6)
+    np.testing.assert_allclose(
+        np.asarray(a.interior()), np.asarray(b.interior()),
+        atol=2e-6, rtol=2e-6,
+    )
