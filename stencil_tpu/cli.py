@@ -117,7 +117,21 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
                 results.append(rec)
                 continue
 
-        m = bench_method(config, spec, runner)
+        if config.profile_dir:
+            import contextlib
+
+            import jax
+
+            prof = jax.profiler.trace(config.profile_dir)
+        else:
+            import contextlib
+
+            prof = contextlib.nullcontext()
+        with prof:
+            m = bench_method(config, spec, runner)
+        if config.profile_dir:
+            print(f"[{name}] profiler trace -> {config.profile_dir}",
+                  file=out)
         rep = roofline.report(
             points, 1, m.seconds_per_iteration, config.dtype, hbm
         )

@@ -56,6 +56,7 @@ class RunConfig:
     dump_image: Optional[str] = None     # heat-map BMP path (to_bmp analog)
     json_out: Optional[str] = None
     verbose: bool = False
+    profile_dir: Optional[str] = None    # jax.profiler trace directory
 
     # platform override ('' = whatever JAX picks). Needed because platform
     # plugins (e.g. the axon TPU tunnel) take priority over the
@@ -121,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a blue-green-red heat-map BMP of the result")
     p.add_argument("--json-out", type=str, default=None,
                    help="write results as JSON lines to this path")
+    p.add_argument("--profile", type=str, default=None, dest="profile_dir",
+                   help="capture a jax.profiler trace of the timed runs "
+                        "into this directory (view with TensorBoard / "
+                        "xprof)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--platform", type=str, default="",
                    help="force a JAX platform (e.g. 'cpu' to run the "
@@ -152,5 +157,6 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         dump_image=ns.dump_image,
         json_out=ns.json_out,
         verbose=ns.verbose,
+        profile_dir=ns.profile_dir,
         platform=ns.platform,
     )

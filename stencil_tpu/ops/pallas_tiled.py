@@ -54,6 +54,15 @@ class TiledPlan:
     s0: int            # d0 tile size (planes)
     t1: int            # d1 tile size (rows)
     layout: PaddedLayout
+    # raise Mosaic's scoped-VMEM limit (default 16MB) for large windows;
+    # None keeps the compiler default
+    vmem_limit: Optional[int] = None
+    # tap evaluation strategy: 'slice' = shifted lax.slice per tap;
+    # 'roll' = pltpu.roll full-window rotates for minor-dim taps (lane /
+    # sublane rotates instead of general shifted-window relayouts — the
+    # wrapped edge values never reach used output cells because reads stay
+    # >= 1 element inside the window)
+    tap_mode: str = "slice"
 
     @property
     def halo(self) -> int:
@@ -113,7 +122,8 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 
 def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
-                    vmem_budget=DEFAULT_VMEM_BUDGET) -> TiledPlan:
+                    vmem_budget=DEFAULT_VMEM_BUDGET,
+                    vmem_limit=None, tap_mode="slice") -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if tiles is None:
@@ -138,7 +148,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                                    sweeps_per_call * spec.radius, sublane)
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
-                     s0=s0, t1=t1, layout=layout)
+                     s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
+                     tap_mode=tap_mode)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -195,9 +206,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 osem.at[sl],
             )
 
-        def taps_into(src_val, a0, m0, a1, m1):
-            """Stencil over window-local region d0 [a0, a0+m0),
-            d1 [a1, a1+m1), d2 interior."""
+        def taps_slice(src_val, a0, m0, a1, m1):
             uw = spec.uniform_weight
             acc = None
             for off, wgt in zip(spec.offsets, spec.weights):
@@ -209,6 +218,33 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             if uw is not None:
                 acc = acc * jnp.asarray(uw, dtype)
             return acc
+
+        def taps_roll(src_val, a0, m0, a1, m1):
+            """Same result via full-window rotates for the minor dims.
+
+            ``pltpu.roll(x, s, axis)`` wraps, but every used output cell
+            reads >= |off| elements inside the window, so wrapped values
+            never reach it. d0 taps stay slices (untiled dim — free)."""
+            uw = spec.uniform_weight
+            acc = None
+            for off, wgt in zip(spec.offsets, spec.weights):
+                tap = src_val
+                if off[1]:
+                    # pltpu.roll wants non-negative shifts; -off mod size
+                    tap = pltpu.roll(tap, (-off[1]) % w1, 1)
+                if off[2]:
+                    tap = pltpu.roll(tap, (-off[2]) % P2, 2)
+                tap = lax.slice(
+                    tap, (a0 + off[0], a1, d2_lo),
+                    (a0 + off[0] + m0, a1 + m1, d2_lo + n2),
+                )
+                term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
+                acc = term if acc is None else acc + term
+            if uw is not None:
+                acc = acc * jnp.asarray(uw, dtype)
+            return acc
+
+        taps_into = taps_roll if plan.tap_mode == "roll" else taps_slice
 
         def pin(dst, i, need):
             """Re-pin physical ghosts of the compute buffer after an
@@ -330,7 +366,10 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             ],
             input_output_aliases={2: 0},
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=plan.vmem_limit,
+            ),
         )(pins, cur, nxt)
 
     return sweep
@@ -391,9 +430,11 @@ class TiledPallasStencil:
 
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
-                 vmem_budget=DEFAULT_VMEM_BUDGET):
+                 vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
+                 tap_mode="slice"):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
-                                    sweeps_per_call, tiles, vmem_budget)
+                                    sweeps_per_call, tiles, vmem_budget,
+                                    vmem_limit, tap_mode)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -422,6 +463,7 @@ class TiledPallasStencil:
                 self.spec, self.plan.interior_shape, self.plan.dtype,
                 sweeps_per_call=rem, interpret=self.interpret,
                 vmem_budget=self.vmem_budget,
+                vmem_limit=self.plan.vmem_limit,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

@@ -29,14 +29,27 @@ def ideal_bytes_per_point(dtype: str = "float32") -> int:
 _measured_bw_cache: dict = {}
 
 
-def prepare_hbm_measurement(nbytes: int = 256 * 1024 * 1024,
-                            loops: int = 400):
+def _platform_defaults(nbytes, loops):
+    """Scale the measurement to the platform: the TPU protocol (256MB x
+    400 loops, sized so the timed difference is ~1s at ~700 GB/s) takes
+    minutes at CPU memory bandwidth."""
+    import jax
+
+    if nbytes is None or loops is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        nbytes = nbytes or (256 * 1024 * 1024 if on_tpu else 32 * 1024 * 1024)
+        loops = loops or (400 if on_tpu else 8)
+    return nbytes, loops
+
+
+def prepare_hbm_measurement(nbytes: int = None, loops: int = None):
     """Compile/dispatch the bandwidth kernel now (no device->host fetch);
     returns a thunk that performs the timed measurement. Lets callers
     overlap compilation with the one-time fetch warmup
     (``utils.timing.warmup_fetch_async``)."""
     import jax
 
+    nbytes, loops = _platform_defaults(nbytes, loops)
     n = nbytes // 4
     side = int(np.sqrt(n))
     compiled = _hbm_run_fn()
@@ -73,13 +86,13 @@ def _hbm_run_fn():
     return _hbm_run_cached
 
 
-def measure_hbm_bandwidth(nbytes: int = 256 * 1024 * 1024,
-                          loops: int = 400) -> float:
+def measure_hbm_bandwidth(nbytes: int = None, loops: int = None) -> float:
     """Measured aggregate HBM bandwidth (GB/s) of a fused read+write stream
     (``x*a+b`` loop under one jit, marginal over two loop counts).
 
     Requires the process's one-time fetch warmup to have been paid (see
     ``utils.timing.force``) for honest numbers."""
+    nbytes, loops = _platform_defaults(nbytes, loops)
     key = (nbytes, loops)
     if key in _measured_bw_cache:
         return _measured_bw_cache[key]
