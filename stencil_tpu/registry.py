@@ -199,6 +199,39 @@ def make_sharded_pallas(config, spec, grid) -> Runner:
     )
 
 
+def make_rma(config, spec, grid) -> Runner:
+    """In-kernel RMA: VMEM-resident blocks, remote-DMA halo pushes over
+    ICI, double-buffered semaphores, no global barrier — the literal
+    analog of the reference's RMA kernel (stencil_rma.cpp). Per-device
+    block must fit VMEM."""
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.rma import RmaStencil
+
+    if config is not None and config.mesh:
+        n = 1
+        for s in config.mesh:
+            n *= s
+    else:
+        n = len(jax.devices())
+    mesh = make_mesh((n,), ("x",))
+    method = RmaStencil(
+        spec,
+        grid.interior_shape,
+        axis_name="x",
+        dtype=str(grid.dtype),
+        interpret=not _on_tpu(),
+    )
+    method.local_plan(n)  # validate divisibility + VMEM residency eagerly
+    return Runner(
+        name=f"rma(n={n})",
+        iterate=lambda g, it: method.iterate(g, it, mesh),
+        description=(
+            "VMEM-resident blocks with remote-DMA halo push over ICI "
+            "(no per-iteration barrier)"
+        ),
+    )
+
+
 REGISTRY: Dict[str, Callable] = {
     "xla": make_xla,
     "pallas": make_pallas,
@@ -207,6 +240,7 @@ REGISTRY: Dict[str, Callable] = {
     "sharded": make_sharded,
     "sharded_noverlap": make_sharded_noverlap,
     "sharded_pallas": make_sharded_pallas,
+    "rma": make_rma,
 }
 
 
