@@ -21,19 +21,17 @@ from typing import Optional
 import numpy as np
 
 _HERE = Path(__file__).parent
-_SRC = _HERE / "golden.cpp"
-_LIB_NAME = "libstencil_golden.so"
 
-_lib = None
-_load_attempted = False
+_libs: dict = {}
+_attempted: set = set()
 
 
-def _build(target: Path) -> bool:
+def _build(src: Path, target: Path) -> bool:
     for cxx in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
                 [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-o", str(target), str(_SRC), "-pthread"],
+                 "-o", str(target), str(src), "-pthread"],
                 check=True, capture_output=True, timeout=120,
             )
             return True
@@ -43,43 +41,72 @@ def _build(target: Path) -> bool:
     return False
 
 
-def load() -> Optional[ctypes.CDLL]:
-    """Build (if needed) and load the native library; None on failure."""
-    global _lib, _load_attempted
-    if _lib is not None or _load_attempted:
-        return _lib
-    _load_attempted = True
-    candidates = [_HERE / _LIB_NAME,
-                  Path(tempfile.gettempdir()) / _LIB_NAME]
+def _load_lib(stem: str, configure) -> Optional[ctypes.CDLL]:
+    """Build (if stale/missing) and load ``<stem>.cpp`` as a shared lib,
+    run ``configure(lib)`` to declare its ABI; None on any failure."""
+    if stem in _libs:
+        return _libs[stem]
+    if stem in _attempted:
+        return None
+    _attempted.add(stem)
+    src = _HERE / f"{stem}.cpp"
+    lib_name = f"libstencil_{stem}.so"
+    candidates = [_HERE / lib_name, Path(tempfile.gettempdir()) / lib_name]
     for target in candidates:
-        if not target.exists() or target.stat().st_mtime < _SRC.stat().st_mtime:
+        if not target.exists() or target.stat().st_mtime < src.stat().st_mtime:
             try:
-                if not _build(target):
+                if not _build(src, target):
                     continue
             except OSError:
                 continue
         try:
             lib = ctypes.CDLL(str(target))
-        except OSError:
+            configure(lib)
+        except (OSError, AttributeError):
             continue
-        fn = lib.stencil_golden_iterate
-        fn.restype = ctypes.c_int
-        fn.argtypes = [
-            ctypes.POINTER(ctypes.c_double),  # input
-            ctypes.POINTER(ctypes.c_double),  # output
-            ctypes.POINTER(ctypes.c_int64),   # shape
-            ctypes.c_int,                     # ndim
-            ctypes.POINTER(ctypes.c_int64),   # offsets
-            ctypes.POINTER(ctypes.c_double),  # weights
-            ctypes.c_int,                     # num_taps
-            ctypes.c_int,                     # radius
-            ctypes.POINTER(ctypes.c_double),  # bc
-            ctypes.c_int64,                   # iterations
-            ctypes.c_int,                     # num_threads
-        ]
-        _lib = lib
-        return _lib
+        _libs[stem] = lib
+        return lib
     return None
+
+
+def _configure_golden(lib):
+    fn = lib.stencil_golden_iterate
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # input
+        ctypes.POINTER(ctypes.c_double),  # output
+        ctypes.POINTER(ctypes.c_int64),   # shape
+        ctypes.c_int,                     # ndim
+        ctypes.POINTER(ctypes.c_int64),   # offsets
+        ctypes.POINTER(ctypes.c_double),  # weights
+        ctypes.c_int,                     # num_taps
+        ctypes.c_int,                     # radius
+        ctypes.POINTER(ctypes.c_double),  # bc
+        ctypes.c_int64,                   # iterations
+        ctypes.c_int,                     # num_threads
+    ]
+
+
+def _configure_bmp(lib):
+    w = lib.stencil_bmp_write
+    w.restype = ctypes.c_int
+    w.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                  ctypes.c_int64, ctypes.c_int64]
+    c = lib.stencil_colorize
+    c.restype = None
+    c.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                  ctypes.c_double, ctypes.c_double,
+                  ctypes.POINTER(ctypes.c_uint8)]
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native golden-model library; None on failure."""
+    return _load_lib("golden", _configure_golden)
+
+
+def load_bmp() -> Optional[ctypes.CDLL]:
+    """The native BMP writer/colorizer library; None on failure."""
+    return _load_lib("bmp", _configure_bmp)
 
 
 def available() -> bool:

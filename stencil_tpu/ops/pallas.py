@@ -60,10 +60,11 @@ from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.layout import PaddedLayout, round_up
 
-# Budget for explicit VMEM buffers (bytes); real VMEM is ~16MB — leave
-# headroom for Mosaic temporaries (measured: tap temporaries add roughly one
-# window worth of stack).
-DEFAULT_VMEM_BUDGET = 10 * 1024 * 1024
+# Budget for explicit VMEM buffers (bytes). Mosaic's default scoped limit
+# is 16MB but the kernel raises it to 32MB (vmem_limit_bytes), which v5e
+# handles — measured 2D 4096^2 k=8: slab 256 (~22MB explicit buffers) runs
+# at 137.5 GLUPS vs 124 for the 10MB-budget slab 88.
+DEFAULT_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -396,7 +397,13 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             ],
             input_output_aliases={2: 0},
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # Mosaic's tap/stack temporaries for wide 2D rows can
+                # exceed the 16MB default scoped limit even when the
+                # explicit buffers respect the budget; headroom is cheap
+                vmem_limit_bytes=32 * 1024 * 1024,
+            ),
         )(pins, cur, nxt)
 
     return sweep

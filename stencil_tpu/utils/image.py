@@ -63,12 +63,61 @@ def write_bmp(path: str | Path, rgb: np.ndarray) -> None:
     Path(path).write_bytes(header + body)
 
 
+def colorize_native(values: np.ndarray, vmin: float = 0.0,
+                    vmax: float = 1.0) -> np.ndarray | None:
+    """Native (C++) colorizer; None if the library is unavailable.
+    Byte-identical to :func:`colorize` (cross-checked in tests)."""
+    import ctypes
+
+    from stencil_tpu import native
+
+    lib = native.load_bmp()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    out = np.empty(v.shape + (3,), dtype=np.uint8)
+    lib.stencil_colorize(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), v.size,
+        float(vmin), float(vmax),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def write_bmp_native(path: str | Path, rgb: np.ndarray) -> bool:
+    """Native (C++) BMP serializer; False if unavailable. Same wire format
+    as :func:`write_bmp` (cross-checked in tests)."""
+    import ctypes
+
+    from stencil_tpu import native
+
+    lib = native.load_bmp()
+    if lib is None:
+        return False
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    rc = lib.stencil_bmp_write(
+        str(path).encode(),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+    )
+    if rc != 0:
+        raise OSError(f"native BMP write failed with code {rc}")
+    return True
+
+
 def dump_heatmap(path: str | Path, values: np.ndarray,
                  vmin: float = 0.0, vmax: float = 1.0) -> None:
-    """Colorize a 2D field (or the middle slice of a 3D field) and write BMP."""
+    """Colorize a 2D field (or the middle slice of a 3D field) and write a
+    BMP. Uses the native C++ writer when available (reference parity:
+    its writer is native, ``bmp_image.cpp``), the Python one otherwise."""
     values = np.asarray(values)
     if values.ndim == 3:
         values = values[values.shape[0] // 2]
     if values.ndim != 2:
         raise ValueError(f"expected 2D or 3D field, got shape {values.shape}")
-    write_bmp(path, colorize(values, vmin, vmax))
+    rgb = colorize_native(values, vmin, vmax)
+    if rgb is None:
+        write_bmp(path, colorize(values, vmin, vmax))
+        return
+    if not write_bmp_native(path, rgb):
+        write_bmp(path, rgb)

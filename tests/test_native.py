@@ -53,3 +53,39 @@ def test_native_zero_iterations(rng):
     x0 = rng.random((8, 8))
     b = golden_iterate_native(x0, sp, 0)
     np.testing.assert_array_equal(b, x0)
+
+
+def test_native_bmp_matches_python(tmp_path):
+    """Native colorizer + BMP writer must be byte-identical to the Python
+    implementations (same check the golden models get)."""
+    import numpy as np
+    import pytest
+
+    from stencil_tpu import native
+    from stencil_tpu.utils import image
+
+    if native.load_bmp() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-0.2, 1.2, size=(33, 47))  # odd sizes -> row padding
+    rgb_py = image.colorize(vals)
+    rgb_c = image.colorize_native(vals)
+    np.testing.assert_array_equal(rgb_py, rgb_c)
+
+    p_py = tmp_path / "py.bmp"
+    p_c = tmp_path / "c.bmp"
+    image.write_bmp(p_py, rgb_py)
+    assert image.write_bmp_native(p_c, rgb_c)
+    assert p_py.read_bytes() == p_c.read_bytes()
+
+
+def test_dump_heatmap_roundtrip(tmp_path):
+    import numpy as np
+
+    from stencil_tpu.utils import image
+
+    p = tmp_path / "h.bmp"
+    image.dump_heatmap(p, np.linspace(0, 1, 64 * 32).reshape(64, 32))
+    data = p.read_bytes()
+    assert data[:2] == b"BM"
+    assert len(data) == 14 + 40 + 64 * 32 * 3  # 32*3 divisible by 4
