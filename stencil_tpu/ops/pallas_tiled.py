@@ -44,10 +44,10 @@ from stencil_tpu.ops.layout import PaddedLayout, round_up, sublane_for_dtype
 
 # v5e handles explicit-buffer footprints well past Mosaic's 16MB default
 # scoped limit (the kernel raises vmem_limit_bytes accordingly); measured
-# 256^3 fp32 k=8: tiles 32x64 (~30MB buffers) -> 61.6 GLUPS vs 16x32
-# (10MB) -> 49-58 GLUPS.
-DEFAULT_VMEM_BUDGET = 30 * 1024 * 1024
-DEFAULT_VMEM_LIMIT = 40 * 1024 * 1024
+# 256^3 fp32 k=8 synth taps: tiles 64x64 (~35MB buffers) -> 106.3 GLUPS
+# vs 32x64 slice taps -> 61.3 GLUPS vs pure XLA -> 11.5 GLUPS.
+DEFAULT_VMEM_BUDGET = 36 * 1024 * 1024
+DEFAULT_VMEM_LIMIT = 48 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,8 +66,10 @@ class TiledPlan:
     # 'roll' = pltpu.roll full-window rotates for minor-dim taps (lane /
     # sublane rotates instead of general shifted-window relayouts — the
     # wrapped edge values never reach used output cells because reads stay
-    # >= 1 element inside the window)
-    tap_mode: str = "slice"
+    # >= 1 element inside the window); 'synth' = no d2 ghost columns in
+    # HBM at all, boundary lanes synthesized in-register (fastest:
+    # measured 106 vs 61 GLUPS at 256^3 k=8 on v5e)
+    tap_mode: str = "synth"
 
     @property
     def halo(self) -> int:
@@ -84,13 +86,14 @@ class TiledPlan:
                 self.layout.padded_shape[2])
 
 
-def _vmem_bytes(spec, shape, dtype, k, s0, t1) -> int:
+def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
     import numpy as np
 
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
-    P2 = round_up(shape[2] + 2 * kr, 128)
+    P2 = (round_up(shape[2], 128) if tap_mode == "synth"
+          else round_up(shape[2] + 2 * kr, 128))
     w0, w1 = s0 + 2 * kr, t1 + 2 * p1
     itemsize = np.dtype(dtype).itemsize
     win = w0 * w1 * P2
@@ -102,7 +105,8 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1) -> int:
 
 
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
-                 vmem_budget=DEFAULT_VMEM_BUDGET) -> Optional[Tuple[int, int]]:
+                 vmem_budget=DEFAULT_VMEM_BUDGET,
+                 tap_mode="synth") -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) maximizing tile volume within budget; t1 % sublane == 0
     and both must divide the grid dims."""
     sublane = sublane_for_dtype(dtype)
@@ -115,7 +119,7 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     for s0 in s0_c:
         for t1 in t1_c:
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                           s0, t1) <= vmem_budget:
+                           s0, t1, tap_mode) <= vmem_budget:
                 # prefer larger tiles (less halo overhead), break ties
                 # toward wider t1 (longer contiguous DMA segments)
                 vol = s0 * t1
@@ -128,12 +132,12 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
                     vmem_budget=DEFAULT_VMEM_BUDGET,
-                    vmem_limit=None, tap_mode="slice") -> TiledPlan:
+                    vmem_limit=None, tap_mode="synth") -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
-                             vmem_budget)
+                             vmem_budget, tap_mode)
         if tiles is None:
             sublane = sublane_for_dtype(dtype)
             raise ValueError(
@@ -151,6 +155,15 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         raise ValueError(f"t1 must be a multiple of the sublane size {sublane}")
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
+    if tap_mode == "synth":
+        # no d2 ghost columns in HBM at all: lane width is exactly
+        # round_up(n2, 128); boundary columns are synthesized in-register
+        n2 = interior_shape[2]
+        layout = PaddedLayout(
+            interior_shape=layout.interior_shape,
+            pads=layout.pads[:2] + ((0, round_up(n2, 128) - n2),),
+            halo=layout.halo,
+        )
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
@@ -183,10 +196,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         bc.values
 
     def fill_d2_ghosts(ref, shape01):
-        ref[:, :, 0:d2_lo] = jnp.full(shape01 + (d2_lo,), d2_lo_bc, dtype)
-        ref[:, :, d2_lo + n2:] = jnp.full(
-            shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
-        )
+        # zero-width guards: synth mode has no lo ghosts (and possibly no
+        # slack at all when n2 is a multiple of 128)
+        if d2_lo:
+            ref[:, :, 0:d2_lo] = jnp.full(shape01 + (d2_lo,), d2_lo_bc,
+                                          dtype)
+        if P2 - d2_lo - n2:
+            ref[:, :, d2_lo + n2:] = jnp.full(
+                shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
+            )
 
     def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
                isem, osem):
@@ -249,7 +267,49 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 acc = acc * jnp.asarray(uw, dtype)
             return acc
 
-        taps_into = taps_roll if plan.tap_mode == "roll" else taps_slice
+        def taps_synth(src_val, a0, m0, a1, m1):
+            """d2 taps with in-register boundary synthesis: the HBM layout
+            carries NO d2 ghost columns (lane dim = exactly round_up(n2,
+            128)), so shifted d2 taps slice inside [0, n2) and pad the
+            missing boundary column(s) with the Dirichlet face constant —
+            the reference's generate_boundary idea applied to the lane
+            dim. Saves the 384/256-style lane-pad overfetch on reads AND
+            writes at n2=256."""
+            uw = spec.uniform_weight
+            acc = None
+            lanes = None
+            for off, wgt in zip(spec.offsets, spec.weights):
+                o2 = off[2]
+                st = (a0 + off[0], a1 + off[1], 0)
+                li = (st[0] + m0, st[1] + m1, P2)
+                tap = lax.slice(src_val, st, li)
+                if o2:
+                    # lane-rotate then overwrite the wrapped boundary
+                    # lane(s) with the face constant. All shapes stay
+                    # full-lane-width — lane-concat of odd-sublane pieces
+                    # crashes the Mosaic compiler at temporal depths > 1.
+                    tap = pltpu.roll(tap, (-o2) % P2, 2)
+                    if lanes is None:
+                        lanes = lax.broadcasted_iota(
+                            jnp.int32, (m0, m1, P2), 2
+                        )
+                    if o2 > 0:
+                        tap = jnp.where(
+                            lanes >= n2 - o2,
+                            jnp.asarray(d2_hi_bc, dtype), tap,
+                        )
+                    else:
+                        tap = jnp.where(
+                            lanes < -o2, jnp.asarray(d2_lo_bc, dtype), tap
+                        )
+                term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
+                acc = term if acc is None else acc + term
+            if uw is not None:
+                acc = acc * jnp.asarray(uw, dtype)
+            return lax.slice(acc, (0, 0, 0), (m0, m1, n2))
+
+        taps_into = {"slice": taps_slice, "roll": taps_roll,
+                     "synth": taps_synth}[plan.tap_mode]
 
         def pin(dst, i, need):
             """Re-pin physical ghosts of the compute buffer after an
@@ -436,7 +496,7 @@ class TiledPallasStencil:
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
-                 tap_mode="slice"):
+                 tap_mode="synth"):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode)
@@ -469,6 +529,7 @@ class TiledPallasStencil:
                 sweeps_per_call=rem, interpret=self.interpret,
                 vmem_budget=self.vmem_budget,
                 vmem_limit=self.plan.vmem_limit,
+                tap_mode=self.plan.tap_mode,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

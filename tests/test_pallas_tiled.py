@@ -93,3 +93,47 @@ def test_matches_slab_kernel():
         np.asarray(a.interior()), np.asarray(b.interior()),
         atol=2e-6, rtol=2e-6,
     )
+
+
+@pytest.mark.parametrize("mode", ["roll", "synth"])
+def test_tap_modes_match_golden(mode):
+    """Alternative tap evaluation strategies are numerically identical to
+    the default shifted-slice taps."""
+    _check(get_spec("jacobi7"), (16, 16, 20), 3, (8, 8), iters=6)
+    grid = HaloGrid.create((16, 16, 20), halo=1, dtype="float32")
+    m = TiledPallasStencil(get_spec("jacobi7"), (16, 16, 20),
+                           sweeps_per_call=3, tiles=(8, 8), interpret=True,
+                           tap_mode=mode)
+    out = m.iterate(grid, 6)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 20), np.float64), get_spec("jacobi7"), 6,
+        bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_synth_box_corners():
+    # box stencil diagonal taps exercise the synthesized boundary columns
+    grid = HaloGrid.create((16, 16, 20), halo=1, dtype="float32")
+    m = TiledPallasStencil(get_spec("jacobi27"), (16, 16, 20),
+                           sweeps_per_call=2, tiles=(8, 8), interpret=True,
+                           tap_mode="synth")
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 20), np.float64), get_spec("jacobi27"), 4,
+        bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_synth_layout_has_no_d2_ghosts():
+    from stencil_tpu.ops.pallas_tiled import make_tiled_plan
+
+    plan = make_tiled_plan(get_spec("jacobi7"), (16, 16, 128), tiles=(8, 8),
+                           tap_mode="synth")
+    assert plan.layout.pads[2] == (0, 0)
+    assert plan.layout.padded_shape[2] == 128
