@@ -113,9 +113,12 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     n0, n1, _ = interior_shape
     best = None
     best_vol = 0
-    s0_c = [s for s in (4, 8, 16, 32, 64, 128, 256) if n0 % s == 0]
-    t1_c = [t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
-            if t % sublane == 0 and n1 % t == 0]
+    s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
+                   if s <= n0 and n0 % s == 0})
+    # t1 must be a sublane multiple for aligned DMA window offsets — OR
+    # the full dim (whole-dim windows are always legal)
+    t1_c = sorted({t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
+                   if t % sublane == 0 and n1 % t == 0} | {n1})
     for s0 in s0_c:
         for t1 in t1_c:
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
@@ -151,8 +154,11 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     n0, n1, _ = interior_shape
     if n0 % s0 or n1 % t1:
         raise ValueError(f"tiles {tiles} must divide grid dims {interior_shape[:2]}")
-    if t1 % sublane:
-        raise ValueError(f"t1 must be a multiple of the sublane size {sublane}")
+    if t1 % sublane and t1 != n1:
+        raise ValueError(
+            f"t1 must be a multiple of the sublane size {sublane} "
+            f"(or the full dim {n1})"
+        )
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
     if tap_mode == "synth":

@@ -46,8 +46,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec
-from stencil_tpu.ops.pallas import (
-    DEFAULT_VMEM_BUDGET, SlabPlan, _cached_sweep, make_plan,
+from stencil_tpu.ops.pallas import SlabPlan, _cached_sweep, make_plan
+from stencil_tpu.ops.pallas_tiled import (
+    TiledPlan, _cached_tiled_sweep, make_tiled_plan,
 )
 
 
@@ -84,25 +85,39 @@ class ShardedPallasStencil:
     sweeps_per_call: int = 1
     slab: Optional[int] = None
     interpret: bool = False
-    vmem_budget: int = DEFAULT_VMEM_BUDGET
+    vmem_budget: Optional[int] = None  # None = per-kernel default
 
-    def local_plan(self, n_devices: int) -> SlabPlan:
+    def local_plan(self, n_devices: int):
+        """Per-device kernel plan: the 2D-tiled kernel for 3D grids (full
+        minor planes with deep temporal halos do not fit VMEM at
+        production sizes), the slab kernel for 2D."""
         lead = self.interior_shape[0]
         if lead % n_devices:
             raise ValueError(
                 f"leading dim {lead} not divisible by mesh size {n_devices}"
             )
         local_shape = (lead // n_devices,) + tuple(self.interior_shape[1:])
+        if len(self.interior_shape) == 3:
+            kwargs = ({"vmem_budget": self.vmem_budget}
+                      if self.vmem_budget else {})
+            return make_tiled_plan(
+                self.spec, local_shape, self.dtype, self.sweeps_per_call,
+                **kwargs,
+            )
+        kwargs = {"vmem_budget": self.vmem_budget} if self.vmem_budget else {}
         return make_plan(
             self.spec, local_shape, self.dtype, self.sweeps_per_call,
-            self.slab, self.vmem_budget,
+            self.slab, **kwargs,
         )
 
     # -- the per-device outer step (runs inside shard_map) -------------------
 
-    def _device_fn(self, plan: SlabPlan, bc: DirichletBC, n_outer):
+    def _device_fn(self, plan, bc: DirichletBC, n_outer):
         """Builds block -> block over the device-local PADDED array."""
-        sweep = _cached_sweep(plan, bc, self.interpret)
+        if isinstance(plan, TiledPlan):
+            sweep = _cached_tiled_sweep(plan, bc, self.interpret)
+        else:
+            sweep = _cached_sweep(plan, bc, self.interpret)
         kr = plan.halo                      # ghost depth = k * radius
         lead_lo = plan.layout.pads[0][0]    # may exceed kr (2D alignment)
         n0 = plan.interior_shape[0]
