@@ -135,9 +135,16 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
                     vmem_budget=DEFAULT_VMEM_BUDGET,
-                    vmem_limit=None, tap_mode="synth") -> TiledPlan:
+                    vmem_limit=None, tap_mode=None) -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
+    if tap_mode is None:
+        # synth is fastest but its boundary synthesis uses pltpu.roll,
+        # which crashes the Mosaic compiler for sub-32-bit dtypes
+        # (bisected on v5e); narrow dtypes default to slice taps
+        import numpy as np
+
+        tap_mode = "synth" if np.dtype(dtype).itemsize == 4 else "slice"
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
                              vmem_budget, tap_mode)
@@ -217,9 +224,11 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         def tile_rc(i):
             return i // nt1, i % nt1
 
+        sublane = sublane_for_dtype(dtype)
+
         def in_copy(i, sl):
             i0, i1 = tile_rc(i)
-            c1 = pl.multiple_of(i1 * t1, 8)
+            c1 = pl.multiple_of(i1 * t1, sublane)
             return pltpu.make_async_copy(
                 cur_hbm.at[pl.ds(i0 * s0, w0), pl.ds(c1, w1)],
                 scratch.at[sl],
@@ -228,7 +237,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
 
         def out_copy(i, sl):
             i0, i1 = tile_rc(i)
-            c1 = pl.multiple_of(p1 + i1 * t1, 8)
+            c1 = pl.multiple_of(p1 + i1 * t1, sublane)
             return pltpu.make_async_copy(
                 otile.at[sl],
                 out_hbm.at[pl.ds(kr + i0 * s0, s0), pl.ds(c1, t1)],
@@ -502,7 +511,7 @@ class TiledPallasStencil:
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
-                 tap_mode="synth"):
+                 tap_mode=None):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode)
