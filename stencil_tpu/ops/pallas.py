@@ -79,6 +79,11 @@ class SlabPlan:
     sweeps_per_call: int  # temporal blocking depth k
     slab: int             # leading-dim tile size
     layout: PaddedLayout
+    # 'synth' (2D fp32 default): no lane-dim ghost columns in HBM;
+    # boundary lanes synthesized in-register via roll+where (pltpu.roll
+    # crashes the Mosaic compiler on sub-32-bit dtypes, so those use
+    # 'slice' — shifted slices over a ghost-padded layout)
+    tap_mode: str = "slice"
 
     @property
     def num_slab_pairs(self) -> int:
@@ -180,6 +185,18 @@ def make_plan(
     layout = PaddedLayout.for_halo(
         tuple(interior_shape), sweeps_per_call * spec.radius, sublane
     )
+    import numpy as np
+
+    tap_mode = "slice"
+    if len(interior_shape) == 2 and np.dtype(dtype).itemsize == 4:
+        # drop the lane ghosts: synthesize boundary lanes in-register
+        n1 = interior_shape[1]
+        layout = PaddedLayout(
+            interior_shape=layout.interior_shape,
+            pads=(layout.pads[0], (0, round_up(n1, 128) - n1)),
+            halo=layout.halo,
+        )
+        tap_mode = "synth"
     return SlabPlan(
         spec=spec,
         interior_shape=tuple(interior_shape),
@@ -187,6 +204,7 @@ def make_plan(
         sweeps_per_call=sweeps_per_call,
         slab=slab,
         layout=layout,
+        tap_mode=tap_mode,
     )
 
 
@@ -246,6 +264,37 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             acc = acc * jnp.asarray(uw, dtype)
         return acc
 
+    # 2D-only: boundary-lane synthesis (see ops.pallas_tiled.taps_synth)
+    n1_2d = minor_interior[0] if ndim == 2 else 0
+    P1_2d = minor_padded[0] if ndim == 2 else 0
+    lane_lo_bc, lane_hi_bc = bc.values[-1]
+
+    def taps_synth(src_val, lead_a: int, n0: int) -> jax.Array:
+        uw = spec.uniform_weight
+        acc = None
+        lanes = None
+        for off, w in zip(spec.offsets, spec.weights):
+            o1 = off[1]
+            tap = lax.slice(
+                src_val, (lead_a + off[0], 0),
+                (lead_a + off[0] + n0, P1_2d),
+            )
+            if o1:
+                tap = pltpu.roll(tap, (-o1) % P1_2d, 1)
+                if lanes is None:
+                    lanes = lax.broadcasted_iota(jnp.int32, (n0, P1_2d), 1)
+                if o1 > 0:
+                    tap = jnp.where(lanes >= n1_2d - o1,
+                                    jnp.asarray(lane_hi_bc, dtype), tap)
+                else:
+                    tap = jnp.where(lanes < -o1,
+                                    jnp.asarray(lane_lo_bc, dtype), tap)
+            term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+            acc = term if acc is None else acc + term
+        if uw is not None:
+            acc = acc * jnp.asarray(uw, dtype)
+        return lax.slice(acc, (0, 0), (n0, n1_2d))
+
     def minor_interior_idx(lead_slice):
         return (lead_slice,) + tuple(
             slice(minor_lo[d - 1], minor_lo[d - 1] + minor_interior[d - 1])
@@ -269,8 +318,10 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             )
             shape_lo = (n_lead,) + padded_shape[1:d] + (lo_w,) + padded_shape[d + 1:]
             shape_hi = (n_lead,) + padded_shape[1:d] + (hi_w,) + padded_shape[d + 1:]
-            ref[idx_lo] = jnp.full(shape_lo, lo_v, dtype)
-            ref[idx_hi] = jnp.full(shape_hi, hi_v, dtype)
+            if lo_w:
+                ref[idx_lo] = jnp.full(shape_lo, lo_v, dtype)
+            if hi_w:
+                ref[idx_hi] = jnp.full(shape_hi, hi_v, dtype)
 
     def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
                isem, osem):
@@ -303,6 +354,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
 
         def compute(sl, slab_i):
             """k virtual sweeps on slot ``sl``; result lands in otile[sl]."""
+            taps = taps_synth if plan.tap_mode == "synth" else taps_into
             start = slab_start(slab_i)
             # pin physical Dirichlet ghosts only where this block's edge IS
             # the physical boundary. pins_ref[0]/[1] are 0 on mesh-interior
@@ -316,7 +368,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 lead_a = lead_lo - need
                 n0 = slab + 2 * need
                 src = bufs[(t - 1) % 2]
-                y = taps_into(src[...], lead_a, n0)
+                y = taps(src[...], lead_a, n0)
                 if t < k:
                     dst = bufs[t % 2]
                     dst[minor_interior_idx(pl.ds(lead_a, n0))] = y
