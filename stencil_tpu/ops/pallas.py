@@ -270,30 +270,39 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
     lane_lo_bc, lane_hi_bc = bc.values[-1]
 
     def taps_synth(src_val, lead_a: int, n0: int) -> jax.Array:
+        # one full-window (aligned) rotate per distinct lane offset, shared
+        # by all taps with that offset — rolling an already-sliced
+        # (sublane-misaligned) operand crashes the Mosaic compiler for
+        # diagonal taps, and hoisting makes box stencils 2r rolls total
         uw = spec.uniform_weight
-        acc = None
+        rolled = {0: src_val}
         lanes = None
-        for off, w in zip(spec.offsets, spec.weights):
-            o1 = off[1]
-            tap = lax.slice(
-                src_val, (lead_a + off[0], 0),
-                (lead_a + off[0] + n0, P1_2d),
-            )
-            if o1:
-                tap = pltpu.roll(tap, (-o1) % P1_2d, 1)
+
+        def get_rolled(o1):
+            nonlocal lanes
+            if o1 not in rolled:
+                t = pltpu.roll(src_val, (-o1) % P1_2d, 1)
                 if lanes is None:
-                    lanes = lax.broadcasted_iota(jnp.int32, (n0, P1_2d), 1)
+                    lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 1)
                 if o1 > 0:
-                    tap = jnp.where(lanes >= n1_2d - o1,
-                                    jnp.asarray(lane_hi_bc, dtype), tap)
+                    t = jnp.where(lanes >= n1_2d - o1,
+                                  jnp.asarray(lane_hi_bc, dtype), t)
                 else:
-                    tap = jnp.where(lanes < -o1,
-                                    jnp.asarray(lane_lo_bc, dtype), tap)
+                    t = jnp.where(lanes < -o1,
+                                  jnp.asarray(lane_lo_bc, dtype), t)
+                rolled[o1] = t
+            return rolled[o1]
+
+        acc = None
+        for off, w in zip(spec.offsets, spec.weights):
+            base = get_rolled(off[1])
+            tap = lax.slice(base, (lead_a + off[0], 0),
+                            (lead_a + off[0] + n0, n1_2d))
             term = tap if uw is not None else tap * jnp.asarray(w, dtype)
             acc = term if acc is None else acc + term
         if uw is not None:
             acc = acc * jnp.asarray(uw, dtype)
-        return lax.slice(acc, (0, 0), (n0, n1_2d))
+        return acc
 
     def minor_interior_idx(lead_slice):
         return (lead_slice,) + tuple(
@@ -326,9 +335,9 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
     def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
                isem, osem):
         # The whole sweep runs as ONE kernel invocation with an internal
-        # fori_loop over slabs. Pallas grid steps carry ~7us of boundary
-        # overhead each, which capped the DMA pipeline at ~330 GB/s; the
-        # in-kernel loop sustains ~800-900 GB/s on v5e (measured).
+        # fori_loop over slabs and double-buffered DMA slots; at temporal
+        # depth 16+ the 2D path sustains >1.3 TB/s effective on v5e
+        # (synth taps, slab 256 — see docs/performance.md).
 
         def slab_start(slab_i):
             from stencil_tpu.ops.layout import sublane_for_dtype

@@ -285,43 +285,47 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         def taps_synth(src_val, a0, m0, a1, m1):
             """d2 taps with in-register boundary synthesis: the HBM layout
             carries NO d2 ghost columns (lane dim = exactly round_up(n2,
-            128)), so shifted d2 taps slice inside [0, n2) and pad the
-            missing boundary column(s) with the Dirichlet face constant —
-            the reference's generate_boundary idea applied to the lane
-            dim. Saves the 384/256-style lane-pad overfetch on reads AND
-            writes at n2=256."""
+            128)), so shifted d2 taps lane-rotate the window and the
+            wrapped boundary lane(s) are overwritten with the Dirichlet
+            face constant — the reference's generate_boundary idea applied
+            to the lane dim. Rolls are hoisted: ONE full-window (aligned)
+            rotate per distinct lane offset, shared by all taps with that
+            offset, then sliced per tap. Rolling an already-sliced
+            (sublane-misaligned) operand crashes the Mosaic compiler for
+            diagonal taps; full-window rolls do not, and box stencils get
+            2r rolls instead of one per tap."""
             uw = spec.uniform_weight
-            acc = None
+            rolled = {0: src_val}
             lanes = None
-            for off, wgt in zip(spec.offsets, spec.weights):
-                o2 = off[2]
-                st = (a0 + off[0], a1 + off[1], 0)
-                li = (st[0] + m0, st[1] + m1, P2)
-                tap = lax.slice(src_val, st, li)
-                if o2:
-                    # lane-rotate then overwrite the wrapped boundary
-                    # lane(s) with the face constant. All shapes stay
-                    # full-lane-width — lane-concat of odd-sublane pieces
-                    # crashes the Mosaic compiler at temporal depths > 1.
-                    tap = pltpu.roll(tap, (-o2) % P2, 2)
+
+            def get_rolled(o2):
+                nonlocal lanes
+                if o2 not in rolled:
+                    t = pltpu.roll(src_val, (-o2) % P2, 2)
                     if lanes is None:
                         lanes = lax.broadcasted_iota(
-                            jnp.int32, (m0, m1, P2), 2
+                            jnp.int32, src_val.shape, 2
                         )
                     if o2 > 0:
-                        tap = jnp.where(
-                            lanes >= n2 - o2,
-                            jnp.asarray(d2_hi_bc, dtype), tap,
-                        )
+                        t = jnp.where(lanes >= n2 - o2,
+                                      jnp.asarray(d2_hi_bc, dtype), t)
                     else:
-                        tap = jnp.where(
-                            lanes < -o2, jnp.asarray(d2_lo_bc, dtype), tap
-                        )
+                        t = jnp.where(lanes < -o2,
+                                      jnp.asarray(d2_lo_bc, dtype), t)
+                    rolled[o2] = t
+                return rolled[o2]
+
+            acc = None
+            for off, wgt in zip(spec.offsets, spec.weights):
+                base = get_rolled(off[2])
+                st = (a0 + off[0], a1 + off[1], d2_lo)
+                tap = lax.slice(base, st, (st[0] + m0, st[1] + m1,
+                                           d2_lo + n2))
                 term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
                 acc = term if acc is None else acc + term
             if uw is not None:
                 acc = acc * jnp.asarray(uw, dtype)
-            return lax.slice(acc, (0, 0, 0), (m0, m1, n2))
+            return acc
 
         taps_into = {"slice": taps_slice, "roll": taps_roll,
                      "synth": taps_synth}[plan.tap_mode]
