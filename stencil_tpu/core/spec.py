@@ -83,6 +83,29 @@ class StencilSpec:
         (temporal blocking)."""
         return self.radius * steps
 
+    @property
+    def uniform_box_minus_center(self) -> Optional[float]:
+        """If this spec is a full (2r+1)^ndim box with one uniform weight
+        and the center excluded, return that weight; else None.
+
+        Such stencils evaluate SEPARABLY: ``w * (prod_d S_d(x) - x)``
+        where ``S_d`` is the (2r+1)-tap sum along dim d — ndim*(2r+1)
+        shifted adds instead of (2r+1)^ndim - 1 taps (10 ops vs 26 for
+        the 27-point box). Kernels use this to pick the cheap evaluator.
+        """
+        uw = self.uniform_weight
+        if uw is None:
+            return None
+        side = 2 * self.radius + 1
+        if self.num_taps != side ** self.ndim - 1:
+            return None
+        if (0,) * self.ndim in self.offsets:
+            return None
+        # full box: every offset within Chebyshev radius present
+        if len(set(self.offsets)) != self.num_taps:
+            return None
+        return uw
+
     def __hash__(self):
         return hash((self.ndim, self.radius, self.offsets, self.weights))
 

@@ -293,6 +293,39 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 rolled[o1] = t
             return rolled[o1]
 
+        ubmc = spec.uniform_box_minus_center
+        if ubmc is not None:
+            # separable: w * (S1(S0(x)) - x); the lane pass rolls the
+            # row-summed partial and pins wrapped ghost lanes to
+            # (2r+1) * face value (the whole ghost lane is the constant
+            # face value by the later-dims-win convention)
+            r = spec.radius
+            side = 2 * r + 1
+            u = None
+            for o in range(-r, r + 1):
+                t = lax.slice(src_val, (lead_a + o, 0),
+                              (lead_a + o + n0, P1_2d))
+                u = t if u is None else u + t
+            lanes2 = lax.broadcasted_iota(jnp.int32, (n0, P1_2d), 1)
+            wsum = None
+            for o in range(-r, r + 1):
+                if o == 0:
+                    t = u
+                else:
+                    t = pltpu.roll(u, (-o) % P1_2d, 1)
+                    if o > 0:
+                        t = jnp.where(lanes2 >= n1_2d - o,
+                                      jnp.asarray(lane_hi_bc * side, dtype),
+                                      t)
+                    else:
+                        t = jnp.where(lanes2 < -o,
+                                      jnp.asarray(lane_lo_bc * side, dtype),
+                                      t)
+                wsum = t if wsum is None else wsum + t
+            center = lax.slice(src_val, (lead_a, 0), (lead_a + n0, P1_2d))
+            out = (wsum - center) * jnp.asarray(ubmc, dtype)
+            return lax.slice(out, (0, 0), (n0, n1_2d))
+
         acc = None
         for off, w in zip(spec.offsets, spec.weights):
             base = get_rolled(off[1])

@@ -315,6 +315,54 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     rolled[o2] = t
                 return rolled[o2]
 
+            ubmc = spec.uniform_box_minus_center
+            if ubmc is not None:
+                # SEPARABLE evaluation of a full uniform box minus center:
+                # w * (S2(S1(S0(x))) - x), ndim*(2r+1) shifted adds instead
+                # of (2r+1)^ndim - 1 taps. The d2 pass rolls the partial
+                # sum; its lane-ghost substitution constant is the face
+                # value times (2r+1)^2 because the whole ghost lane is the
+                # constant d2 face value (later-dims-win corners), so
+                # S0*S1 of it is that constant times the pass counts.
+                side = 2 * r + 1
+                # pass 0 (d0): region extended by r in d1 for pass 1
+                u = None
+                for o in range(-r, r + 1):
+                    t = lax.slice(src_val, (a0 + o, a1 - r, 0),
+                                  (a0 + o + m0, a1 + m1 + r, P2))
+                    u = t if u is None else u + t
+                # pass 1 (d1): collapse to the exact d1 region
+                v = None
+                for o in range(-r, r + 1):
+                    t = lax.slice(u, (0, r + o, 0), (m0, r + o + m1, P2))
+                    v = t if v is None else v + t
+                # pass 2 (d2): full-width rolls of the partial sum with
+                # ghost lanes pinned to side^2 * face value
+                wsum = None
+                lanes2 = lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                for o in range(-r, r + 1):
+                    if o == 0:
+                        t = v
+                    else:
+                        t = pltpu.roll(v, (-o) % P2, 2)
+                        if o > 0:
+                            t = jnp.where(
+                                lanes2 >= n2 - o,
+                                jnp.asarray(d2_hi_bc * side * side, dtype),
+                                t,
+                            )
+                        else:
+                            t = jnp.where(
+                                lanes2 < -o,
+                                jnp.asarray(d2_lo_bc * side * side, dtype),
+                                t,
+                            )
+                    wsum = t if wsum is None else wsum + t
+                center = lax.slice(src_val, (a0, a1, 0),
+                                   (a0 + m0, a1 + m1, P2))
+                out = (wsum - center) * jnp.asarray(ubmc, dtype)
+                return lax.slice(out, (0, 0, d2_lo), (m0, m1, d2_lo + n2))
+
             acc = None
             for off, wgt in zip(spec.offsets, spec.weights):
                 base = get_rolled(off[2])
