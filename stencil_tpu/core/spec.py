@@ -83,6 +83,23 @@ class StencilSpec:
         (temporal blocking)."""
         return self.radius * steps
 
+    def weight_groups(self) -> Tuple[Tuple[float, Tuple[Offset, ...]], ...]:
+        """Taps grouped by weight value, preserving first-seen order.
+
+        Evaluators accumulate each group's taps first and multiply once
+        per group: a stencil with many taps but few distinct weights (the
+        4th-order Laplacian has 12 taps, 2 weights) pays per-group
+        multiplies instead of per-tap ones.
+        """
+        groups: dict = {}
+        order = []
+        for off, w in zip(self.offsets, self.weights):
+            if w not in groups:
+                groups[w] = []
+                order.append(w)
+            groups[w].append(off)
+        return tuple((w, tuple(groups[w])) for w in order)
+
     @property
     def uniform_box_minus_center(self) -> Optional[float]:
         """If this spec is a full (2r+1)^ndim box with one uniform weight

@@ -250,15 +250,18 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         """
         uw = spec.uniform_weight
         acc = None
-        for off, w in zip(spec.offsets, spec.weights):
-            start = (lead_a + off[0],) + tuple(
-                minor_lo[d - 1] + off[d] for d in range(1, ndim)
-            )
-            limit = (start[0] + n0,) + tuple(
-                start[d] + minor_interior[d - 1] for d in range(1, ndim)
-            )
-            tap = lax.slice(src_val, start, limit)
-            term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+        for w, offs in spec.weight_groups():
+            gacc = None
+            for off in offs:
+                start = (lead_a + off[0],) + tuple(
+                    minor_lo[d - 1] + off[d] for d in range(1, ndim)
+                )
+                limit = (start[0] + n0,) + tuple(
+                    start[d] + minor_interior[d - 1] for d in range(1, ndim)
+                )
+                tap = lax.slice(src_val, start, limit)
+                gacc = tap if gacc is None else gacc + tap
+            term = gacc if uw is not None else gacc * jnp.asarray(w, dtype)
             acc = term if acc is None else acc + term
         if uw is not None:
             acc = acc * jnp.asarray(uw, dtype)
@@ -327,11 +330,14 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             return lax.slice(out, (0, 0), (n0, n1_2d))
 
         acc = None
-        for off, w in zip(spec.offsets, spec.weights):
-            base = get_rolled(off[1])
-            tap = lax.slice(base, (lead_a + off[0], 0),
-                            (lead_a + off[0] + n0, n1_2d))
-            term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+        for w, offs in spec.weight_groups():
+            gacc = None
+            for off in offs:
+                base = get_rolled(off[1])
+                tap = lax.slice(base, (lead_a + off[0], 0),
+                                (lead_a + off[0] + n0, n1_2d))
+                gacc = tap if gacc is None else gacc + tap
+            term = gacc if uw is not None else gacc * jnp.asarray(w, dtype)
             acc = term if acc is None else acc + term
         if uw is not None:
             acc = acc * jnp.asarray(uw, dtype)

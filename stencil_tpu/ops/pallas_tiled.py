@@ -247,11 +247,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         def taps_slice(src_val, a0, m0, a1, m1):
             uw = spec.uniform_weight
             acc = None
-            for off, wgt in zip(spec.offsets, spec.weights):
-                st = (a0 + off[0], a1 + off[1], d2_lo + off[2])
-                li = (st[0] + m0, st[1] + m1, st[2] + n2)
-                tap = lax.slice(src_val, st, li)
-                term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
+            for wgt, offs in spec.weight_groups():
+                gacc = None
+                for off in offs:
+                    st = (a0 + off[0], a1 + off[1], d2_lo + off[2])
+                    li = (st[0] + m0, st[1] + m1, st[2] + n2)
+                    tap = lax.slice(src_val, st, li)
+                    gacc = tap if gacc is None else gacc + tap
+                term = gacc if uw is not None else gacc * jnp.asarray(wgt,
+                                                                      dtype)
                 acc = term if acc is None else acc + term
             if uw is not None:
                 acc = acc * jnp.asarray(uw, dtype)
@@ -363,13 +367,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 out = (wsum - center) * jnp.asarray(ubmc, dtype)
                 return lax.slice(out, (0, 0, d2_lo), (m0, m1, d2_lo + n2))
 
+            # group taps by weight: one multiply per distinct weight
             acc = None
-            for off, wgt in zip(spec.offsets, spec.weights):
-                base = get_rolled(off[2])
-                st = (a0 + off[0], a1 + off[1], d2_lo)
-                tap = lax.slice(base, st, (st[0] + m0, st[1] + m1,
-                                           d2_lo + n2))
-                term = tap if uw is not None else tap * jnp.asarray(wgt, dtype)
+            for wgt, offs in spec.weight_groups():
+                gacc = None
+                for off in offs:
+                    base = get_rolled(off[2])
+                    st = (a0 + off[0], a1 + off[1], d2_lo)
+                    tap = lax.slice(base, st, (st[0] + m0, st[1] + m1,
+                                               d2_lo + n2))
+                    gacc = tap if gacc is None else gacc + tap
+                term = gacc if uw is not None else gacc * jnp.asarray(wgt,
+                                                                      dtype)
                 acc = term if acc is None else acc + term
             if uw is not None:
                 acc = acc * jnp.asarray(uw, dtype)

@@ -34,11 +34,16 @@ def apply_spec(padded: jax.Array, spec: StencilSpec,
     uw = spec.uniform_weight
     dtype = padded.dtype
     acc = None
-    for off, w in zip(spec.offsets, spec.weights):
-        start = tuple(r + off[d] for d in range(ndim))
-        limit = tuple(start[d] + interior_shape[d] for d in range(ndim))
-        tap = lax.slice(padded, start, limit)
-        term = tap if uw is not None else tap * jnp.asarray(w, dtype)
+    # one multiply per distinct weight (12-tap/2-weight high-order
+    # stencils pay 2 multiplies, not 12)
+    for w, offs in spec.weight_groups():
+        gacc = None
+        for off in offs:
+            start = tuple(r + off[d] for d in range(ndim))
+            limit = tuple(start[d] + interior_shape[d] for d in range(ndim))
+            tap = lax.slice(padded, start, limit)
+            gacc = tap if gacc is None else gacc + tap
+        term = gacc if uw is not None else gacc * jnp.asarray(w, dtype)
         acc = term if acc is None else acc + term
     if uw is not None:
         acc = acc * jnp.asarray(uw, dtype)
