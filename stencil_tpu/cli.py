@@ -143,10 +143,18 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
         results.append(rec)
 
         if config.checkpoint_dir:
+            from pathlib import Path
+
             from stencil_tpu.utils.checkpoint import CheckpointedRun
 
+            # per-method subdirectory: a shared directory would make every
+            # method after the first silently "resume" from the previous
+            # method's final checkpoint and do no work
+            ckpt_dir = (Path(config.checkpoint_dir) / name
+                        if len(config.methods) > 1
+                        else config.checkpoint_dir)
             ckpt = CheckpointedRun(
-                runner, config.checkpoint_dir,
+                runner, ckpt_dir,
                 every=config.checkpoint_every, spec_name=spec.name,
             )
             final, done = ckpt.run(

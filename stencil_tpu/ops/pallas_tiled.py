@@ -106,15 +106,23 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
 
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=DEFAULT_VMEM_BUDGET,
-                 tap_mode="synth") -> Optional[Tuple[int, int]]:
+                 tap_mode="synth", s0_fixed=None) -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) maximizing tile volume within budget; t1 % sublane == 0
-    and both must divide the grid dims."""
+    and both must divide the grid dims. ``s0_fixed`` pins the d0 tile size
+    (the CLI's -b/--block flag) and only t1 is chosen."""
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
     best = None
     best_vol = 0
-    s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
-                   if s <= n0 and n0 % s == 0})
+    if s0_fixed is not None:
+        if n0 % s0_fixed:
+            raise ValueError(
+                f"block (d0 tile) {s0_fixed} must divide dim 0 ({n0})"
+            )
+        s0_c = [s0_fixed]
+    else:
+        s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
+                       if s <= n0 and n0 % s == 0})
     # t1 must be a sublane multiple for aligned DMA window offsets — OR
     # the full dim (whole-dim windows are always legal)
     t1_c = sorted({t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
@@ -208,6 +216,13 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     (d0_lo_bc, d0_hi_bc), (d1_lo_bc, d1_hi_bc), (d2_lo_bc, d2_hi_bc) = \
         bc.values
 
+    # A single d1 tile whose width is not a sublane multiple cannot be
+    # written back as a d1-sliced DMA window (Mosaic requires sublane
+    # multiples or the whole dim): make the output tile span the full
+    # padded d1 instead, writing its (BC-constant) d1 ghost rows along.
+    from stencil_tpu.ops.layout import sublane_for_dtype as _sld
+    full_d1 = (nt1 == 1 and t1 % _sld(dtype) != 0)
+
     def fill_d2_ghosts(ref, shape01):
         # zero-width guards: synth mode has no lo ghosts (and possibly no
         # slack at all when n2 is a multiple of 128)
@@ -237,12 +252,12 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
 
         def out_copy(i, sl):
             i0, i1 = tile_rc(i)
-            c1 = pl.multiple_of(p1 + i1 * t1, sublane)
-            return pltpu.make_async_copy(
-                otile.at[sl],
-                out_hbm.at[pl.ds(kr + i0 * s0, s0), pl.ds(c1, t1)],
-                osem.at[sl],
-            )
+            if full_d1:
+                dst = out_hbm.at[pl.ds(kr + i0 * s0, s0)]
+            else:
+                c1 = pl.multiple_of(p1 + i1 * t1, sublane)
+                dst = out_hbm.at[pl.ds(kr + i0 * s0, s0), pl.ds(c1, t1)]
+            return pltpu.make_async_copy(otile.at[sl], dst, osem.at[sl])
 
         def taps_slice(src_val, a0, m0, a1, m1):
             uw = spec.uniform_weight
@@ -440,7 +455,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                         pl.ds(d2_lo, n2)] = y
                     pin(dst, i, need)
                 else:
-                    otile[(sl, slice(None), slice(None),
+                    d1_idx = (pl.ds(p1, t1) if full_d1
+                              else slice(None))
+                    otile[(sl, slice(None), d1_idx,
                            pl.ds(d2_lo, n2))] = y
 
         # one-time d2 ghost fills: the compute buffer and output tiles
@@ -449,8 +466,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # them end to end)
         if k > 1:
             fill_d2_ghosts(cbuf, (w0, w1))
-        fill_d2_ghosts(otile.at[0], (s0, t1))
-        fill_d2_ghosts(otile.at[1], (s0, t1))
+        ot_d1 = P1 if full_d1 else t1
+        if full_d1:
+            # the full-d1 output tile carries the padded array's d1 ghost
+            # rows: fill them with the d1 face values once (d2 ghost fill
+            # comes after — later dims win in corners)
+            for slot in (0, 1):
+                otile.at[slot][:, 0:p1, :] = jnp.full((s0, p1, P2),
+                                                      d1_lo_bc, dtype)
+                otile.at[slot][:, p1 + t1:, :] = jnp.full(
+                    (s0, P1 - p1 - t1, P2), d1_hi_bc, dtype)
+        fill_d2_ghosts(otile.at[0], (s0, ot_d1))
+        fill_d2_ghosts(otile.at[1], (s0, ot_d1))
 
         in_copy(0, 0).start()
 
@@ -483,7 +510,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             out_copy(nt - 2, lax.rem(nt - 2, 2)).wait()
 
     win_shape = plan.window_shape
-    otile_shape = (s0, t1, P2)
+    otile_shape = (s0, (P1 if full_d1 else t1), P2)
 
     @jax.jit
     def sweep(cur, nxt, pins=None):

@@ -53,17 +53,20 @@ from stencil_tpu.ops.xla import apply_spec
 
 @functools.lru_cache(maxsize=64)
 def _sharded_iterate_fn(method: "ShardedStencil", mesh: Mesh,
-                        bc: DirichletBC, iterations: int):
+                        bc: DirichletBC):
+    """One executable serves every iteration count (the count is a traced
+    fori_loop bound) — a static count would recompile the whole shard_map
+    for each n the benchmark autoranger probes."""
     pspec = method.partition_spec()
 
-    def device_fn(block):
+    def device_fn(block, n):
         def body(_, b):
             return method._local_sweep(b, bc)
 
-        return lax.fori_loop(0, iterations, body, block)
+        return lax.fori_loop(0, n, body, block)
 
     mapped = jax.shard_map(
-        device_fn, mesh=mesh, in_specs=(pspec,), out_specs=pspec
+        device_fn, mesh=mesh, in_specs=(pspec, P()), out_specs=pspec
     )
     return jax.jit(mapped)
 
@@ -222,14 +225,14 @@ class ShardedStencil:
 
     # ---- public API --------------------------------------------------------
 
-    def iterate_fn(self, mesh: Mesh, bc: DirichletBC, iterations: int):
-        """Jitted global-array -> global-array iteration function.
+    def iterate_fn(self, mesh: Mesh, bc: DirichletBC):
+        """Jitted (global array, n) -> global array iteration function.
 
-        Cached per (self, mesh, bc, iterations): rebuilding the jit
-        closure per call would re-trace every time (see
-        ops.pallas._cached_runner).
+        Cached per (self, mesh, bc): rebuilding the jit closure per call
+        would re-trace every time (see ops.pallas._cached_runner); the
+        iteration count is traced.
         """
-        return _sharded_iterate_fn(self, mesh, bc, iterations)
+        return _sharded_iterate_fn(self, mesh, bc)
 
     def __hash__(self):
         return hash((self.spec, self.axis_names, self.overlap))
@@ -244,5 +247,5 @@ class ShardedStencil:
                 )
         sharding = NamedSharding(mesh, self.partition_spec())
         interior = jax.device_put(interior, sharding)
-        out = self.iterate_fn(mesh, grid.bc, iterations)(interior)
+        out = self.iterate_fn(mesh, grid.bc)(interior, jnp.int32(iterations))
         return HaloGrid.from_interior(out, halo=grid.halo, bc=grid.bc)

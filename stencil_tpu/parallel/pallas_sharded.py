@@ -54,16 +54,17 @@ from stencil_tpu.ops.pallas_tiled import (
 
 @functools.lru_cache(maxsize=64)
 def _sharded_pallas_iterate_fn(method: "ShardedPallasStencil", mesh: Mesh,
-                               bc: DirichletBC, n_outer: int):
+                               bc: DirichletBC):
     n = mesh.shape[method.axis_name]
     plan = method.local_plan(n)
     pspec = P(method.axis_name)
-    device_fn = method._device_fn(plan, bc, n_outer)
+    device_fn = method._device_fn(plan, bc)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's collective-safety check can't see
-    # through it
+    # through it. The outer-step count is traced (a static count would
+    # recompile the whole shard_map per benchmarked n).
     mapped = jax.shard_map(
-        device_fn, mesh=mesh, in_specs=(pspec, pspec),
+        device_fn, mesh=mesh, in_specs=(pspec, pspec, P()),
         out_specs=(pspec, pspec), check_vma=False,
     )
     return jax.jit(mapped)
@@ -112,7 +113,7 @@ class ShardedPallasStencil:
 
     # -- the per-device outer step (runs inside shard_map) -------------------
 
-    def _device_fn(self, plan, bc: DirichletBC, n_outer):
+    def _device_fn(self, plan, bc: DirichletBC):
         """Builds block -> block over the device-local PADDED array."""
         if isinstance(plan, TiledPlan):
             sweep = _cached_tiled_sweep(plan, bc, self.interpret)
@@ -162,7 +163,7 @@ class ShardedPallasStencil:
             )
             return padded
 
-        def device_fn(padded, scratch):
+        def device_fn(padded, scratch, n_outer):
             # ``scratch`` is a distinct buffer with the same BC-carrying pad
             # layout — the kernel writes into it in place (ping-pong WAR
             # hazard if it aliased ``padded``, cf. PallasStencil.prepare).
@@ -186,7 +187,7 @@ class ShardedPallasStencil:
 
     # -- public API ----------------------------------------------------------
 
-    def iterate_fn(self, mesh: Mesh, bc: DirichletBC, n_outer: int):
+    def iterate_fn(self, mesh: Mesh, bc: DirichletBC):
         """Jitted padded-global-array -> padded-global-array step function.
 
         The global array is the per-device padded layouts concatenated along
@@ -194,10 +195,11 @@ class ShardedPallasStencil:
         natural distributed layout; use :meth:`scatter`/:meth:`gather` to
         convert to/from a plain interior array).
 
-        Cached per (self, mesh, bc, n_outer): rebuilding the jit closure
-        per call would re-trace every call (ops.pallas._cached_runner).
+        Cached per (self, mesh, bc): rebuilding the jit closure per call
+        would re-trace every call (ops.pallas._cached_runner); the
+        outer-step count is traced.
         """
-        return _sharded_pallas_iterate_fn(self, mesh, bc, n_outer)
+        return _sharded_pallas_iterate_fn(self, mesh, bc)
 
     def scatter(self, grid: HaloGrid, mesh: Mesh) -> jax.Array:
         """Global interior -> sharded stacked-padded-blocks array."""
@@ -233,8 +235,8 @@ class ShardedPallasStencil:
         stacked = self.scatter(grid, mesh)
         if n_outer:
             scratch = jnp.array(stacked, copy=True)
-            stacked, _ = self.iterate_fn(mesh, grid.bc, n_outer)(
-                stacked, scratch
+            stacked, _ = self.iterate_fn(mesh, grid.bc)(
+                stacked, scratch, jnp.int32(n_outer)
             )
         if rem:
             # run the remainder at temporal depth = rem via a fresh handle

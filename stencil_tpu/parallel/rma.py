@@ -90,6 +90,12 @@ def make_rma_plan(spec: StencilSpec, local_shape, dtype="float32") -> RmaPlan:
         )
     if spec.ndim == 2 and local_shape[0] % sublane:
         raise ValueError(f"2D local rows must be a multiple of {sublane}")
+    if local_shape[0] < 4 * spec.radius:
+        raise ValueError(
+            f"per-device lead dim {local_shape[0]} < 4*radius "
+            f"({4 * spec.radius}): the interior/edge-band overlap split "
+            "needs at least that many rows per device"
+        )
     return RmaPlan(spec=spec, local_shape=tuple(local_shape), dtype=dtype,
                    layout=layout)
 

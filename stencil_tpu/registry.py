@@ -93,13 +93,24 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
 
 
 def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
-    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil, choose_tiles
 
+    tiles = None
+    if config is not None and config.block:
+        # -b/--block pins the d0 tile size; t1 is chosen within budget
+        tiles = choose_tiles(spec, grid.interior_shape, str(grid.dtype), k,
+                             s0_fixed=config.block)
+        if tiles is None:
+            raise ValueError(
+                f"no feasible d1 tile for block={config.block} at "
+                f"k={k} on {grid.interior_shape}"
+            )
     method = TiledPallasStencil(
         spec,
         grid.interior_shape,
         dtype=str(grid.dtype),
         sweeps_per_call=k,
+        tiles=tiles,
         interpret=not _on_tpu(),
     )
     return Runner(

@@ -72,8 +72,19 @@ def run_weak_scaling(
             sweeps_per_call=temporal, interpret=not on_tpu,
         )
 
-        def run(it, method=method, grid=grid, mesh=mesh):
-            return method.iterate(grid, it, mesh).data
+        # keep the sharded state device-resident across timed calls:
+        # iterate() would round-trip the whole global grid through host
+        # numpy per call, swamping the measurement
+        import jax.numpy as jnp
+
+        stacked = method.scatter(grid, mesh)
+        scratch = jnp.array(stacked, copy=True)
+        fn = method.iterate_fn(mesh, grid.bc)
+
+        def run(it, fn=fn, stacked=stacked, scratch=scratch,
+                temporal=temporal):
+            out, _ = fn(stacked, scratch, jnp.int32(it // temporal))
+            return out
 
         run(temporal)  # compile
         warm.join(timeout=900)

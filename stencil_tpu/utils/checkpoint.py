@@ -141,6 +141,19 @@ class CheckpointedRun:
                     f"checkpoint shape {state.interior.shape} does not "
                     f"match grid {grid.interior_shape}"
                 )
+            if (self.spec_name and state.spec_name
+                    and state.spec_name != self.spec_name):
+                raise ValueError(
+                    f"checkpoint at {ckpt} is from stencil "
+                    f"{state.spec_name!r}, not {self.spec_name!r}; refusing "
+                    "to resume a different problem (use a fresh directory)"
+                )
+            if state.bc != grid.bc:
+                raise ValueError(
+                    f"checkpoint at {ckpt} has boundary conditions "
+                    f"{state.bc.values}, grid has {grid.bc.values}; "
+                    "refusing to resume (use a fresh directory)"
+                )
             grid = state.to_grid(dtype=grid.dtype)
             start = state.iteration
             if progress:

@@ -143,6 +143,8 @@ def measure_marginal(
     ``iters_lo``/``iters_hi`` skip autoranging (use only when the cost per
     iteration is large and known).
     """
+    import statistics
+
     g = max(1, granularity)
     force(run(max(warmup_iters, g)))
 
@@ -152,11 +154,18 @@ def measure_marginal(
         return time.perf_counter() - t0
 
     if not iters_lo or not iters_hi:
-        lo = g
+        # Autorange on the marginal SIGNAL t(n) - t(g), not on t(n): some
+        # runners carry a large fixed per-call cost (host gather/scatter,
+        # dispatch), and thresholding total time would stop growing while
+        # the iteration-dependent part is still noise-sized.
+        t_base = timed(g)
+        lo = 4 * g
         t_lo = timed(lo)
-        while t_lo < min_signal_seconds / 3 and lo < 1_000_000:
-            grow = max(2.0, (min_signal_seconds / 3) / max(t_lo, 1e-4))
-            lo = int(-(-int(lo * min(grow, 64.0)) // g) * g)
+        while (t_lo - t_base) < min_signal_seconds / 3 and lo < 1_000_000:
+            per_iter = max((t_lo - t_base) / max(lo - g, 1), 1e-7)
+            need = (min_signal_seconds / 3) / per_iter
+            grow = max(2.0, min(need / lo, 64.0))
+            lo = int(-(-int(lo * grow) // g) * g)
             t_lo = timed(lo)
         iters_lo, iters_hi = lo, 4 * lo
 
@@ -170,8 +179,7 @@ def measure_marginal(
         # guard against residual noise: never report below the
         # overhead-inclusive bound of the big run
         marginals.append(max(marginal, 0.0) or t_hi / iters_hi)
-    marginals.sort()
-    best = marginals[len(marginals) // 2]
+    best = statistics.median(marginals)
     return Measurement(
         seconds_per_iteration=best,
         iterations_measured=iters_hi - iters_lo,
