@@ -100,3 +100,22 @@ def test_torn_write_leaves_no_partial(tmp_path, setup, monkeypatch):
         checkpoint.save(tmp_path / "step_0000000001.npz", grid, 1)
     assert list(tmp_path.glob("step_*.npz")) == []
     assert list(tmp_path.glob("*.tmp")) == []
+
+
+def test_spec_mismatch_rejected(tmp_path, setup):
+    spec, grid, runner = setup
+    checkpoint.save(tmp_path / "step_0000000005.npz", grid, 5, "jacobi5")
+    with pytest.raises(ValueError, match="refusing to resume a different"):
+        checkpoint.CheckpointedRun(
+            runner, tmp_path, spec_name="jacobi9"
+        ).run(grid, 10)
+
+
+def test_bc_mismatch_rejected(tmp_path, setup):
+    spec, grid, runner = setup
+    checkpoint.save(tmp_path / "step_0000000005.npz", grid, 5, "jacobi5")
+    other = HaloGrid.create((32, 24), halo=1, bc=DirichletBC.zero(2))
+    with pytest.raises(ValueError, match="boundary conditions"):
+        checkpoint.CheckpointedRun(
+            runner, tmp_path, spec_name="jacobi5"
+        ).run(other, 10)
