@@ -10,7 +10,7 @@ buffering and temporal blocking, multi-chip halo exchange over ICI via
 GLUPS/roofline reporting.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import (
@@ -25,16 +25,32 @@ from stencil_tpu.core.spec import (
     weighted,
 )
 
+def get_runner(name, config, spec, grid):
+    """Convenience re-export of :func:`stencil_tpu.registry.get_runner`."""
+    from stencil_tpu import registry
+
+    return registry.get_runner(name, config, spec, grid)
+
+
+def solve(runner, grid, **kwargs):
+    """Convenience re-export of :func:`stencil_tpu.solver.solve`."""
+    from stencil_tpu import solver
+
+    return solver.solve(runner, grid, **kwargs)
+
+
 __all__ = [
     "DirichletBC",
     "HaloGrid",
     "StencilSpec",
     "box",
+    "get_runner",
     "get_spec",
     "jacobi5",
     "jacobi7_3d",
     "jacobi9",
     "jacobi27_3d",
+    "solve",
     "star",
     "weighted",
 ]
