@@ -27,7 +27,7 @@ from stencil_tpu.ops import golden
 from stencil_tpu import registry
 from stencil_tpu.utils import roofline
 from stencil_tpu.utils.timing import (
-    TinyTimer, force, measure_marginal, warmup_fetch_async,
+    TinyTimer, force, measure_marginal, measure_wall, warmup_fetch_async,
 )
 
 
@@ -41,15 +41,24 @@ def make_grid(config: RunConfig, spec) -> HaloGrid:
 
 def check_method(config: RunConfig, spec, runner) -> golden.CheckResult:
     grid = make_grid(config, spec)
-    # use a bounded iteration count for the golden model — the reference
-    # runs the full count, which is O(N^2 * iters) on the host; we cap it
-    # to keep -c usable on big sweeps (full-count check available via the
-    # test suite).
-    iters = min(config.iterations, 50)
-    out = runner.iterate(grid, iters)
-    ref = golden.golden_iterate(
+    # The reference's -c verifies the FULL iteration count
+    # (stencil.cpp:94-131); the multithreaded native golden
+    # (native/golden.cpp) makes that affordable here. Only when no C++
+    # toolchain is available do we fall back to the NumPy golden, capped
+    # at 50 iterations to keep -c usable on big sweeps.
+    from stencil_tpu import native
+
+    iters = config.iterations
+    ref = native.golden_iterate_native(
         np.zeros(config.size, dtype=np.float64), spec, iters, bc=grid.bc
     )
+    if ref is None:
+        iters = min(config.iterations, 50)
+        ref = golden.golden_iterate(
+            np.zeros(config.size, dtype=np.float64), spec, iters,
+            bc=grid.bc,
+        )
+    out = runner.iterate(grid, iters)
     return golden.check_against_golden(
         np.asarray(out.interior()), ref, tolerance=config.check_tolerance
     )
@@ -66,9 +75,10 @@ def bench_method(config: RunConfig, spec, runner):
     # counts until the signal dominates that noise; excludes compilation.
     # Counts stay multiples of the runner's granularity so that temporal-
     # blocking remainder kernels never compile inside the timed region.
+    # --warmup scales the untimed warmup sweep count.
     g = max(1, getattr(runner, "granularity", 1))
-    m = measure_marginal(run_n, warmup_iters=g, granularity=g,
-                         repeats=max(2, config.repeat))
+    m = measure_marginal(run_n, warmup_iters=max(1, config.warmup) * g,
+                         granularity=g, repeats=max(2, config.repeat))
     return m
 
 
@@ -140,6 +150,21 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
         rec["hbm_gbps"] = rep.hbm_gbps
         rec["roofline_fraction"] = rep.roofline_fraction
         print(f"[{name}] {rep.summary()}", file=out)
+
+        # reference protocol alongside the marginal headline: -R wall-clock
+        # repeats of the full iteration count with per-run + average lines
+        # (main.cpp:29-43). Includes dispatch overhead by design.
+        wall = measure_wall(
+            lambda: runner.iterate(grid, config.iterations).data,
+            repeats=config.repeat,
+        )
+        rec["wall_seconds"] = [float(t) for t in wall]
+        for j, t in enumerate(wall, 1):
+            print(f"[{name}] run {j}: {t * 1e3:.3f} ms", file=out)
+        print(
+            f"[{name}] average: {sum(wall) / len(wall) * 1e3:.3f} ms "
+            f"({config.iterations} iterations)", file=out,
+        )
         results.append(rec)
 
         if config.checkpoint_dir:
@@ -164,11 +189,16 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
             rec["checkpointed_iterations"] = done
 
         if config.dump_image:
+            from pathlib import Path
+
             from stencil_tpu.utils.image import dump_heatmap
 
             final = runner.iterate(grid, config.iterations)
-            path = (config.dump_image if len(config.methods) == 1
-                    else f"{name}_{config.dump_image}")
+            # per-method FILENAME prefix (not path prefix — that would
+            # mangle absolute paths) when several methods share the flag
+            p = Path(config.dump_image)
+            path = (str(p) if len(config.methods) == 1
+                    else str(p.with_name(f"{name}_{p.name}")))
             dump_heatmap(path, np.asarray(final.interior()))
             print(f"[{name}] heat map -> {path}", file=out)
 

@@ -46,7 +46,7 @@ class RunConfig:
     repeat: int = 1                      # (-R, reference -R/--repeat)
     check: bool = False                  # (-c, reference -c/--check-result)
     check_tolerance: float = 1e-4        # reference bar (stencil.cpp:137)
-    warmup: int = 1
+    warmup: int = 1                      # untimed warmup sweeps (x granularity)
 
     # checkpoint/resume (reference has none — SURVEY §5)
     checkpoint_dir: Optional[str] = None
@@ -109,11 +109,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, nargs="*", default=[],
                    help="device mesh axis sizes for sharded methods")
     p.add_argument("--no-overlap", action="store_true",
-                   help="disable comm/compute overlap in sharded methods")
-    p.add_argument("-R", "--repeat", type=int, default=1)
+                   help="disable the interior-first comm/compute overlap "
+                        "in the 'sharded' method")
+    p.add_argument("-R", "--repeat", type=int, default=1,
+                   help="timed wall-clock repeats (per-run + average "
+                        "report, reference -R) and marginal-timing "
+                        "repeats")
     p.add_argument("-c", "--check-result", action="store_true", dest="check")
     p.add_argument("--check-tolerance", type=float, default=1e-4)
-    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--warmup", type=int, default=1,
+                   help="untimed warmup sweeps before timing (scaled by "
+                        "the method's granularity)")
     p.add_argument("--checkpoint-dir", type=str, default=None,
                    help="directory for periodic checkpoints; an existing "
                         "checkpoint there is resumed automatically")

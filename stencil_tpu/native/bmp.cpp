@@ -89,9 +89,11 @@ int stencil_bmp_write(const char* path, const uint8_t* rgb, int64_t h,
   return std::fclose(f) == 0 ? 0 : 3;
 }
 
-// blue->green->red ramp over [vmin, vmax] (stencil.cpp:162-183 analog):
-// r = clamp(2v-1), b = clamp(1-2v), g = 1-r-b; scaled to u8 with rounding
-// to match the Python implementation bit-for-bit.
+// The reference's exact 4-segment piecewise ramp (stencil.cpp:162-183):
+// blue -> cyan (v=0.25) -> green -> yellow -> red, channels TRUNCATED to
+// u8 like its static_cast<unsigned char>. Values normalized to
+// [vmin, vmax] and clamped (the reference asserts v <= 1 instead).
+// Bit-for-bit identical to utils.image.colorize (cross-checked in tests).
 void stencil_colorize(const double* values, int64_t n, double vmin,
                       double vmax, uint8_t* rgb_out) {
   const double span = (vmax > vmin) ? (vmax - vmin) : 1.0;
@@ -99,16 +101,27 @@ void stencil_colorize(const double* values, int64_t n, double vmin,
     double v = (values[i] - vmin) / span;
     if (v < 0.0) v = 0.0;
     if (v > 1.0) v = 1.0;
-    double r = 2.0 * v - 1.0;
-    if (r < 0.0) r = 0.0;
-    if (r > 1.0) r = 1.0;
-    double b = 1.0 - 2.0 * v;
-    if (b < 0.0) b = 0.0;
-    if (b > 1.0) b = 1.0;
-    double g = 1.0 - r - b;
-    rgb_out[3 * i + 0] = static_cast<uint8_t>(r * 255.0 + 0.5);
-    rgb_out[3 * i + 1] = static_cast<uint8_t>(g * 255.0 + 0.5);
-    rgb_out[3 * i + 2] = static_cast<uint8_t>(b * 255.0 + 0.5);
+    uint8_t r, g, b;
+    if (v < 0.25) {
+      r = 0;
+      g = static_cast<uint8_t>(4.0 * v * 255.0);
+      b = 255;
+    } else if (v < 0.5) {
+      r = 0;
+      g = 255;
+      b = static_cast<uint8_t>((1.0 + 4.0 * (0.25 - v)) * 255.0);
+    } else if (v < 0.75) {
+      r = static_cast<uint8_t>(4.0 * (v - 0.5) * 255.0);
+      g = 255;
+      b = 0;
+    } else {
+      r = 255;
+      g = static_cast<uint8_t>((1.0 + 4.0 * (0.75 - v)) * 255.0);
+      b = 0;
+    }
+    rgb_out[3 * i + 0] = r;
+    rgb_out[3 * i + 1] = g;
+    rgb_out[3 * i + 2] = b;
   }
 }
 

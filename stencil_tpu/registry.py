@@ -168,7 +168,11 @@ def _make_sharded(config, spec, grid, overlap: bool) -> Runner:
 
 
 def make_sharded(config, spec, grid) -> Runner:
-    return _make_sharded(config, spec, grid, True)
+    # --no-overlap switches off the interior-first comm/compute overlap
+    # (kept as the separate `sharded_noverlap` method name too, matching
+    # the reference's habit of naming variants as methods)
+    overlap = not (config is not None and config.no_overlap)
+    return _make_sharded(config, spec, grid, overlap)
 
 
 def make_sharded_noverlap(config, spec, grid) -> Runner:

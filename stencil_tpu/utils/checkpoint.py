@@ -9,8 +9,9 @@ first-class subsystem.
 
 State = (grid interior, spec name, iteration counter, BC values, dtype).
 Format: a single ``.npz`` with a JSON-encoded metadata entry — no extra
-dependencies, portable across hosts, and safe against torn writes via the
-write-to-temp + atomic-rename protocol. An optional rolling-window retention
+dependencies, portable across hosts, and safe against torn writes (incl.
+host crash / power loss) via the write-to-temp + fsync + atomic-rename +
+directory-fsync protocol. An optional rolling-window retention
 keeps the newest N checkpoints.
 
 ``CheckpointedRun`` wraps any registry Runner with periodic saves and
@@ -54,7 +55,8 @@ class CheckpointState:
 
 def save(path: str | Path, grid: HaloGrid, iteration: int,
          spec_name: str = "") -> Path:
-    """Atomically write a checkpoint (temp file + rename)."""
+    """Atomically and durably write a checkpoint (temp file + fsync +
+    rename + directory fsync)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     meta = {
@@ -73,7 +75,16 @@ def save(path: str | Path, grid: HaloGrid, iteration: int,
                      meta=np.frombuffer(
                          json.dumps(meta).encode(), dtype=np.uint8
                      ))
+            # durability, not just atomicity: without the fsync the rename
+            # can land with empty/partial contents after a host crash
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dirfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)  # persist the rename itself
+        finally:
+            os.close(dirfd)
     except BaseException:
         try:
             os.unlink(tmp)

@@ -18,14 +18,21 @@ import numpy as np
 
 
 def colorize(values: np.ndarray, vmin: float = 0.0, vmax: float = 1.0) -> np.ndarray:
-    """Map scalars to RGB uint8 via a blue->green->red ramp over [vmin, vmax]
-    (the reference's scheme: cold=blue, mid=green, hot=red)."""
-    v = np.clip((np.asarray(values, dtype=np.float64) - vmin) / (vmax - vmin), 0.0, 1.0)
-    r = np.clip(2.0 * v - 1.0, 0.0, 1.0)
-    b = np.clip(1.0 - 2.0 * v, 0.0, 1.0)
-    g = 1.0 - r - b
+    """Map scalars to RGB uint8 via the reference's exact 4-segment
+    piecewise ramp (``stencil.cpp:162-183``): blue -> cyan (v=0.25) ->
+    green -> yellow -> red, channels truncated to u8 exactly like the
+    reference's ``static_cast<unsigned char>``. Values are normalized to
+    [vmin, vmax] and clamped (the reference asserts v <= 1 instead)."""
+    span = (vmax - vmin) if vmax > vmin else 1.0
+    v = np.clip((np.asarray(values, dtype=np.float64) - vmin) / span,
+                0.0, 1.0)
+    r = np.where(v < 0.5, 0.0, np.where(v < 0.75, 4.0 * (v - 0.5), 1.0))
+    g = np.where(v < 0.25, 4.0 * v,
+                 np.where(v < 0.75, 1.0, 1.0 + 4.0 * (0.75 - v)))
+    b = np.where(v < 0.25, 1.0,
+                 np.where(v < 0.5, 1.0 + 4.0 * (0.25 - v), 0.0))
     rgb = np.stack([r, g, b], axis=-1)
-    return (rgb * 255.0 + 0.5).astype(np.uint8)
+    return np.trunc(rgb * 255.0).astype(np.uint8)
 
 
 def write_bmp(path: str | Path, rgb: np.ndarray) -> None:

@@ -9,9 +9,11 @@ spawn→join with ``std::chrono::steady_clock`` and averages ``-R`` repeats
 (``main.cpp:27-43``). On TPU behind a remote tunnel, a fixed dispatch
 overhead (observed ~30 ms on the axon tunnel) would swamp per-run wall
 clock, so we time *marginally*: run the jitted loop at two iteration counts
-and divide the time difference by the iteration delta. Results are forced
-with ``block_until_ready`` — never a device->host fetch, whose first use
-in a process costs minutes on the tunneled backend (see :func:`force`).
+and divide the time difference by the iteration delta. Results are fenced
+with a device->host fetch of ONE element (see :func:`force`) — on the
+tunneled backend ``block_until_ready``/``is_ready`` are no-op stubs, so a
+fetch is the only real fence; its one-time first-use cost (minutes) is
+paid up front via :func:`warmup_fetch_async`.
 """
 
 from __future__ import annotations

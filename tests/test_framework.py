@@ -105,7 +105,78 @@ def test_sweep_runs_end_to_end(tmp_path):
     assert (tmp_path / "s.csv").exists()
 
 
-# ---- image ---------------------------------------------------------------------
+def test_no_overlap_flag_is_live():
+    """--no-overlap must actually switch the sharded method (silent no-op
+    flags are the reference's run.sh/run_expr.py drift bug)."""
+    from stencil_tpu import registry
+
+    cfg = RunConfig(size=(32, 32), iterations=2, mesh=(2,))
+    spec = cfg.resolved_spec()
+    grid = HaloGrid.create(cfg.size, halo=spec.radius)
+    r_overlap = registry.get_runner("sharded", cfg, spec, grid)
+    cfg_no = RunConfig(size=(32, 32), iterations=2, mesh=(2,),
+                       no_overlap=True)
+    r_no = registry.get_runner("sharded", cfg_no, spec, grid)
+    assert r_overlap.name == "sharded"
+    assert r_no.name == "sharded_noverlap"
+
+
+def test_warmup_flag_is_live():
+    """--warmup must change the warmup sweep count handed to the timer."""
+    from stencil_tpu import cli, registry
+
+    calls = []
+
+    class FakeRunner:
+        granularity = 1
+
+        def iterate(self, grid, n):
+            calls.append(int(n))
+            return grid
+
+    cfg = RunConfig(size=(16, 16), iterations=4, warmup=7)
+    spec = cfg.resolved_spec()
+    cli.bench_method(cfg, spec, FakeRunner())
+    assert calls[0] == 7  # first (warmup) call runs warmup*granularity sweeps
+
+
+def test_every_config_field_is_consumed(tmp_path):
+    """Anti-drift guard: every RunConfig field must be READ by the driver
+    stack during a full-featured run. A field nobody reads is a silent
+    no-op flag — the exact bug class the reference's harness had
+    (SURVEY §5 config note)."""
+    import dataclasses as dc
+
+    from stencil_tpu import cli
+
+    read = set()
+
+    class TrackingConfig(RunConfig):
+        def __getattribute__(self, name):
+            if not name.startswith("_"):
+                read.add(name)
+            return super().__getattribute__(name)
+
+    cfg = TrackingConfig(
+        size=(16, 16), iterations=2,
+        methods=("pallas", "pallas_temporal", "sharded"),
+        temporal=2, mesh=(2,), block=None, check=True,
+        json_out=str(tmp_path / "o.jsonl"),
+        dump_image=str(tmp_path / "h.bmp"),
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=1,
+        profile_dir=None, verbose=True,
+    )
+    cli.run_all(cfg, out=open(os.devnull, "w"))
+    cfg.apply_platform()          # consumed on the main() path
+    fields = {f.name for f in dc.fields(RunConfig)}
+    unread = fields - read
+    # `verbose` is consumed by main() (total-driver-time line), which we
+    # can't call here without re-parsing argv — pin it by source instead
+    import inspect
+
+    assert "config.verbose" in inspect.getsource(cli.main)
+    unread -= {"verbose"}
+    assert not unread, f"RunConfig fields never read by the driver: {unread}"
 
 
 def test_colorize_ramp():
@@ -113,6 +184,25 @@ def test_colorize_ramp():
     assert tuple(rgb[0, 0]) == (0, 0, 255)      # cold = blue
     assert tuple(rgb[0, 2]) == (255, 0, 0)      # hot = red
     assert rgb[0, 1][1] > 200                    # mid = green-ish
+
+
+def test_colorize_reference_exact_pixels():
+    """Golden pixels of the reference's 4-segment ramp
+    (stencil.cpp:162-183), incl. its u8 truncation semantics."""
+    v = np.array([0.0, 0.1, 0.25, 0.3, 0.5, 0.6, 0.75, 0.9, 1.0])
+    rgb = colorize(v)
+    def ref_pixel(x):
+        if x < 0.25:
+            return (0, int(4 * x * 255), 255)
+        if x < 0.5:
+            return (0, 255, int((1 + 4 * (0.25 - x)) * 255))
+        if x < 0.75:
+            return (int(4 * (x - 0.5) * 255), 255, 0)
+        return (255, int((1 + 4 * (0.75 - x)) * 255), 0)
+    for i, x in enumerate(v):
+        assert tuple(rgb[i]) == ref_pixel(float(x)), (x, tuple(rgb[i]))
+    # v = 0.25 is cyan in the reference ramp (second branch, b = 255)
+    assert tuple(colorize(np.array([0.25]))[0]) == (0, 255, 255)
 
 
 def test_write_bmp_format(tmp_path):
