@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.layout import PaddedLayout, round_up
+from stencil_tpu.ops.rolls import lane_roll
 
 # Budget for explicit VMEM buffers (bytes). Mosaic's default scoped limit
 # is 16MB but the kernel raises it to 32MB (vmem_limit_bytes), which v5e
@@ -79,10 +80,11 @@ class SlabPlan:
     sweeps_per_call: int  # temporal blocking depth k
     slab: int             # leading-dim tile size
     layout: PaddedLayout
-    # 'synth' (2D fp32 default): no lane-dim ghost columns in HBM;
-    # boundary lanes synthesized in-register via roll+where (pltpu.roll
-    # crashes the Mosaic compiler on sub-32-bit dtypes, so those use
-    # 'slice' — shifted slices over a ghost-padded layout)
+    # 'synth' (2D default for 32- and 16-bit dtypes): no lane-dim ghost
+    # columns in HBM; boundary lanes synthesized in-register via
+    # roll+where (16-bit rolls lower through ops.rolls.lane_roll's int32
+    # bitcast — plain pltpu.roll crashes Mosaic on sub-32-bit dtypes);
+    # 'slice' — shifted slices over a ghost-padded layout
     tap_mode: str = "slice"
 
     @property
@@ -188,7 +190,7 @@ def make_plan(
     import numpy as np
 
     tap_mode = "slice"
-    if len(interior_shape) == 2 and np.dtype(dtype).itemsize == 4:
+    if len(interior_shape) == 2 and np.dtype(dtype).itemsize in (2, 4):
         # drop the lane ghosts: synthesize boundary lanes in-register
         n1 = interior_shape[1]
         layout = PaddedLayout(
@@ -284,7 +286,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         def get_rolled(o1):
             nonlocal lanes
             if o1 not in rolled:
-                t = pltpu.roll(src_val, (-o1) % P1_2d, 1)
+                t = lane_roll(src_val, (-o1) % P1_2d, 1)
                 if lanes is None:
                     lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 1)
                 if o1 > 0:
@@ -315,7 +317,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 if o == 0:
                     t = u
                 else:
-                    t = pltpu.roll(u, (-o) % P1_2d, 1)
+                    t = lane_roll(u, (-o) % P1_2d, 1)
                     if o > 0:
                         t = jnp.where(lanes2 >= n1_2d - o,
                                       jnp.asarray(lane_hi_bc * side, dtype),

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.layout import PaddedLayout, round_up, sublane_for_dtype
+from stencil_tpu.ops.rolls import lane_roll
 
 # v5e handles explicit-buffer footprints well past Mosaic's 16MB default
 # scoped limit (the kernel raises vmem_limit_bytes accordingly); measured
@@ -147,12 +148,12 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if tap_mode is None:
-        # synth is fastest but its boundary synthesis uses pltpu.roll,
-        # which crashes the Mosaic compiler for sub-32-bit dtypes
-        # (bisected on v5e); narrow dtypes default to slice taps
+        # synth is fastest; its lane rotates go through ops.rolls.lane_roll,
+        # which lowers 16-bit rolls via an int32 bitcast (plain pltpu.roll
+        # crashes Mosaic for sub-32-bit dtypes — bisected on v5e)
         import numpy as np
 
-        tap_mode = "synth" if np.dtype(dtype).itemsize == 4 else "slice"
+        tap_mode = "synth" if np.dtype(dtype).itemsize in (2, 4) else "slice"
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
                              vmem_budget, tap_mode)
@@ -320,7 +321,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             def get_rolled(o2):
                 nonlocal lanes
                 if o2 not in rolled:
-                    t = pltpu.roll(src_val, (-o2) % P2, 2)
+                    t = lane_roll(src_val, (-o2) % P2, 2)
                     if lanes is None:
                         lanes = lax.broadcasted_iota(
                             jnp.int32, src_val.shape, 2
@@ -363,7 +364,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     if o == 0:
                         t = v
                     else:
-                        t = pltpu.roll(v, (-o) % P2, 2)
+                        t = lane_roll(v, (-o) % P2, 2)
                         if o > 0:
                             t = jnp.where(
                                 lanes2 >= n2 - o,

@@ -217,33 +217,36 @@ def make_sharded_pallas(config, spec, grid) -> Runner:
 def make_rma(config, spec, grid) -> Runner:
     """In-kernel RMA: VMEM-resident blocks, remote-DMA halo pushes over
     ICI, double-buffered semaphores, no global barrier — the literal
-    analog of the reference's RMA kernel (stencil_rma.cpp). Per-device
-    block must fit VMEM."""
+    analog of the reference's RMA kernel (stencil_rma.cpp). Supports a
+    1D or 2D device mesh over the leading grid dims (the reference runs
+    an 8x8 2D CPE mesh) and temporal blocking via -k/--temporal.
+    Per-device block(s) must fit VMEM."""
     from stencil_tpu.parallel.halo import make_mesh
     from stencil_tpu.parallel.rma import RmaStencil
 
     if config is not None and config.mesh:
-        n = 1
-        for s in config.mesh:
-            n *= s
+        mesh_sizes = tuple(config.mesh)
     else:
-        n = len(jax.devices())
-    mesh = make_mesh((n,), ("x",))
+        mesh_sizes = (len(jax.devices()),)
+    axes = ("x", "y")[: len(mesh_sizes)]
+    mesh = make_mesh(mesh_sizes, axes)
+    k = config.temporal if config is not None and config.temporal > 1 else 1
     method = RmaStencil(
         spec,
         grid.interior_shape,
-        axis_name="x",
         dtype=str(grid.dtype),
+        sweeps_per_call=k,
         interpret=not _on_tpu(),
     )
-    method.local_plan(n)  # validate divisibility + VMEM residency eagerly
+    method.local_plan(mesh_sizes)  # validate divisibility/VMEM eagerly
     return Runner(
-        name=f"rma(n={n})",
+        name=f"rma(mesh={'x'.join(map(str, mesh_sizes))},k={k})",
         iterate=lambda g, it: method.iterate(g, it, mesh),
         description=(
             "VMEM-resident blocks with remote-DMA halo push over ICI "
             "(no per-iteration barrier)"
         ),
+        granularity=k,
     )
 
 

@@ -15,8 +15,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
+    # 10 = the 8-device test meshes + spare devices. The spare is
+    # load-bearing on small hosts: the Pallas TPU-interpret machinery's
+    # io_callbacks BLOCK their executor thread (semaphore waits, pending-
+    # operand np.array), and a mesh that uses EVERY forced device leaves
+    # no execute thread to fulfill pending cross-program transfers (e.g.
+    # the non-contiguous shards of a 2-axis-sharded rank-3 array) —
+    # deadlocking the whole suite. Bisected on a 1-CPU host: an N-device
+    # mesh hangs at N forced devices and passes at N+1.
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
+        _flags + " --xla_force_host_platform_device_count=10"
     ).strip()
 
 import jax  # noqa: E402

@@ -1,11 +1,12 @@
 """Differential tests for the in-kernel RMA method (``parallel.rma``):
-VMEM-resident blocks, remote-DMA halo pushes, double-buffered semaphores.
+VMEM-resident blocks, remote-DMA halo pushes, double-buffered semaphores,
+1D/2D device meshes, temporal blocking.
 
 Runs under Pallas TPU-interpret mode (``pltpu.InterpretParams``), which
 simulates VMEM/HBM, remote DMAs, semaphores and barriers on the CPU mesh —
-including an optional vector-clock data race detector, which we turn on in
-one test (the reference has no race detection at all; its DMA/RMA safety
-is by construction, SURVEY §5).
+including an optional vector-clock data race detector, which we turn on for
+the subtlest pipelines (the reference has no race detection at all; its
+DMA/RMA safety is by construction, SURVEY §5).
 """
 
 import jax
@@ -19,11 +20,13 @@ from stencil_tpu.parallel.halo import make_mesh
 from stencil_tpu.parallel.rma import RmaStencil, make_rma_plan
 
 
-def _run(spec, shape, iters, n_dev=4, dtype="float32", detect_races=False):
-    mesh = make_mesh((n_dev,), ("x",))
+def _run(spec, shape, iters, mesh_sizes=(4,), k=1, dtype="float32",
+         detect_races=False):
+    axes = ("x", "y")[: len(mesh_sizes)]
+    mesh = make_mesh(mesh_sizes, axes)
     grid = HaloGrid.create(shape, halo=spec.radius, dtype=dtype)
-    m = RmaStencil(spec, shape, dtype=dtype, interpret=True,
-                   detect_races=detect_races)
+    m = RmaStencil(spec, shape, dtype=dtype, sweeps_per_call=k,
+                   interpret=True, detect_races=detect_races)
     out = m.iterate(grid, iters, mesh)
     ref = golden.golden_iterate(
         np.zeros(shape, dtype=np.float64), spec, iters, bc=grid.bc
@@ -31,6 +34,9 @@ def _run(spec, shape, iters, n_dev=4, dtype="float32", detect_races=False):
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
     )
+
+
+# ---- 1D mesh -----------------------------------------------------------
 
 
 def test_2d_star():
@@ -55,24 +61,112 @@ def test_3d_star():
 
 
 def test_single_device():
-    _run(get_spec("jacobi5"), (32, 40), iters=5, n_dev=1)
+    _run(get_spec("jacobi5"), (32, 40), iters=5, mesh_sizes=(1,))
 
 
 def test_two_devices():
-    _run(get_spec("jacobi5"), (32, 40), iters=5, n_dev=2)
+    _run(get_spec("jacobi5"), (32, 40), iters=5, mesh_sizes=(2,))
 
 
-def test_race_detector_clean():
+# ---- temporal blocking (k sweeps per exchange) --------------------------
+
+
+def test_temporal_k2():
+    _run(get_spec("jacobi5"), (64, 40), iters=8, k=2)
+
+
+def test_temporal_k4():
+    _run(get_spec("jacobi5"), (64, 40), iters=12, k=4)
+
+
+def test_temporal_k4_remainder():
+    # 10 = 2 full exchanges at k=4 + one remainder exchange at k=2
+    _run(get_spec("jacobi5"), (64, 40), iters=10, k=4)
+
+
+def test_temporal_box():
+    # temporal box: the k-sweep dependency cone needs halo corners
+    _run(box(2, 1), (64, 40), iters=8, k=2)
+
+
+def test_temporal_3d():
+    _run(get_spec("jacobi7"), (16, 16, 20), iters=8, k=2)
+
+
+# ---- 2D mesh (the reference's 8x8 CPE topology, stencil_rma.cpp:194) ----
+
+
+def test_2d_mesh_3d_star():
+    _run(get_spec("jacobi7"), (16, 32, 20), iters=6, mesh_sizes=(2, 4))
+
+
+def test_2d_mesh_3d_box_corners():
+    # box stencil reads halo corners: the phase-ordered strips must carry
+    # diagonal-neighbor data transitively
+    _run(box(3, 1), (16, 32, 20), iters=6, mesh_sizes=(2, 4))
+
+
+def test_2d_mesh_temporal():
+    _run(get_spec("jacobi7"), (16, 32, 20), iters=8, mesh_sizes=(2, 4), k=2)
+
+
+def test_2d_mesh_radius2():
+    _run(star(3, 2), (32, 32, 20), iters=6, mesh_sizes=(2, 2))
+
+
+def test_2d_mesh_2d_grid_lane_sharding():
+    # 2D grid on a 2D mesh shards the LANE dim: 128-aligned push windows
+    _run(get_spec("jacobi5"), (32, 256), iters=6, mesh_sizes=(2, 2))
+
+
+def test_2d_mesh_2d_grid_temporal():
+    _run(get_spec("jacobi5"), (32, 256), iters=8, mesh_sizes=(2, 2), k=2)
+
+
+# ---- race detector -------------------------------------------------------
+
+
+def test_race_detector_clean_1d():
     """The interpret-mode vector-clock race detector must find no races in
     the double-buffered pipeline."""
-    _run(get_spec("jacobi5"), (32, 24), iters=6, n_dev=2,
+    _run(get_spec("jacobi5"), (32, 24), iters=6, mesh_sizes=(2,),
          detect_races=True)
+
+
+def test_race_detector_clean_2d_mesh():
+    """Race-free on the (2, 4) mesh: two phase-ordered pushes per axis per
+    iteration, corners riding the second phase."""
+    _run(get_spec("jacobi7"), (16, 32, 20), iters=6, mesh_sizes=(2, 4),
+         detect_races=True)
+
+
+def test_race_detector_clean_temporal():
+    """Race-free with the 4-buffer temporal pipeline (k sweeps per
+    exchange, compute buffers disjoint from remote-DMA targets)."""
+    _run(get_spec("jacobi7"), (16, 32, 20), iters=8, mesh_sizes=(2, 4),
+         k=2, detect_races=True)
+
+
+# ---- plan validation -----------------------------------------------------
 
 
 def test_vmem_residency_guard():
     spec = get_spec("jacobi7")
     with pytest.raises(ValueError, match="VMEM-resident budget"):
         make_rma_plan(spec, (512, 512, 512))
+
+
+def test_alignment_guard():
+    # sharded sublane dim must be a multiple of the DMA granule
+    spec = get_spec("jacobi7")
+    with pytest.raises(ValueError, match="DMA granule"):
+        make_rma_plan(spec, (8, 4, 20), mesh_shape=(2, 2))
+
+
+def test_min_size_guard():
+    spec = get_spec("jacobi5")
+    with pytest.raises(ValueError, match="too small"):
+        make_rma_plan(spec, (8, 40), mesh_shape=(2,), sweeps_per_call=8)
 
 
 def test_registry_entry():
@@ -86,6 +180,25 @@ def test_registry_entry():
     out = runner.iterate(grid, 4)
     ref = golden.golden_iterate(
         np.zeros((64, 40), np.float64), spec, 4, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6
+    )
+
+
+def test_registry_entry_2d_mesh_temporal():
+    from stencil_tpu import registry
+    from stencil_tpu.config import RunConfig
+
+    spec = get_spec("jacobi7")
+    cfg = RunConfig(size=(16, 32, 20), spec="jacobi7", mesh=(2, 4),
+                    temporal=2)
+    grid = HaloGrid.create((16, 32, 20), halo=1)
+    runner = registry.get_runner("rma", cfg, spec, grid)
+    assert runner.granularity == 2
+    out = runner.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((16, 32, 20), np.float64), spec, 4, bc=grid.bc
     )
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6

@@ -27,7 +27,9 @@ def run_case(spec, shape, axis_sizes, axis_names, iters, overlap,
 
 
 def test_devices_available():
-    assert len(jax.devices()) == 8
+    # >= 8 so every 8-device mesh below is buildable (the conftest forces
+    # 10: 8 + spares for the interpret-mode callback deadlock, see there)
+    assert len(jax.devices()) >= 8
 
 
 @pytest.mark.parametrize("overlap", [False, True])
