@@ -59,8 +59,11 @@ def check_method(config: RunConfig, spec, runner) -> golden.CheckResult:
             bc=grid.bc,
         )
     out = runner.iterate(grid, iters)
+    tol = config.check_tolerance
+    if tol is None:
+        tol = 3e-2 if config.dtype == "bfloat16" else 1e-4
     return golden.check_against_golden(
-        np.asarray(out.interior()), ref, tolerance=config.check_tolerance
+        np.asarray(out.interior()), ref, tolerance=tol
     )
 
 

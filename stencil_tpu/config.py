@@ -45,7 +45,10 @@ class RunConfig:
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
     check: bool = False                  # (-c, reference -c/--check-result)
-    check_tolerance: float = 1e-4        # reference bar (stencil.cpp:137)
+    # None = per-dtype default: 1e-4 for float32 (reference bar,
+    # stencil.cpp:137), 3e-2 for bfloat16 (its ~3 significant digits
+    # make the float32 bar a guaranteed false failure)
+    check_tolerance: Optional[float] = None
     warmup: int = 1                      # untimed warmup sweeps (x granularity)
 
     # checkpoint/resume (reference has none — SURVEY §5)
@@ -116,7 +119,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "report, reference -R) and marginal-timing "
                         "repeats")
     p.add_argument("-c", "--check-result", action="store_true", dest="check")
-    p.add_argument("--check-tolerance", type=float, default=1e-4)
+    p.add_argument("--check-tolerance", type=float, default=None,
+                   help="|err| bar for -c; default 1e-4 (float32, the "
+                        "reference bar) or 3e-2 (bfloat16)")
     p.add_argument("--warmup", type=int, default=1,
                    help="untimed warmup sweeps before timing (scaled by "
                         "the method's granularity)")

@@ -71,6 +71,10 @@ class TiledPlan:
     # HBM at all, boundary lanes synthesized in-register (fastest:
     # measured 106 vs 61 GLUPS at 256^3 k=8 on v5e)
     tap_mode: str = "synth"
+    # False = serialized DMA (wait every copy around compute): the
+    # measurement baseline that quantifies the double-buffered pipeline's
+    # DMA/compute overlap (results/overlap.md)
+    pipeline: bool = True
 
     @property
     def halo(self) -> int:
@@ -144,7 +148,8 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
                     vmem_budget=DEFAULT_VMEM_BUDGET,
-                    vmem_limit=None, tap_mode=None) -> TiledPlan:
+                    vmem_limit=None, tap_mode=None,
+                    pipeline=True) -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if tap_mode is None:
@@ -189,7 +194,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
-                     tap_mode=tap_mode)
+                     tap_mode=tap_mode, pipeline=pipeline)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -480,6 +485,24 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         fill_d2_ghosts(otile.at[0], (s0, ot_d1))
         fill_d2_ghosts(otile.at[1], (s0, ot_d1))
 
+        if not plan.pipeline:
+            # serialized-DMA reference mode (measurement baseline for the
+            # double-buffered pipeline below — the analog of running the
+            # reference without its async iget/iput overlap): every DMA is
+            # waited before compute touches the tile and the writeback is
+            # drained before the next tile starts
+            def body_serial(i, _):
+                sl = lax.rem(i, 2)
+                in_copy(i, sl).start()
+                in_copy(i, sl).wait()
+                compute(sl, i)
+                out_copy(i, sl).start()
+                out_copy(i, sl).wait()
+                return 0
+
+            lax.fori_loop(0, nt, body_serial, 0)
+            return
+
         in_copy(0, 0).start()
 
         @pl.when(nt > 1)
@@ -600,10 +623,10 @@ class TiledPallasStencil:
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
-                 tap_mode=None):
+                 tap_mode=None, pipeline=True):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
-                                    vmem_limit, tap_mode)
+                                    vmem_limit, tap_mode, pipeline)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -620,6 +643,11 @@ class TiledPallasStencil:
         return _cached_tiled_runner(self.plan, bc, self.interpret)
 
     def iterate(self, grid: HaloGrid, iterations: int) -> HaloGrid:
+        if jnp.dtype(grid.data.dtype) != jnp.dtype(self.plan.dtype):
+            raise ValueError(
+                f"grid dtype {grid.data.dtype} != plan dtype "
+                f"{self.plan.dtype}; pass dtype= when constructing "
+                "TiledPallasStencil")
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data
@@ -634,6 +662,7 @@ class TiledPallasStencil:
                 vmem_budget=self.vmem_budget,
                 vmem_limit=self.plan.vmem_limit,
                 tap_mode=self.plan.tap_mode,
+                pipeline=self.plan.pipeline,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

@@ -153,3 +153,18 @@ def test_plan_rejects_bad_shapes():
         make_plan(S.jacobi5(), (20, 48), slab=20)  # rows % 8
     with pytest.raises(ValueError):
         make_plan(S.star(1, 1) if False else S.jacobi5(), (16,))  # 1D
+
+
+def test_2d_bf16_synth_matches_golden():
+    # bf16 lane rolls lower via ops.rolls.lane_roll's int32 bitcast
+    grid = HaloGrid.create((32, 40), halo=1, dtype="bfloat16")
+    m = PallasStencil(S.get_spec("jacobi5"), (32, 40), "bfloat16",
+                      sweeps_per_call=2, interpret=True)
+    assert m.plan.tap_mode == "synth"
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((32, 40), np.float64), S.get_spec("jacobi5"), 4, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )

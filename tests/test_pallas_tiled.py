@@ -137,3 +137,52 @@ def test_synth_layout_has_no_d2_ghosts():
                            tap_mode="synth")
     assert plan.layout.pads[2] == (0, 0)
     assert plan.layout.padded_shape[2] == 128
+
+
+def test_serialized_dma_matches_golden():
+    # pipeline=False = serialized-DMA measurement baseline (overlap.md);
+    # must be numerically identical to the double-buffered pipeline
+    grid = HaloGrid.create((16, 16, 24), halo=1, dtype="float32")
+    m = TiledPallasStencil(get_spec("jacobi7"), (16, 16, 24),
+                           sweeps_per_call=2, interpret=True,
+                           pipeline=False)
+    out = m.iterate(grid, 6)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 24), np.float64), get_spec("jacobi7"), 6,
+        bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_bf16_defaults_to_synth_and_matches_golden():
+    # 16-bit lane rolls lower through ops.rolls.lane_roll (int32 bitcast);
+    # bf16 therefore gets synth-mode taps (round 1 fell back to slice)
+    grid = HaloGrid.create((16, 16, 24), halo=1, dtype="bfloat16")
+    m = TiledPallasStencil(get_spec("jacobi7"), (16, 16, 24), "bfloat16",
+                           sweeps_per_call=2, interpret=True)
+    assert m.plan.tap_mode == "synth"
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 24), np.float64), get_spec("jacobi7"), 4,
+        bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )
+
+
+def test_bf16_box_separable_synth():
+    grid = HaloGrid.create((16, 16, 24), halo=1, dtype="bfloat16")
+    m = TiledPallasStencil(get_spec("jacobi27"), (16, 16, 24), "bfloat16",
+                           sweeps_per_call=2, tiles=(8, 16), interpret=True)
+    assert m.plan.tap_mode == "synth"
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 24), np.float64), get_spec("jacobi27"), 4,
+        bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )
