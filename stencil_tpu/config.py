@@ -41,6 +41,9 @@ class RunConfig:
     temporal: int = 1                    # sweeps per HBM round trip (k)
     mesh: Tuple[int, ...] = ()           # device mesh axis sizes ('' = single device)
     no_overlap: bool = False             # disable comm/compute overlap (sharded)
+    # kernel tap-evaluation strategy override for the pallas methods
+    # (None = per-dtype default): slice | roll | synth | rotacc
+    tap_mode: Optional[str] = None
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -114,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-overlap", action="store_true",
                    help="disable the interior-first comm/compute overlap "
                         "in the 'sharded' method")
+    p.add_argument("--tap-mode", type=str, default=None,
+                   choices=["slice", "roll", "synth", "rotacc"],
+                   help="tap evaluation strategy for the pallas kernels "
+                        "(default: per-dtype best)")
     p.add_argument("-R", "--repeat", type=int, default=1,
                    help="timed wall-clock repeats (per-run + average "
                         "report, reference -R) and marginal-timing "
@@ -159,6 +166,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         temporal=ns.temporal,
         mesh=tuple(ns.mesh),
         no_overlap=ns.no_overlap,
+        tap_mode=ns.tap_mode,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

@@ -86,8 +86,8 @@ class CheckResult:
     def message(self) -> str:
         if self.ok:
             return (
-                f"OK (max abs err {self.max_abs_err:.3e}, "
-                f"max rel err {self.max_rel_err:.3e})"
+                f"max abs err {self.max_abs_err:.3e}, "
+                f"max rel err {self.max_rel_err:.3e}"
             )
         idx, got, want = self.first_mismatch
         return (

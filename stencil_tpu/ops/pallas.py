@@ -160,6 +160,7 @@ def make_plan(
     sweeps_per_call: int = 1,
     slab: Optional[int] = None,
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    tap_mode: Optional[str] = None,
 ) -> SlabPlan:
     if spec.ndim != len(interior_shape):
         raise ValueError("spec rank does not match shape rank")
@@ -189,8 +190,17 @@ def make_plan(
     )
     import numpy as np
 
-    tap_mode = "slice"
-    if len(interior_shape) == 2 and np.dtype(dtype).itemsize in (2, 4):
+    if tap_mode is None:
+        tap_mode = ("synth" if len(interior_shape) == 2
+                    and np.dtype(dtype).itemsize in (2, 4) else "slice")
+    if tap_mode in ("synth", "rotacc") and len(interior_shape) != 2:
+        raise ValueError(f"{tap_mode} tap mode is 2D-only in the slab kernel")
+    if tap_mode == "rotacc" and np.dtype(dtype).itemsize != 4:
+        raise ValueError(
+            "rotacc tap mode needs a 4-byte dtype (sublane rotates of "
+            "16-bit dtypes have no Mosaic-safe lowering for odd shifts)"
+        )
+    if tap_mode in ("synth", "rotacc"):
         # drop the lane ghosts: synthesize boundary lanes in-register
         n1 = interior_shape[1]
         layout = PaddedLayout(
@@ -198,7 +208,6 @@ def make_plan(
             pads=(layout.pads[0], (0, round_up(n1, 128) - n1)),
             halo=layout.halo,
         )
-        tap_mode = "synth"
     return SlabPlan(
         spec=spec,
         interior_shape=tuple(interior_shape),
@@ -345,6 +354,79 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             acc = acc * jnp.asarray(uw, dtype)
         return acc
 
+    def taps_rotacc(src_val, lead_a: int, n0: int) -> jax.Array:
+        """Full-extent rotate-accumulate (2D, 32-bit dtypes).
+
+        taps_synth pays one sublane-misaligned slice relayout per LEAD
+        tap; here lead offsets are sublane rotates of the full window
+        (cached per distinct (o0, o1) with the lane rotate + boundary
+        synthesis composed), and the single misaligned slice happens
+        once on the accumulated result. Wrapped rotate values never
+        reach used output cells: every used read stays >= r inside the
+        window in the lead dim (lead_a >= r by construction).
+        """
+        uw = spec.uniform_weight
+        lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 1)
+        rolled = {(0, 0): src_val}
+
+        def get_rot(o0, o1):
+            if (o0, o1) not in rolled:
+                t = src_val
+                if o0:
+                    t = pltpu.roll(t, (-o0) % win_lead, 0)
+                if o1:
+                    t = lane_roll(t, (-o1) % P1_2d, 1)
+                    if o1 > 0:
+                        t = jnp.where(lanes >= n1_2d - o1,
+                                      jnp.asarray(lane_hi_bc, dtype), t)
+                    else:
+                        t = jnp.where(lanes < -o1,
+                                      jnp.asarray(lane_lo_bc, dtype), t)
+                rolled[(o0, o1)] = t
+            return rolled[(o0, o1)]
+
+        ubmc = spec.uniform_box_minus_center
+        if ubmc is not None:
+            # separable box in rotacc form: the lead pass is sublane
+            # rotates instead of misaligned slices; lane pass as in
+            # taps_synth (ghost lanes pin to (2r+1) * face value)
+            rr = spec.radius
+            side = 2 * rr + 1
+            u = None
+            for o in range(-rr, rr + 1):
+                t = src_val if o == 0 else pltpu.roll(src_val,
+                                                      (-o) % win_lead, 0)
+                u = t if u is None else u + t
+            wsum = None
+            for o in range(-rr, rr + 1):
+                if o == 0:
+                    t = u
+                else:
+                    t = lane_roll(u, (-o) % P1_2d, 1)
+                    if o > 0:
+                        t = jnp.where(lanes >= n1_2d - o,
+                                      jnp.asarray(lane_hi_bc * side, dtype),
+                                      t)
+                    else:
+                        t = jnp.where(lanes < -o,
+                                      jnp.asarray(lane_lo_bc * side, dtype),
+                                      t)
+                wsum = t if wsum is None else wsum + t
+            out = (wsum - src_val) * jnp.asarray(ubmc, dtype)
+            return lax.slice(out, (lead_a, 0), (lead_a + n0, n1_2d))
+
+        acc = None
+        for w, offs in spec.weight_groups():
+            gacc = None
+            for off in offs:
+                tap = get_rot(off[0], off[1])
+                gacc = tap if gacc is None else gacc + tap
+            term = gacc if uw is not None else gacc * jnp.asarray(w, dtype)
+            acc = term if acc is None else acc + term
+        if uw is not None:
+            acc = acc * jnp.asarray(uw, dtype)
+        return lax.slice(acc, (lead_a, 0), (lead_a + n0, n1_2d))
+
     def minor_interior_idx(lead_slice):
         return (lead_slice,) + tuple(
             slice(minor_lo[d - 1], minor_lo[d - 1] + minor_interior[d - 1])
@@ -404,7 +486,8 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
 
         def compute(sl, slab_i):
             """k virtual sweeps on slot ``sl``; result lands in otile[sl]."""
-            taps = taps_synth if plan.tap_mode == "synth" else taps_into
+            taps = {"synth": taps_synth,
+                    "rotacc": taps_rotacc}.get(plan.tap_mode, taps_into)
             start = slab_start(slab_i)
             # pin physical Dirichlet ghosts only where this block's edge IS
             # the physical boundary. pins_ref[0]/[1] are 0 on mesh-interior
@@ -590,10 +673,11 @@ class PallasStencil:
         slab: Optional[int] = None,
         interpret: bool = False,
         vmem_budget: int = DEFAULT_VMEM_BUDGET,
+        tap_mode: Optional[str] = None,
     ):
         self.plan = make_plan(
             spec, tuple(interior_shape), dtype, sweeps_per_call, slab,
-            vmem_budget,
+            vmem_budget, tap_mode,
         )
         self.spec = spec
         self.interpret = interpret
@@ -618,6 +702,11 @@ class PallasStencil:
     # -- main entry ------------------------------------------------------------
 
     def iterate(self, grid: HaloGrid, iterations: int) -> HaloGrid:
+        if jnp.dtype(grid.data.dtype) != jnp.dtype(self.plan.dtype):
+            raise ValueError(
+                f"grid dtype {grid.data.dtype} != plan dtype "
+                f"{self.plan.dtype}; pass dtype= when constructing "
+                "PallasStencil")
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data
@@ -630,6 +719,7 @@ class PallasStencil:
                 self.spec, self.plan.interior_shape, self.plan.dtype,
                 sweeps_per_call=rem, slab=self.plan.slab,
                 interpret=self.interpret, vmem_budget=self.vmem_budget,
+                tap_mode=self.plan.tap_mode,
             )
             run = _cached_iterate(rem_method.plan, grid.bc, self.interpret,
                                   grid.halo)

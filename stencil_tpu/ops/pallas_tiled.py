@@ -97,7 +97,7 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
-    P2 = (round_up(shape[2], 128) if tap_mode == "synth"
+    P2 = (round_up(shape[2], 128) if tap_mode in ("synth", "rotacc")
           else round_up(shape[2] + 2 * kr, 128))
     w0, w1 = s0 + 2 * kr, t1 + 2 * p1
     itemsize = np.dtype(dtype).itemsize
@@ -182,7 +182,12 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         )
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
-    if tap_mode == "synth":
+    if tap_mode == "rotacc" and jnp.dtype(dtype).itemsize != 4:
+        raise ValueError(
+            "rotacc tap mode needs a 4-byte dtype (sublane rotates of "
+            "16-bit dtypes have no Mosaic-safe lowering for odd shifts)"
+        )
+    if tap_mode in ("synth", "rotacc"):
         # no d2 ghost columns in HBM at all: lane width is exactly
         # round_up(n2, 128); boundary columns are synthesized in-register
         n2 = interior_shape[2]
@@ -405,8 +410,104 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 acc = acc * jnp.asarray(uw, dtype)
             return acc
 
+        def taps_rotacc(src_val, a0, m0, a1, m1):
+            """Full-minor-extent rotate-accumulate evaluation (32-bit).
+
+            synth mode pays one misaligned 3D-slice relayout per d0/d1
+            tap (the d1 window phase ``a1`` is not a sublane multiple),
+            which dominates high-order stencils. Here every tap keeps
+            the FULL (d1, d2) extents: a d0 offset is a major-dim slice
+            (layout-preserving — only the page index changes), a d1/d2
+            offset is a single full-window sublane/lane rotate cached
+            per distinct (o1, o2), and the one misaligned slice happens
+            ONCE on the accumulated result. Wrapped rotate values never
+            reach used output cells (every used read stays >= r inside
+            the window in d0/d1), and d2 boundary lanes are synthesized
+            in-register exactly as in synth mode. Sublane rotates of
+            16-bit dtypes have no Mosaic-safe lowering for odd shifts
+            (the int32 bitcast pairs sublanes), so this mode is gated
+            to 4-byte dtypes in make_tiled_plan.
+            """
+            uw = spec.uniform_weight
+            lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 2)
+
+            rolled = {(0, 0): src_val}
+
+            def get_rot(o1, o2):
+                if (o1, o2) not in rolled:
+                    t = src_val
+                    if o1:
+                        t = pltpu.roll(t, (-o1) % w1, 1)
+                    if o2:
+                        t = lane_roll(t, (-o2) % P2, 2)
+                        if o2 > 0:
+                            t = jnp.where(lanes >= n2 - o2 + d2_lo,
+                                          jnp.asarray(d2_hi_bc, dtype), t)
+                        else:
+                            t = jnp.where(lanes < d2_lo - o2,
+                                          jnp.asarray(d2_lo_bc, dtype), t)
+                    rolled[(o1, o2)] = t
+                return rolled[(o1, o2)]
+
+            def d0slice(x, o0):
+                return lax.slice(x, (a0 + o0, 0, 0),
+                                 (a0 + o0 + m0, w1, P2))
+
+            ubmc = spec.uniform_box_minus_center
+            if ubmc is not None:
+                # separable box in rotacc form: per-dim (2r+1)-tap passes
+                # where d0 taps are major slices and d1/d2 taps rotates
+                # of the partial sums; the d2 pass's ghost lanes read
+                # side^2 * face (constant d2 columns through both prior
+                # passes), exactly as in taps_synth.
+                side = 2 * r + 1
+                u = None
+                for o in range(-r, r + 1):
+                    t = d0slice(src_val, o)
+                    u = t if u is None else u + t
+                v = None
+                for o in range(-r, r + 1):
+                    t = u if o == 0 else pltpu.roll(u, (-o) % w1, 1)
+                    v = t if v is None else v + t
+                lanes2 = lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                wsum = None
+                for o in range(-r, r + 1):
+                    if o == 0:
+                        t = v
+                    else:
+                        t = lane_roll(v, (-o) % P2, 2)
+                        if o > 0:
+                            t = jnp.where(
+                                lanes2 >= n2 - o + d2_lo,
+                                jnp.asarray(d2_hi_bc * side * side, dtype),
+                                t,
+                            )
+                        else:
+                            t = jnp.where(
+                                lanes2 < d2_lo - o,
+                                jnp.asarray(d2_lo_bc * side * side, dtype),
+                                t,
+                            )
+                    wsum = t if wsum is None else wsum + t
+                out = (wsum - d0slice(src_val, 0)) * jnp.asarray(ubmc, dtype)
+                return lax.slice(out, (0, a1, d2_lo),
+                                 (m0, a1 + m1, d2_lo + n2))
+
+            acc = None
+            for wgt, offs in spec.weight_groups():
+                gacc = None
+                for off in offs:
+                    tap = d0slice(get_rot(off[1], off[2]), off[0])
+                    gacc = tap if gacc is None else gacc + tap
+                term = gacc if uw is not None else gacc * jnp.asarray(wgt,
+                                                                      dtype)
+                acc = term if acc is None else acc + term
+            if uw is not None:
+                acc = acc * jnp.asarray(uw, dtype)
+            return lax.slice(acc, (0, a1, d2_lo), (m0, a1 + m1, d2_lo + n2))
+
         taps_into = {"slice": taps_slice, "roll": taps_roll,
-                     "synth": taps_synth}[plan.tap_mode]
+                     "synth": taps_synth, "rotacc": taps_rotacc}[plan.tap_mode]
 
         def pin(dst, i, need):
             """Re-pin physical ghosts of the compute buffer after an

@@ -80,6 +80,7 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         sweeps_per_call=k,
         slab=config.block if config is not None else None,
         interpret=not _on_tpu(),
+        tap_mode=getattr(config, "tap_mode", None),
     )
     return Runner(
         name="pallas" if k == 1 else f"pallas_temporal(k={k})",
@@ -112,6 +113,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         sweeps_per_call=k,
         tiles=tiles,
         interpret=not _on_tpu(),
+        tap_mode=getattr(config, "tap_mode", None),
     )
     return Runner(
         name=(f"pallas_tiled(k={k},{method.plan.s0}x{method.plan.t1})"),

@@ -168,3 +168,25 @@ def test_2d_bf16_synth_matches_golden():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("specname", ["jacobi5", "jacobi9", "laplace2d_ho"])
+def test_2d_rotacc_matches_golden(specname):
+    # lead taps as sublane rotates, one misaligned slice per sweep
+    spec = S.get_spec(specname)
+    shape = (32, 40)
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype="float32")
+    m = PallasStencil(spec, shape, sweeps_per_call=2, interpret=True,
+                      tap_mode="rotacc")
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_2d_rotacc_rejects_16bit():
+    with pytest.raises(ValueError, match="rotacc"):
+        PallasStencil(S.get_spec("jacobi5"), (32, 40), "bfloat16",
+                      sweeps_per_call=2, tap_mode="rotacc")

@@ -95,7 +95,7 @@ def test_matches_slab_kernel():
     )
 
 
-@pytest.mark.parametrize("mode", ["roll", "synth"])
+@pytest.mark.parametrize("mode", ["roll", "synth", "rotacc"])
 def test_tap_modes_match_golden(mode):
     """Alternative tap evaluation strategies are numerically identical to
     the default shifted-slice taps."""
@@ -186,3 +186,38 @@ def test_bf16_box_separable_synth():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("specname,tiles", [
+    ("laplace3d_ho", (8, 8)),   # radius-2 star: the rotacc target config
+    ("jacobi27", (8, 16)),      # uniform box: separable rotacc path
+    ("star3d_r2", None),
+])
+def test_rotacc_specs_match_golden(specname, tiles):
+    # full-extent rotate-accumulate: ONE misaligned slice per sweep
+    # instead of one per d0/d1 tap (see taps_rotacc docstring)
+    spec = get_spec(specname)
+    shape = (16, 16, 24)
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=tiles,
+                           interpret=True, tap_mode="rotacc")
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros(shape, np.float64), spec, 4, bc=grid.bc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_rotacc_rejects_16bit():
+    with pytest.raises(ValueError, match="rotacc"):
+        TiledPallasStencil(get_spec("jacobi7"), (16, 16, 24), "bfloat16",
+                           sweeps_per_call=2, tap_mode="rotacc")
+
+
+def test_rotacc_layout_has_no_d2_ghosts():
+    m = TiledPallasStencil(get_spec("laplace3d_ho"), (16, 16, 24),
+                           sweeps_per_call=2, tiles=(8, 8), interpret=True,
+                           tap_mode="rotacc")
+    assert m.plan.layout.pads[2] == (0, 104)
