@@ -191,8 +191,22 @@ def make_plan(
     import numpy as np
 
     if tap_mode is None:
-        tap_mode = ("synth" if len(interior_shape) == 2
-                    and np.dtype(dtype).itemsize in (2, 4) else "slice")
+        # measured on v5e (results/baseline_configs.md): rotacc >= synth
+        # everywhere for fp32 2D and ~2x on the separable box at shallow k
+        # (9-pt 4096^2 k=4: 103.5 vs 52.7 GLUPS); 16-bit dtypes cannot
+        # rotate sublanes (odd shifts) and keep synth
+        if len(interior_shape) != 2:
+            tap_mode = "slice"
+        elif np.dtype(dtype).itemsize == 4:
+            tap_mode = "rotacc"
+        elif np.dtype(dtype).itemsize == 2:
+            tap_mode = "synth"
+        else:
+            tap_mode = "slice"
+    if tap_mode not in ("slice", "synth", "rotacc"):
+        raise ValueError(
+            f"slab kernel tap_mode {tap_mode!r} not in slice/synth/rotacc"
+        )
     if tap_mode in ("synth", "rotacc") and len(interior_shape) != 2:
         raise ValueError(f"{tap_mode} tap mode is 2D-only in the slab kernel")
     if tap_mode == "rotacc" and np.dtype(dtype).itemsize != 4:

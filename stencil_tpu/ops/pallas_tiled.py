@@ -46,8 +46,12 @@ from stencil_tpu.ops.rolls import lane_roll
 # v5e handles explicit-buffer footprints well past Mosaic's 16MB default
 # scoped limit (the kernel raises vmem_limit_bytes accordingly); measured
 # 256^3 fp32 k=8 synth taps: tiles 64x64 (~35MB buffers) -> 106.3 GLUPS
-# vs 32x64 slice taps -> 61.3 GLUPS vs pure XLA -> 11.5 GLUPS.
-DEFAULT_VMEM_BUDGET = 36 * 1024 * 1024
+# vs 32x64 slice taps -> 61.3 GLUPS vs pure XLA -> 11.5 GLUPS. The 52MB
+# budget admits 64x64 for the radius-2 384^3 config (measured 47.3 vs
+# 45.1 GLUPS at 32x64, ~50MB buffers at an 80MB scoped limit) while
+# still excluding the tile shapes measured to hard-crash the compiler
+# (bf16 64x256 / 128x128, ~64MB+).
+DEFAULT_VMEM_BUDGET = 52 * 1024 * 1024
 DEFAULT_VMEM_LIMIT = 48 * 1024 * 1024
 
 
@@ -160,12 +164,16 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if tap_mode is None:
-        # synth is fastest; its lane rotates go through ops.rolls.lane_roll,
-        # which lowers 16-bit rolls via an int32 bitcast (plain pltpu.roll
-        # crashes Mosaic for sub-32-bit dtypes — bisected on v5e)
+        # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
+        # k=8: 111.3 vs 111.7) and beats it on boxes (27-pt 256^3 k=8:
+        # 109.7 vs 93.4) for fp32; 16-bit dtypes cannot rotate sublanes
+        # (odd shifts have no Mosaic-safe bitcast lowering) and use synth,
+        # whose lane rotates go through ops.rolls.lane_roll's int32
+        # bitcast (plain pltpu.roll crashes Mosaic on sub-32-bit dtypes)
         import numpy as np
 
-        tap_mode = "synth" if np.dtype(dtype).itemsize in (2, 4) else "slice"
+        itemsize = np.dtype(dtype).itemsize
+        tap_mode = {4: "rotacc", 2: "synth"}.get(itemsize, "slice")
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
                              vmem_budget, tap_mode)
@@ -189,6 +197,11 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         )
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
+    if tap_mode not in ("slice", "roll", "synth", "rotacc"):
+        raise ValueError(
+            f"tiled kernel tap_mode {tap_mode!r} not in "
+            "slice/roll/synth/rotacc"
+        )
     if tap_mode == "rotacc" and jnp.dtype(dtype).itemsize != 4:
         raise ValueError(
             "rotacc tap mode needs a 4-byte dtype (sublane rotates of "
@@ -203,6 +216,13 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             pads=layout.pads[:2] + ((0, round_up(n2, 128) - n2),),
             halo=layout.halo,
         )
+    if vmem_limit is None:
+        # scale Mosaic's scoped-VMEM limit with the actual buffer estimate
+        # (with headroom for tap temporaries) so budget-legal tile choices
+        # never trip the compiler's default 16MB / our 48MB floor
+        est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
+                          s0, t1, tap_mode)
+        vmem_limit = max(DEFAULT_VMEM_LIMIT, int(est * 1.25))
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
