@@ -219,10 +219,20 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     if vmem_limit is None:
         # scale Mosaic's scoped-VMEM limit with the actual buffer estimate
         # (with headroom for tap temporaries) so budget-legal tile choices
-        # never trip the compiler's default 16MB / our 48MB floor
+        # never trip the compiler's default 16MB / our 48MB floor. rotacc
+        # keeps rolled full-window temporaries live across the weight-group
+        # accumulation, which needs ~2 windows beyond the generic headroom
+        # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
+        # 80MB limit and hard-crashes at 61MB).
+        import numpy as np
+
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
                           s0, t1, tap_mode)
-        vmem_limit = max(DEFAULT_VMEM_LIMIT, int(est * 1.25))
+        kr_ = sweeps_per_call * spec.radius
+        win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
+                 * layout.padded_shape[2] * np.dtype(dtype).itemsize)
+        extra = 2 * win_b if tap_mode == "rotacc" else 0
+        vmem_limit = max(DEFAULT_VMEM_LIMIT, int(est * 1.25) + extra)
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,

@@ -221,3 +221,48 @@ def test_rotacc_layout_has_no_d2_ghosts():
                            sweeps_per_call=2, tiles=(8, 8), interpret=True,
                            tap_mode="rotacc")
     assert m.plan.layout.pads[2] == (0, 104)
+
+
+def test_radius3_star_matches_golden():
+    # the framework is general-radius (reference: only DMA's general
+    # path supports r>1, stencil_dma.cpp:632-649); radius 3 exercises
+    # deeper halos and wider rotate distances than any BASELINE config
+    spec = star(3, 3)
+    shape = (16, 16, 24)
+    grid = HaloGrid.create(shape, halo=3, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=1, tiles=(8, 8),
+                           interpret=True)
+    out = m.iterate(grid, 3)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 3,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_random_specs_all_tap_modes_agree():
+    # property-style: random sparse 3D specs (incl. diagonal taps) must
+    # produce identical results under every tap evaluation strategy
+    from stencil_tpu.core.spec import weighted
+
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 24)
+    for trial in range(3):
+        n_taps = int(rng.integers(3, 9))
+        offs = set()
+        while len(offs) < n_taps:
+            offs.add(tuple(int(o) for o in rng.integers(-1, 2, size=3)))
+        taps = [(o, float(rng.uniform(-0.3, 0.3))) for o in offs]
+        sp = weighted(3, taps, name=f"rand{trial}")
+        grid = HaloGrid.create(shape, halo=sp.radius, dtype="float32")
+        outs = {}
+        for mode in ("slice", "roll", "synth", "rotacc"):
+            m = TiledPallasStencil(sp, shape, sweeps_per_call=2,
+                                   tiles=(8, 8), interpret=True,
+                                   tap_mode=mode)
+            outs[mode] = np.asarray(m.iterate(grid, 4).interior())
+        for mode in ("roll", "synth", "rotacc"):
+            np.testing.assert_allclose(
+                outs[mode], outs["slice"], atol=2e-6, rtol=2e-6,
+                err_msg=f"{mode} disagrees with slice on trial {trial}",
+            )
