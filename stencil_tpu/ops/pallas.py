@@ -191,14 +191,18 @@ def make_plan(
     import numpy as np
 
     if tap_mode is None:
-        # measured on v5e (results/baseline_configs.md): rotacc >= synth
-        # everywhere for fp32 2D and ~2x on the separable box at shallow k
-        # (9-pt 4096^2 k=4: 103.5 vs 52.7 GLUPS); 16-bit dtypes cannot
-        # rotate sublanes (odd shifts) and keep synth
+        # measured on v5e (results/baseline_configs.md): rotacc is ~2x on
+        # the separable box at shallow k (9-pt 4096^2 k=4: 103.5 vs 52.7
+        # GLUPS) but ~3% behind synth on deep-k stars (5-pt 4096^2 k=32:
+        # 170.0 vs 174-177 — full-window rotates compute the whole window
+        # every sweep where synth's shrinking slices do not), so the 2D
+        # fp32 default is spec-aware. 16-bit dtypes cannot rotate sublanes
+        # (odd shifts) and keep synth.
         if len(interior_shape) != 2:
             tap_mode = "slice"
         elif np.dtype(dtype).itemsize == 4:
-            tap_mode = "rotacc"
+            tap_mode = ("rotacc" if spec.uniform_box_minus_center is not None
+                        else "synth")
         elif np.dtype(dtype).itemsize == 2:
             tap_mode = "synth"
         else:
