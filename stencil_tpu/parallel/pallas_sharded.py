@@ -70,6 +70,59 @@ def _sharded_pallas_iterate_fn(method: "ShardedPallasStencil", mesh: Mesh,
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_pallas_full_fn(method: "ShardedPallasStencil", mesh: Mesh,
+                            bc: DirichletBC, grid_halo: int):
+    """End-to-end jitted grid.data -> grid.data: scatter (per-block pad),
+    n outer steps under shard_map, gather (per-block unpad) — ONE
+    device-resident dispatch per iterate() call.
+
+    This is the fix for the same flaw the round-1 review flagged on
+    RmaStencil (host-NumPy scatter/gather per call): on the tunneled TPU
+    backend the old NumPy path cost ~170 ms/sweep of device<->host
+    round trips at 256^3 (measured), reducing the production multi-chip
+    method to 0.1 GLUPS on hardware while being invisible on the CPU
+    mesh where host memory is device memory.
+    """
+    from stencil_tpu.core.grid import fill_halo
+
+    n = mesh.shape[method.axis_name]
+    plan = method.local_plan(n)
+    pspec = P(method.axis_name)
+    device_fn = method._device_fn(plan, bc)
+    mapped = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=(pspec, pspec, P()),
+        out_specs=(pspec, pspec), check_vma=False,
+    )
+    sharding = NamedSharding(mesh, pspec)
+    P0l = plan.layout.padded_shape[0]
+
+    @jax.jit
+    def run(data, n_outer):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        interior = data[idx]
+        blocks = jnp.split(interior, n, axis=0)
+        stacked = jnp.concatenate(
+            [plan.layout.pad(b, bc) for b in blocks], axis=0
+        )
+        stacked = lax.with_sharding_constraint(stacked, sharding)
+        # distinct buffer for the aliased kernel write (WAR hazard if it
+        # aliased ``stacked``, cf. PallasStencil.prepare)
+        scratch = jnp.copy(stacked)
+        out, _ = mapped(stacked, scratch, n_outer)
+        interiors = [
+            plan.layout.unpad(
+                lax.slice_in_dim(out, i * P0l, (i + 1) * P0l, axis=0)
+            )
+            for i in range(n)
+        ]
+        res = jnp.pad(jnp.concatenate(interiors, axis=0), h)
+        return fill_halo(res, h, bc)
+
+    return run
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardedPallasStencil:
     """Distributed Jacobi iteration: leading-dim sharding, per-device Pallas.
@@ -232,15 +285,14 @@ class ShardedPallasStencil:
     def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh) -> HaloGrid:
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
-        stacked = self.scatter(grid, mesh)
+        data = grid.data
         if n_outer:
-            scratch = jnp.array(stacked, copy=True)
-            stacked, _ = self.iterate_fn(mesh, grid.bc)(
-                stacked, scratch, jnp.int32(n_outer)
-            )
+            run = _sharded_pallas_full_fn(self, mesh, grid.bc, grid.halo)
+            data = run(data, jnp.int32(n_outer))
         if rem:
             # run the remainder at temporal depth = rem via a fresh handle
-            out = self.gather(stacked, mesh, grid)
             rem_method = dataclasses.replace(self, sweeps_per_call=rem)
-            return rem_method.iterate(out, rem, mesh)
-        return self.gather(stacked, mesh, grid)
+            run = _sharded_pallas_full_fn(rem_method, mesh, grid.bc,
+                                          grid.halo)
+            data = run(data, jnp.int32(1))
+        return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)
