@@ -72,9 +72,9 @@ def run_weak_scaling(
             sweeps_per_call=temporal, interpret=not on_tpu,
         )
 
-        # keep the sharded state device-resident across timed calls:
-        # iterate() would round-trip the whole global grid through host
-        # numpy per call, swamping the measurement
+        # time the raw sharded step on the stacked-padded state: iterate()
+        # is device-resident too, but re-pads/unpads the global array per
+        # call, which is not part of the steady-state scaling cost
         import jax.numpy as jnp
 
         stacked = method.scatter(grid, mesh)

@@ -94,3 +94,43 @@ def test_matches_single_device_bitwise():
         np.asarray(single.interior()),
         rtol=0, atol=1e-6,
     )
+
+
+def test_iterate_is_device_resident():
+    """Regression guard for the round-2 hardware finding: iterate() paths
+    must not fetch device data to the host (the NumPy scatter/gather that
+    ShardedPallasStencil.iterate used cost 170 ms/sweep on the tunneled
+    TPU — invisible on CPU, catastrophic on hardware)."""
+    import jax
+
+    from stencil_tpu.core.spec import get_spec
+    from stencil_tpu.ops.pallas import PallasStencil
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+    from stencil_tpu.parallel.halo import ShardedStencil, make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    spec = get_spec("jacobi7")
+    shape = (16, 16, 24)
+    g = HaloGrid.create(shape, halo=1, dtype="float32")
+    mesh = make_mesh((2,), ("x",))
+    methods = [
+        lambda grid, n: TiledPallasStencil(
+            spec, shape, sweeps_per_call=2, interpret=True
+        ).iterate(grid, n),
+        lambda grid, n: ShardedPallasStencil(
+            spec, shape, sweeps_per_call=2, interpret=True
+        ).iterate(grid, n, mesh),
+        lambda grid, n: ShardedStencil(
+            spec, ("x", None, None)
+        ).iterate(grid, n, mesh),
+    ]
+    g2 = HaloGrid.create((32, 40), halo=1, dtype="float32")
+    for fn in methods:
+        fn(g, 4)  # compile outside the guard
+        with jax.transfer_guard_device_to_host("disallow"):
+            fn(g, 4)
+    m2 = PallasStencil(get_spec("jacobi5"), (32, 40), sweeps_per_call=2,
+                       interpret=True)
+    m2.iterate(g2, 4)
+    with jax.transfer_guard_device_to_host("disallow"):
+        m2.iterate(g2, 4)
