@@ -451,8 +451,12 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             """Full-minor-extent rotate-accumulate evaluation (32-bit).
 
             synth mode pays one misaligned 3D-slice relayout per d0/d1
-            tap (the d1 window phase ``a1`` is not a sublane multiple),
-            which dominates high-order stencils. Here every tap keeps
+            tap (the d1 window phase ``a1`` is not a sublane multiple).
+            Removing those relayouts measures as a WASH on star stencils
+            (they were not the bottleneck — see docs/performance.md) but
+            ~1.2-2x on separable boxes, whose round-1 evaluator built
+            misaligned intermediates per pass; rotacc is the fp32
+            default on that evidence. Every tap keeps
             the FULL (d1, d2) extents: a d0 offset is a major-dim slice
             (layout-preserving — only the page index changes), a d1/d2
             offset is a single full-window sublane/lane rotate cached
