@@ -52,6 +52,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -315,7 +316,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             if o1 not in rolled:
                 t = lane_roll(src_val, (-o1) % P1_2d, 1)
                 if lanes is None:
-                    lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 1)
+                    lanes = lax.broadcasted_iota(jnp.int32, (1, P1_2d), 1)
                 if o1 > 0:
                     t = jnp.where(lanes >= n1_2d - o1,
                                   jnp.asarray(lane_hi_bc, dtype), t)
@@ -338,7 +339,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 t = lax.slice(src_val, (lead_a + o, 0),
                               (lead_a + o + n0, P1_2d))
                 u = t if u is None else u + t
-            lanes2 = lax.broadcasted_iota(jnp.int32, (n0, P1_2d), 1)
+            lanes2 = lax.broadcasted_iota(jnp.int32, (1, P1_2d), 1)
             wsum = None
             for o in range(-r, r + 1):
                 if o == 0:
@@ -384,7 +385,7 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         window in the lead dim (lead_a >= r by construction).
         """
         uw = spec.uniform_weight
-        lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 1)
+        lanes = lax.broadcasted_iota(jnp.int32, (1, P1_2d), 1)
         rolled = {(0, 0): src_val}
 
         def get_rot(o0, o1):
@@ -604,8 +605,18 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 has_side_effects=True,
                 # Mosaic's tap/stack temporaries for wide 2D rows can
                 # exceed the 16MB default scoped limit even when the
-                # explicit buffers respect the budget; headroom is cheap
-                vmem_limit_bytes=32 * 1024 * 1024,
+                # explicit buffers respect the budget; scale with the
+                # actual buffer estimate (+2 windows for rotacc's live
+                # rolled temporaries, cf. make_tiled_plan) so explicit
+                # large -b values don't hit a hardcoded wall
+                vmem_limit_bytes=max(
+                    32 * 1024 * 1024,
+                    int(_explicit_vmem_bytes(
+                        spec, plan.interior_shape, plan.dtype, k, slab
+                    ) * 1.25)
+                    + (2 * int(np.prod(win_shape)) * dtype.itemsize
+                       if plan.tap_mode == "rotacc" else 0),
+                ),
             ),
         )(pins, cur, nxt)
 

@@ -370,8 +370,11 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 if o2 not in rolled:
                     t = lane_roll(src_val, (-o2) % P2, 2)
                     if lanes is None:
+                        # (1, 1, P2) broadcasts in the select — a
+                        # full-window iota costs a window pass for what
+                        # is a per-lane predicate
                         lanes = lax.broadcasted_iota(
-                            jnp.int32, src_val.shape, 2
+                            jnp.int32, (1, 1, P2), 2
                         )
                     if o2 > 0:
                         t = jnp.where(lanes >= n2 - o2,
@@ -406,7 +409,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 # pass 2 (d2): full-width rolls of the partial sum with
                 # ghost lanes pinned to side^2 * face value
                 wsum = None
-                lanes2 = lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                lanes2 = lax.broadcasted_iota(jnp.int32, (1, 1, P2), 2)
                 for o in range(-r, r + 1):
                     if o == 0:
                         t = v
@@ -470,7 +473,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             to 4-byte dtypes in make_tiled_plan.
             """
             uw = spec.uniform_weight
-            lanes = lax.broadcasted_iota(jnp.int32, src_val.shape, 2)
+            lanes = lax.broadcasted_iota(jnp.int32, (1, 1, P2), 2)
 
             rolled = {(0, 0): src_val}
 
@@ -510,7 +513,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 for o in range(-r, r + 1):
                     t = u if o == 0 else pltpu.roll(u, (-o) % w1, 1)
                     v = t if v is None else v + t
-                lanes2 = lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                lanes2 = lax.broadcasted_iota(jnp.int32, (1, 1, P2), 2)
                 wsum = None
                 for o in range(-r, r + 1):
                     if o == 0:
