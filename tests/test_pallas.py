@@ -190,3 +190,12 @@ def test_2d_rotacc_rejects_16bit():
     with pytest.raises(ValueError, match="rotacc"):
         PallasStencil(S.get_spec("jacobi5"), (32, 40), "bfloat16",
                       sweeps_per_call=2, tap_mode="rotacc")
+
+
+def test_2d_default_tap_mode_is_spec_aware():
+    # fp32 2D: rotacc only for separable boxes (measured ~2x there,
+    # ~3% behind synth on deep-k stars); synth for stars; bf16 synth
+    assert make_plan(S.jacobi9(), (64, 64)).tap_mode == "rotacc"
+    assert make_plan(S.jacobi5(), (64, 64)).tap_mode == "synth"
+    assert make_plan(S.jacobi5(), (64, 64),
+                     "bfloat16").tap_mode == "synth"

@@ -266,3 +266,19 @@ def test_random_specs_all_tap_modes_agree():
                 outs[mode], outs["slice"], atol=2e-6, rtol=2e-6,
                 err_msg=f"{mode} disagrees with slice on trial {trial}",
             )
+
+
+def test_default_plans_match_measured_winners():
+    """The defaults encode measured v5e winners (baseline_configs.md);
+    changing choose_tiles/tap-mode heuristics must be deliberate."""
+    p = make_tiled_plan(get_spec("jacobi7"), (256, 256, 256), "float32",
+                        sweeps_per_call=8)
+    assert (p.s0, p.t1, p.tap_mode) == (64, 64, "rotacc")
+    p = make_tiled_plan(get_spec("jacobi7"), (256, 256, 256), "bfloat16",
+                        sweeps_per_call=8)
+    assert (p.s0, p.t1, p.tap_mode) == (64, 128, "synth")
+    p = make_tiled_plan(get_spec("laplace3d_ho"), (384, 384, 384),
+                        "float32", sweeps_per_call=4)
+    assert (p.s0, p.t1, p.tap_mode) == (64, 64, "rotacc")
+    # rotacc plans carry the rolled-temporary headroom in the limit
+    assert p.vmem_limit >= 80 * 2**20
