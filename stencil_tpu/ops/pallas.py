@@ -105,8 +105,6 @@ class SlabPlan:
 
 
 def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
-    import numpy as np
-
     from stencil_tpu.ops.layout import sublane_for_dtype
 
     layout = PaddedLayout.for_halo(tuple(shape), k * spec.radius,
@@ -189,8 +187,6 @@ def make_plan(
     layout = PaddedLayout.for_halo(
         tuple(interior_shape), sweeps_per_call * spec.radius, sublane
     )
-    import numpy as np
-
     if tap_mode is None:
         # measured on v5e (results/baseline_configs.md): rotacc is ~2x on
         # the separable box at shallow k (9-pt 4096^2 k=4: 103.5 vs 52.7

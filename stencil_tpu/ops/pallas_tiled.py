@@ -34,6 +34,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -96,8 +97,6 @@ class TiledPlan:
 
 
 def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
-    import numpy as np
-
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
@@ -163,15 +162,14 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     pipeline=True) -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
-    if tap_mode is None:
+    defaulted = tap_mode is None
+    if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
         # k=8: 111.3 vs 111.7) and beats it on boxes (27-pt 256^3 k=8:
         # 109.7 vs 93.4) for fp32; 16-bit dtypes cannot rotate sublanes
         # (odd shifts have no Mosaic-safe bitcast lowering) and use synth,
         # whose lane rotates go through ops.rolls.lane_roll's int32
         # bitcast (plain pltpu.roll crashes Mosaic on sub-32-bit dtypes)
-        import numpy as np
-
         itemsize = np.dtype(dtype).itemsize
         tap_mode = {4: "rotacc", 2: "synth"}.get(itemsize, "slice")
     if tiles is None:
@@ -195,6 +193,14 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             f"t1 must be a multiple of the sublane size {sublane} "
             f"(or the full dim {n1})"
         )
+    if defaulted and tap_mode == "rotacc" and t1 % sublane:
+        # whole-dim d1 tiles with a non-sublane-multiple extent give a
+        # window whose sublane dim is misaligned; rotacc's sublane
+        # rotates on such shapes are an untested-on-hardware Mosaic
+        # pattern (the repo's bisected crashers are all in this family),
+        # so the DEFAULT falls back to synth, which never sublane-rolls.
+        # An explicit tap_mode='rotacc' is honored.
+        tap_mode = "synth"
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
     if tap_mode not in ("slice", "roll", "synth", "rotacc"):
@@ -224,8 +230,6 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # accumulation, which needs ~2 windows beyond the generic headroom
         # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
         # 80MB limit and hard-crashes at 61MB).
-        import numpy as np
-
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
                           s0, t1, tap_mode)
         kr_ = sweeps_per_call * spec.radius
@@ -804,6 +808,7 @@ class TiledPallasStencil:
             rem_method = TiledPallasStencil(
                 self.spec, self.plan.interior_shape, self.plan.dtype,
                 sweeps_per_call=rem, interpret=self.interpret,
+                tiles=(self.plan.s0, self.plan.t1),
                 vmem_budget=self.vmem_budget,
                 vmem_limit=self.plan.vmem_limit,
                 tap_mode=self.plan.tap_mode,

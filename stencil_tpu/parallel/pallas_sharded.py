@@ -140,6 +140,7 @@ class ShardedPallasStencil:
     slab: Optional[int] = None
     interpret: bool = False
     vmem_budget: Optional[int] = None  # None = per-kernel default
+    tap_mode: Optional[str] = None     # None = per-dtype/per-spec default
 
     def local_plan(self, n_devices: int):
         """Per-device kernel plan: the 2D-tiled kernel for 3D grids (full
@@ -156,12 +157,12 @@ class ShardedPallasStencil:
                       if self.vmem_budget else {})
             return make_tiled_plan(
                 self.spec, local_shape, self.dtype, self.sweeps_per_call,
-                **kwargs,
+                tap_mode=self.tap_mode, **kwargs,
             )
         kwargs = {"vmem_budget": self.vmem_budget} if self.vmem_budget else {}
         return make_plan(
             self.spec, local_shape, self.dtype, self.sweeps_per_call,
-            self.slab, **kwargs,
+            self.slab, tap_mode=self.tap_mode, **kwargs,
         )
 
     # -- the per-device outer step (runs inside shard_map) -------------------

@@ -203,6 +203,7 @@ def make_sharded_pallas(config, spec, grid) -> Runner:
         sweeps_per_call=k,
         slab=config.block if config is not None else None,
         interpret=not _on_tpu(),
+        tap_mode=getattr(config, "tap_mode", None),
     )
     method.local_plan(n)  # validate divisibility/slab feasibility eagerly
     return Runner(

@@ -93,3 +93,16 @@ def test_registry_entry():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6
     )
+
+
+def test_sharded_pallas_tap_mode_plumbs_to_local_plan():
+    from stencil_tpu.core.spec import get_spec
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    m = ShardedPallasStencil(get_spec("jacobi7"), (32, 16, 24),
+                             sweeps_per_call=2, interpret=True,
+                             tap_mode="slice")
+    assert m.local_plan(2).tap_mode == "slice"
+    m = ShardedPallasStencil(get_spec("jacobi7"), (32, 16, 24),
+                             sweeps_per_call=2, interpret=True)
+    assert m.local_plan(2).tap_mode == "rotacc"

@@ -282,3 +282,26 @@ def test_default_plans_match_measured_winners():
     assert (p.s0, p.t1, p.tap_mode) == (64, 64, "rotacc")
     # rotacc plans carry the rolled-temporary headroom in the limit
     assert p.vmem_limit >= 80 * 2**20
+
+
+def test_full_d1_default_avoids_rotacc_sublane_rolls():
+    # whole-dim d1 tiles with a non-sublane-multiple extent give a
+    # misaligned sublane dim; the DEFAULT avoids rotacc's sublane
+    # rotates there (untested-on-hardware Mosaic pattern), explicit
+    # rotacc is honored
+    p = make_tiled_plan(get_spec("jacobi7"), (16, 20, 24), tiles=(8, 20))
+    assert p.tap_mode == "synth"
+    p = make_tiled_plan(get_spec("jacobi7"), (16, 20, 24), tiles=(8, 20),
+                        tap_mode="rotacc")
+    assert p.tap_mode == "rotacc"
+
+
+def test_remainder_keeps_pinned_tiles():
+    m = TiledPallasStencil(get_spec("jacobi7"), (16, 16, 24),
+                           sweeps_per_call=3, tiles=(8, 8), interpret=True)
+    grid = HaloGrid.create((16, 16, 24), halo=1, dtype="float32")
+    out = m.iterate(grid, 7)  # 2 outer steps + remainder 1
+    ref = golden.golden_iterate(np.zeros((16, 16, 24), np.float64),
+                                get_spec("jacobi7"), 7, bc=grid.bc)
+    np.testing.assert_allclose(np.asarray(out.interior(), np.float64), ref,
+                               atol=5e-6, rtol=5e-6)
