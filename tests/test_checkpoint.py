@@ -119,3 +119,29 @@ def test_bc_mismatch_rejected(tmp_path, setup):
         checkpoint.CheckpointedRun(
             runner, tmp_path, spec_name="jacobi5"
         ).run(other, 10)
+
+
+@pytest.mark.parametrize("method,cfg_kwargs", [
+    ("pallas", {"temporal": 2}),
+    ("sharded_pallas", {"temporal": 2, "mesh": (2,)}),
+])
+def test_checkpoint_resume_across_methods(tmp_path, method, cfg_kwargs):
+    """Resume must work with every kernel family, not just the xla
+    baseline — the Pallas paths carry padded layouts and (for sharded)
+    a device mesh, none of which may leak into the checkpoint state."""
+    spec = get_spec("jacobi7")
+    grid = HaloGrid.create((16, 16, 24), halo=1, dtype="float32")
+    cfg = RunConfig(size=(16, 16, 24), spec="jacobi7",
+                    methods=(method,), **cfg_kwargs)
+    runner = registry.get_runner(method, cfg, spec, grid)
+    ref = runner.iterate(grid, 12)
+    d = tmp_path / method
+    checkpoint.CheckpointedRun(runner, d, every=4,
+                               spec_name="jacobi7").run(grid, 8)
+    out, done = checkpoint.CheckpointedRun(
+        runner, d, every=4, spec_name="jacobi7"
+    ).run(grid, 12)
+    assert done == 12
+    np.testing.assert_allclose(
+        np.asarray(out.interior()), np.asarray(ref.interior()), atol=1e-6,
+    )

@@ -46,3 +46,27 @@ def test_progress_callback():
     solver.solve(runner, grid, tolerance=1e-5, check_every=100,
                  max_iterations=10_000, progress=msgs.append)
     assert msgs and all("residual" in m for m in msgs)
+
+
+def test_solver_with_temporal_pallas_kernel():
+    """The convergence loop composes with temporal blocking: check
+    intervals that are not multiples of k exercise the remainder-kernel
+    path inside a single solve."""
+    from stencil_tpu.config import RunConfig
+
+    spec = get_spec("jacobi5")
+    grid = HaloGrid.create((24, 24), halo=1, dtype="float32")
+    cfg = RunConfig(size=(24, 24), spec="jacobi5",
+                    methods=("pallas_temporal",), temporal=4)
+    runner = registry.get_runner("pallas_temporal", cfg, spec, grid)
+    res = solver.solve(runner, grid, tolerance=1e-6, check_every=150,
+                       max_iterations=50_000)
+    assert res.converged, res.summary()
+    # cross-method: identical steady state as the xla solver result
+    _, _, xruner = _runner((24, 24))
+    xres = solver.solve(xruner, grid, tolerance=1e-6, check_every=200,
+                        max_iterations=50_000)
+    np.testing.assert_allclose(
+        np.asarray(res.grid.interior()), np.asarray(xres.grid.interior()),
+        atol=1e-4,
+    )
