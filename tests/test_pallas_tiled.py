@@ -305,3 +305,23 @@ def test_remainder_keeps_pinned_tiles():
                                 get_spec("jacobi7"), 7, bc=grid.bc)
     np.testing.assert_allclose(np.asarray(out.interior(), np.float64), ref,
                                atol=5e-6, rtol=5e-6)
+
+
+@pytest.mark.parametrize("mode", ["slice", "synth", "rotacc"])
+def test_3d_custom_bc_all_tap_modes(mode):
+    """Per-face Dirichlet values flow through every tap strategy's
+    boundary synthesis (the in-register lane masks carry the d2 face
+    values; pins carry d0/d1) — a box spec reads every halo corner."""
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC(values=((2.0, -1.0), (0.5, 3.0), (-2.5, 4.0)))
+    shape = (16, 16, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32", bc=bc)
+    m = TiledPallasStencil(get_spec("jacobi27"), shape, sweeps_per_call=2,
+                           tiles=(8, 8), interpret=True, tap_mode=mode)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64),
+                                get_spec("jacobi27"), 4, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )

@@ -203,3 +203,24 @@ def test_registry_entry_2d_mesh_temporal():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6
     )
+
+
+def test_custom_bc_2d_mesh_box():
+    """Per-face Dirichlet values through the RMA kernel's local BC
+    synthesis on a 2D mesh — edge devices pin different faces, and a
+    box spec reads the halo corners the phase-ordered strips carry."""
+    from stencil_tpu.core.grid import DirichletBC
+
+    spec = get_spec("jacobi27")
+    bc = DirichletBC(values=((2.0, -1.0), (0.5, 3.0), (-2.5, 4.0)))
+    shape = (32, 32, 24)
+    mesh = make_mesh((2, 2), ("x", "y"))
+    grid = HaloGrid.create(shape, halo=1, dtype="float32", bc=bc)
+    m = RmaStencil(spec, shape, dtype="float32", sweeps_per_call=2,
+                   interpret=True)
+    out = m.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
