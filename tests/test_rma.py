@@ -224,3 +224,20 @@ def test_custom_bc_2d_mesh_box():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
     )
+
+
+def test_bf16_rma():
+    # the RMA kernel's strips/compute are dtype-generic; bf16 blocks
+    # halve VMEM residency (the reference is fp32-only)
+    spec = get_spec("jacobi5")
+    shape = (64, 40)
+    mesh = make_mesh((2,), ("x",))
+    grid = HaloGrid.create(shape, halo=1, dtype="bfloat16")
+    m = RmaStencil(spec, shape, dtype="bfloat16", sweeps_per_call=2,
+                   interpret=True)
+    out = m.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )

@@ -134,3 +134,23 @@ def test_iterate_is_device_resident():
     m2.iterate(g2, 4)
     with jax.transfer_guard_device_to_host("disallow"):
         m2.iterate(g2, 4)
+
+
+def test_bf16_sharded_pallas():
+    from stencil_tpu.core.spec import get_spec
+    from stencil_tpu.ops import golden
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    spec = get_spec("jacobi7")
+    shape = (32, 16, 24)
+    mesh = make_mesh((2,), ("x",))
+    grid = HaloGrid.create(shape, halo=1, dtype="bfloat16")
+    m = ShardedPallasStencil(spec, shape, dtype="bfloat16",
+                             sweeps_per_call=2, interpret=True)
+    out = m.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )
