@@ -215,6 +215,14 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
 def main(argv: Optional[Sequence[str]] = None) -> int:
     config = parse_args(argv)
     config.apply_platform()
+    try:
+        config.resolved_spec()
+    except (ValueError, KeyError) as e:
+        # config-level contradictions (spec/size rank mismatch, unknown
+        # spec) are user errors, not tracebacks — same contract as the
+        # per-method 'unavailable' reporting
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     timer = TinyTimer().start()
     results = run_all(config)
     if config.verbose:

@@ -288,3 +288,12 @@ def test_heat_matches_golden(rng):
     ref = golden.golden_iterate(x0, m.spec, 6, bc=g.bc)
     chk = golden.check_against_golden(np.asarray(out.interior()), ref)
     assert chk.ok, chk.message()
+
+
+def test_cli_spec_rank_mismatch_is_clean_error(capsys):
+    from stencil_tpu import cli
+
+    rc = cli.main(["-s", "64", "40", "64", "-m", "pallas", "-i", "2",
+                   "--platform", "cpu"])
+    assert rc == 2
+    assert "is 2D but size is 3D" in capsys.readouterr().err
