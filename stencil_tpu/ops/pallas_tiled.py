@@ -213,6 +213,16 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             "rotacc tap mode needs a 4-byte dtype (sublane rotates of "
             "16-bit dtypes have no Mosaic-safe lowering for odd shifts)"
         )
+    if tap_mode == "roll" and jnp.dtype(dtype).itemsize != 4:
+        # taps_roll issues raw pltpu.roll on both minor axes; sub-32-bit
+        # pltpu.roll is in the bisected Mosaic-crasher family (hard
+        # HTTP-500 on v5e, no diagnostic) — refuse cleanly instead.
+        # synth routes its lane rotates through ops.rolls.lane_roll's
+        # int32 bitcast and is the supported 16-bit path.
+        raise ValueError(
+            "roll tap mode needs a 4-byte dtype (pltpu.roll crashes the "
+            "Mosaic compiler on sub-32-bit dtypes); use synth for 16-bit"
+        )
     if tap_mode in ("synth", "rotacc"):
         # no d2 ghost columns in HBM at all: lane width is exactly
         # round_up(n2, 128); boundary columns are synthesized in-register

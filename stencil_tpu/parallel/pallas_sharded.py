@@ -284,6 +284,10 @@ class ShardedPallasStencil:
         )
 
     def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh) -> HaloGrid:
+        if jnp.dtype(grid.data.dtype) != jnp.dtype(self.dtype):
+            raise ValueError(
+                f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
+                "pass dtype= when constructing ShardedPallasStencil")
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

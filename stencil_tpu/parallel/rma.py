@@ -635,6 +635,10 @@ class RmaStencil:
         return _rma_full_fn(self, mesh, bc, halo, key_sweeps)
 
     def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh) -> HaloGrid:
+        if jnp.dtype(grid.data.dtype) != jnp.dtype(self.dtype):
+            raise ValueError(
+                f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
+                "pass dtype= when constructing RmaStencil")
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

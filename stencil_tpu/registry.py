@@ -231,6 +231,10 @@ def make_rma(config, spec, grid) -> Runner:
         mesh_sizes = tuple(config.mesh)
     else:
         mesh_sizes = (len(jax.devices()),)
+    if len(mesh_sizes) > 2:
+        # same user-facing message as make_rma_plan; validating here avoids
+        # an opaque shape mismatch inside Mesh construction for --mesh a b c
+        raise ValueError("mesh must be 1D or 2D over the leading grid dims")
     axes = ("x", "y")[: len(mesh_sizes)]
     mesh = make_mesh(mesh_sizes, axes)
     k = config.temporal if config is not None and config.temporal > 1 else 1

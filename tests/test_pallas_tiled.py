@@ -325,3 +325,33 @@ def test_3d_custom_bc_all_tap_modes(mode):
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
     )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("mode", ["slice", "roll", "synth", "rotacc"])
+def test_every_tap_mode_dtype_combo_is_safe(mode, dtype):
+    """Every tap_mode x dtype combination either matches golden or raises
+    a clean ValueError at plan time — no combination may reach Mosaic
+    with a member of the bisected-crasher family (raw ``pltpu.roll`` on
+    sub-32-bit dtypes: roll and rotacc both sublane-rotate, so both are
+    gated to 4-byte dtypes; synth lane-rotates through the int32 bitcast
+    of ``ops.rolls.lane_roll`` and is the supported 16-bit fast path)."""
+    spec = get_spec("jacobi7")
+    shape = (16, 16, 24)
+    grid = HaloGrid.create(shape, halo=1, dtype=dtype)
+    tiles = (8, 8) if dtype == "float32" else (8, 16)  # t1 % sublane == 0
+    gated = mode in ("roll", "rotacc") and dtype == "bfloat16"
+    if gated:
+        with pytest.raises(ValueError, match=mode):
+            TiledPallasStencil(spec, shape, dtype, sweeps_per_call=2,
+                               tiles=tiles, interpret=True, tap_mode=mode)
+        return
+    m = TiledPallasStencil(spec, shape, dtype, sweeps_per_call=2,
+                           tiles=tiles, interpret=True, tap_mode=mode)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    tol = 3e-2 if dtype == "bfloat16" else 5e-6
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=tol, rtol=tol
+    )
