@@ -115,13 +115,18 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=DEFAULT_VMEM_BUDGET,
                  tap_mode="synth", s0_fixed=None) -> Optional[Tuple[int, int]]:
-    """Pick (s0, t1) minimizing the halo-overfetch ratio
-    (s0+2kr)(t1+2p1)/(s0*t1) within budget; t1 % sublane == 0 and both
-    must divide the grid dims. The ratio predicts the measured winners
-    exactly where max-volume does not: fp32 jacobi7 256^3 k=8 -> 64x64
-    (106.3 GLUPS, beats same-volume 32x128 at 103.4) and bf16 -> 64x128
-    (139.7, beats same-volume 32x256 at 129.5). ``s0_fixed`` pins the d0
-    tile size (the CLI's -b/--block flag) and only t1 is chosen."""
+    """Pick (s0, t1) minimizing the fetched-window/useful-points ratio
+    ceil(n0/s0)*ceil(n1/t1)*(s0+2kr)(t1+2p1)/(n0*n1) within budget;
+    t1 % sublane == 0 (or the whole dim). Tiles need NOT divide the grid
+    dims: the kernel clamps the last tile per dim (overlapping windows,
+    identical overlap values), and the ceil-based ratio charges that
+    overlap, so divisors win whenever one is competitive. For divisible
+    candidates the ratio reduces to the round-2 halo-overfetch form,
+    which predicts the measured winners exactly where max-volume does
+    not: fp32 jacobi7 256^3 k=8 -> 64x64 (106.3 GLUPS, beats same-volume
+    32x128 at 103.4) and bf16 -> 64x128 (139.7, beats same-volume 32x256
+    at 129.5). ``s0_fixed`` pins the d0 tile size (the CLI's -b/--block
+    flag) and only t1 is chosen."""
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
     kr = sweeps_per_call * spec.radius
@@ -129,26 +134,30 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     best = None
     best_key = None
     if s0_fixed is not None:
-        if n0 % s0_fixed:
+        if s0_fixed > n0:
             raise ValueError(
-                f"block (d0 tile) {s0_fixed} must divide dim 0 ({n0})"
+                f"block (d0 tile) {s0_fixed} exceeds dim 0 ({n0})"
             )
         s0_c = [s0_fixed]
     else:
         s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
-                       if s <= n0 and n0 % s == 0})
+                       if s <= n0})
     # t1 must be a sublane multiple for aligned DMA window offsets — OR
     # the full dim (whole-dim windows are always legal)
     t1_c = sorted({t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
-                   if t % sublane == 0 and n1 % t == 0} | {n1})
+                   if t % sublane == 0 and t <= n1} | {n1})
     from fractions import Fraction
 
     for s0 in s0_c:
         for t1 in t1_c:
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
                            s0, t1, tap_mode) <= vmem_budget:
+                nt0 = -(-n0 // s0)
+                nt1 = -(-n1 // t1)
                 vol = s0 * t1
-                ratio = Fraction((s0 + 2 * kr) * (t1 + 2 * p1), vol)
+                ratio = Fraction(
+                    nt0 * nt1 * (s0 + 2 * kr) * (t1 + 2 * p1), n0 * n1
+                )
                 key = (-ratio, vol, t1)  # min ratio; ties: vol, then t1
                 if best_key is None or key > best_key:
                     best, best_key = (s0, t1), key
@@ -179,16 +188,16 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             sublane = sublane_for_dtype(dtype)
             raise ValueError(
                 f"no feasible (s0, t1) tiling for {interior_shape} "
-                f"(k={sweeps_per_call}): dims 0/1 must be divisible by a "
-                f"tile size (candidates: powers-of-two-ish >= {sublane}) "
-                f"that fits the VMEM budget {vmem_budget}"
+                f"(k={sweeps_per_call}): no tile size (candidates: "
+                f"powers-of-two-ish >= {sublane}) fits the VMEM budget "
+                f"{vmem_budget}"
             )
     s0, t1 = tiles
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
-    if n0 % s0 or n1 % t1:
-        raise ValueError(f"tiles {tiles} must divide grid dims {interior_shape[:2]}")
-    if t1 % sublane and t1 != n1:
+    if s0 > n0 or t1 > n1:
+        raise ValueError(f"tiles {tiles} exceed grid dims {interior_shape[:2]}")
+    if t1 % sublane and -(-n1 // t1) > 1:
         raise ValueError(
             f"t1 must be a multiple of the sublane size {sublane} "
             f"(or the full dim {n1})"
@@ -232,6 +241,22 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             pads=layout.pads[:2] + ((0, round_up(n2, 128) - n2),),
             halo=layout.halo,
         )
+    if -(-n1 // t1) > 1:
+        # ragged d1: the last tile's window start is clamped DOWN to the
+        # nearest sublane multiple C1 = round_up(n1 - t1, sublane) (DMA
+        # d1 offsets must be sublane-aligned), so its t1-row output band
+        # overhangs the interior by extra1 = C1 + t1 - n1 < sublane rows;
+        # the hi pad grows by extra1 so the window stays in-bounds, and
+        # the kernel re-pins those rows to the d1-hi face value
+        extra1 = round_up(n1 - t1, sublane) + t1 - n1
+        if extra1:
+            layout = PaddedLayout(
+                interior_shape=layout.interior_shape,
+                pads=(layout.pads[0],
+                      (layout.pads[1][0], layout.pads[1][1] + extra1),
+                      layout.pads[2]),
+                halo=layout.halo,
+            )
     if vmem_limit is None:
         # scale Mosaic's scoped-VMEM limit with the actual buffer estimate
         # (with headroom for tap temporaries) so budget-legal tile choices
@@ -272,8 +297,16 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     p1 = plan.p1
     w0, w1, _ = plan.window_shape
     d2_lo = layout.pads[2][0]
-    nt0, nt1 = n0 // s0, n1 // t1
+    nt0, nt1 = -(-n0 // s0), -(-n1 // t1)
     nt = nt0 * nt1
+    # ragged-grid clamps (identity when tiles divide the dims): the last
+    # tile per dim starts at C* instead of i*tile so its window stays
+    # in-bounds; overlapping output rows are written twice with identical
+    # values (same input iterate, same tap order). C1 is sublane-aligned
+    # by construction; extra1 = rows the last d1 tile overhangs past n1.
+    C0 = n0 - s0
+    extra1 = layout.pads[1][1] - layout.pads[1][0]
+    C1 = n1 + extra1 - t1
 
     (d0_lo_bc, d0_hi_bc), (d1_lo_bc, d1_hi_bc), (d2_lo_bc, d2_hi_bc) = \
         bc.values
@@ -298,27 +331,34 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
 
     def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
                isem, osem):
-        def tile_rc(i):
-            return i // nt1, i % nt1
-
         sublane = sublane_for_dtype(dtype)
 
+        def tile_coords(i):
+            """Window-start interior coords (r0, c1) of tile i, with the
+            last tile per dim clamped (r0 exact, c1 = the sublane-aligned
+            C1 so the DMA offset stays aligned). Identity for divisible
+            dims: i0*s0 <= C0 and i1*t1 <= C1 for all non-last tiles."""
+            i0, i1 = i // nt1, i % nt1
+            r0 = lax.min(i0 * s0, C0) if nt0 > 1 else 0
+            c1 = lax.min(i1 * t1, C1) if nt1 > 1 else 0
+            return r0, c1
+
         def in_copy(i, sl):
-            i0, i1 = tile_rc(i)
-            c1 = pl.multiple_of(i1 * t1, sublane)
+            r0, c1 = tile_coords(i)
+            c1 = pl.multiple_of(c1, sublane)
             return pltpu.make_async_copy(
-                cur_hbm.at[pl.ds(i0 * s0, w0), pl.ds(c1, w1)],
+                cur_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
                 scratch.at[sl],
                 isem.at[sl],
             )
 
         def out_copy(i, sl):
-            i0, i1 = tile_rc(i)
+            r0, c1 = tile_coords(i)
             if full_d1:
-                dst = out_hbm.at[pl.ds(kr + i0 * s0, s0)]
+                dst = out_hbm.at[pl.ds(kr + r0, s0)]
             else:
-                c1 = pl.multiple_of(p1 + i1 * t1, sublane)
-                dst = out_hbm.at[pl.ds(kr + i0 * s0, s0), pl.ds(c1, t1)]
+                c1 = pl.multiple_of(p1 + c1, sublane)
+                dst = out_hbm.at[pl.ds(kr + r0, s0), pl.ds(c1, t1)]
             return pltpu.make_async_copy(otile.at[sl], dst, osem.at[sl])
 
         def taps_slice(src_val, a0, m0, a1, m1):
@@ -571,36 +611,64 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             """Re-pin physical ghosts of the compute buffer after an
             intermediate sweep.
 
+            Bands are static-size (kr rows per d0 side, p1 / p1+extra1 per
+            d1 side) with a dynamic per-tile threshold: any tile whose
+            window crosses a physical face re-pins exactly the rows
+            at/beyond that face, keeping interior band rows as computed
+            (read-modify-write select against a row iota). That covers not
+            just the edge tiles but (a) MID tiles whose per-sweep
+            recompute extension (k-t)*r exceeds the tile pitch — the
+            round-2 kernel pinned edge tiles only and computed stencil
+            values into the physical ghost zone at e.g. k=8 r=2 tiles 8x8
+            (measured 8e-5 vs golden on a DIVISIBLE 16x24x20 grid) — and
+            (b) the clamped last tiles of ragged grids, whose c1 = C1
+            start puts up to extra1 ghost rows inside the output band.
+            Every computed ghost row lands in a band: the recompute
+            extension is bounded by need <= kr <= p1 per side, and the
+            ragged d1 overhang by extra1.
+
             Writes cover d2-INTERIOR columns only: the d2 ghost columns of
             the (shared, persistent) compute buffers hold the d2 face
             values from the one-time fill, and they must survive — a
             full-width band write here would clobber them with the d0/d1
             face value, which both breaks the later-dims-win corner rule
             (box stencils) and poisons later tiles' ghost-recompute rows
-            that read d2 ghosts at these band rows (all stencils).
+            that read d2 ghosts at these band rows (all stencils). Band
+            rows beyond this tile's computed region keep stale cross-tile
+            values through the select; no later sweep reads them (sweep
+            t+1 reads exactly the region sweep t computed).
             """
-            i0, i1 = tile_rc(i)
-            pin_d0lo = (i0 == 0) & (pins_ref[0] != 0)
-            pin_d0hi = (i0 == nt0 - 1) & (pins_ref[1] != 0)
+            r0, c1 = tile_coords(i)
             d2i = pl.ds(d2_lo, n2)
+            rows0 = lax.broadcasted_iota(jnp.int32, (kr, 1, 1), 0)
 
-            @pl.when(pin_d0lo)
+            @pl.when((pins_ref[0] != 0) & (r0 < kr))
             def _():
-                dst[0:kr, :, d2i] = jnp.full((kr, w1, n2), d0_lo_bc, dtype)
+                dst[0:kr, :, d2i] = jnp.where(
+                    rows0 < kr - r0, jnp.asarray(d0_lo_bc, dtype),
+                    dst[0:kr, :, d2i])
 
-            @pl.when(pin_d0hi)
+            @pl.when((pins_ref[1] != 0) & (r0 > C0 - kr))
             def _():
-                dst[w0 - kr:, :, d2i] = jnp.full((kr, w1, n2), d0_hi_bc,
-                                                 dtype)
+                dst[w0 - kr:, :, d2i] = jnp.where(
+                    rows0 >= C0 - r0, jnp.asarray(d0_hi_bc, dtype),
+                    dst[w0 - kr:, :, d2i])
 
-            @pl.when(i1 == 0)
-            def _():
-                dst[:, 0:p1, d2i] = jnp.full((w0, p1, n2), d1_lo_bc, dtype)
+            b1 = p1 + extra1
+            rows1lo = lax.broadcasted_iota(jnp.int32, (1, p1, 1), 1)
+            rows1hi = lax.broadcasted_iota(jnp.int32, (1, b1, 1), 1)
 
-            @pl.when(i1 == nt1 - 1)
+            @pl.when((pins_ref[2] != 0) & (c1 < p1))
             def _():
-                dst[:, w1 - p1:, d2i] = jnp.full((w0, p1, n2), d1_hi_bc,
-                                                 dtype)
+                dst[:, 0:p1, d2i] = jnp.where(
+                    rows1lo < p1 - c1, jnp.asarray(d1_lo_bc, dtype),
+                    dst[:, 0:p1, d2i])
+
+            @pl.when((pins_ref[3] != 0) & (c1 > C1 - b1))
+            def _():
+                dst[:, w1 - b1:, d2i] = jnp.where(
+                    rows1hi >= C1 - c1, jnp.asarray(d1_hi_bc, dtype),
+                    dst[:, w1 - b1:, d2i])
 
         def compute(sl, i):
             # 2-buffer ping-pong: sweep t reads bufs[(t-1) % 2], writes
@@ -624,6 +692,21 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                               else slice(None))
                     otile[(sl, slice(None), d1_idx,
                            pl.ds(d2_lo, n2))] = y
+                    if extra1:
+                        # ragged d1: the clamped last tile's output band
+                        # overhangs the interior by extra1 rows — those
+                        # are the first rows of the array's d1-hi ghost
+                        # zone and must carry the face value (d2-interior
+                        # columns only: the otile's d2 ghost columns hold
+                        # the d2 faces from the one-time fill)
+                        _, c1 = tile_coords(i)
+
+                        @pl.when((pins_ref[3] != 0) & (c1 >= C1))
+                        def _():
+                            otile[(sl, slice(None),
+                                   pl.ds(t1 - extra1, extra1),
+                                   pl.ds(d2_lo, n2))] = jnp.full(
+                                (s0, extra1, n2), d1_hi_bc, dtype)
 
         # one-time d2 ghost fills: the compute buffer and output tiles
         # carry constant BC columns that compute never writes (the DMA
@@ -698,7 +781,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     @jax.jit
     def sweep(cur, nxt, pins=None):
         if pins is None:
-            pins = jnp.ones((2,), jnp.int32)
+            pins = jnp.ones((4,), jnp.int32)
         return pl.pallas_call(
             kernel,
             in_specs=[

@@ -1,35 +1,46 @@
-"""Multi-chip production path: per-device Pallas slab kernels composed with
-``ppermute`` halo exchange over the device mesh.
+"""Multi-chip production path: per-device Pallas kernels composed with
+``ppermute`` halo exchange over a 1D or 2D device mesh.
 
 This is the composition of the framework's two performance levers — the
-single-chip slab-streaming/temporal-blocking Pallas kernel
-(``stencil_tpu.ops.pallas``) and the inter-chip halo exchange
-(``stencil_tpu.parallel.halo``) — targeting BASELINE.json config 5
-("Sharded 3D 7-point Jacobi, 1024^3 on v5e-16, ppermute halo exchange
-overlapped with interior compute").
+single-chip tiled/slab temporal-blocking Pallas kernels
+(``stencil_tpu.ops.pallas_tiled`` / ``ops.pallas``) and the inter-chip
+halo exchange (``stencil_tpu.parallel.halo``) — targeting BASELINE.json
+config 5 ("Sharded 3D 7-point Jacobi, 1024^3 on v5e-16, ppermute halo
+exchange overlapped with interior compute").
 
-Where the reference composes 64 CPEs over one chip (RMA halo push between
-scratchpads, ``/root/reference/src/stencil/slave/stencil_rma.cpp:198-255``),
-this composes N chips over ICI, each running the full intra-chip pipeline:
+Where the reference composes 64 CPEs over one chip as an 8x8 2D mesh
+(RMA halo push between scratchpads,
+``/root/reference/src/stencil/slave/stencil_rma.cpp:194-255``), this
+composes N chips over ICI — a v5e-16 is a 4x4 ICI torus, so a 3D grid
+shards its two leading dims over both torus axes — each running the full
+intra-chip pipeline:
 
   mesh level   halo movement                        compute
   -----------  -----------------------------------  ----------------------
   inter-chip   ``lax.ppermute`` edge strips of      --
-               depth ``k*r`` once per outer step
+               depth ``k*r`` once per outer step,
+               one phase per sharded dim
   intra-chip   Pallas double-buffered HBM<->VMEM    k temporal sweeps per
-               slab DMA (overfetch = halo)          HBM round trip
+               window DMA (overfetch = halo)        HBM round trip
 
-The grid is sharded along the leading dimension only (planes of a 3D grid,
-rows of a 2D grid). Leading-dim ghost layers of mesh-interior devices hold
-live neighbor data; the Pallas kernel's boundary pinning is disabled there
-via its ``pins`` argument and the overlap region is recomputed redundantly
-each virtual sweep (standard deep-halo temporal blocking). Mesh-edge
-devices synthesize the physical Dirichlet boundary locally — the analog of
-the reference's ``generate_boundary`` (``stencil_rma.cpp:150-166``).
+Halo corners ride *transitively*: the phase-d strip spans the full padded
+extent of earlier-sharded dims (whose ghosts were just refreshed) and the
+interior of later-sharded dims, exactly the ``strip_extent`` rule of the
+in-kernel RMA path (``parallel/rma.py``) and of the reference
+(``stencil_rma.cpp:198-255`` pushes rows first, then columns carrying the
+corner blocks).
 
-Because each device's state stays in the kernel's padded layout end to end,
-an outer step moves only ``2 * k * r`` planes over ICI and re-enters the
-kernel with zero repacking.
+Ghost layers of mesh-interior faces hold live neighbor data; the Pallas
+kernel's boundary pinning is disabled there via its ``pins`` argument
+(4 faces for the tiled 3D kernel: d0lo/d0hi/d1lo/d1hi) and the overlap
+region is recomputed redundantly each virtual sweep (standard deep-halo
+temporal blocking). Mesh-edge devices synthesize the physical Dirichlet
+boundary locally — the analog of the reference's ``generate_boundary``
+(``stencil_rma.cpp:150-166``).
+
+Because each device's state stays in the kernel's padded layout end to
+end, an outer step moves only ``2 * k * r`` ghost planes per sharded dim
+over ICI and re-enters the kernel with zero repacking.
 """
 
 from __future__ import annotations
@@ -55,9 +66,9 @@ from stencil_tpu.ops.pallas_tiled import (
 @functools.lru_cache(maxsize=64)
 def _sharded_pallas_iterate_fn(method: "ShardedPallasStencil", mesh: Mesh,
                                bc: DirichletBC):
-    n = mesh.shape[method.axis_name]
-    plan = method.local_plan(n)
-    pspec = P(method.axis_name)
+    axes = method._axes
+    plan = method.local_plan(tuple(mesh.shape[a] for a in axes))
+    pspec = P(*axes)
     device_fn = method._device_fn(plan, bc)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's collective-safety check can't see
@@ -86,38 +97,59 @@ def _sharded_pallas_full_fn(method: "ShardedPallasStencil", mesh: Mesh,
     """
     from stencil_tpu.core.grid import fill_halo
 
-    n = mesh.shape[method.axis_name]
-    plan = method.local_plan(n)
-    pspec = P(method.axis_name)
+    axes = method._axes
+    nsh = len(axes)
+    ndev = tuple(mesh.shape[a] for a in axes)
+    plan = method.local_plan(ndev)
+    pspec = P(*axes)
     device_fn = method._device_fn(plan, bc)
     mapped = jax.shard_map(
         device_fn, mesh=mesh, in_specs=(pspec, pspec, P()),
         out_specs=(pspec, pspec), check_vma=False,
     )
     sharding = NamedSharding(mesh, pspec)
-    P0l = plan.layout.padded_shape[0]
+    Pl = plan.layout.padded_shape
+
+    def pad_block(b):
+        return plan.layout.pad(b, bc)
 
     @jax.jit
     def run(data, n_outer):
         h = grid_halo
         idx = tuple(slice(h, s - h) for s in data.shape)
         interior = data[idx]
-        blocks = jnp.split(interior, n, axis=0)
-        stacked = jnp.concatenate(
-            [plan.layout.pad(b, bc) for b in blocks], axis=0
-        )
+        # scatter: split along each sharded dim, pad each local block,
+        # reassemble into the stacked-padded-blocks global array
+        rows = []
+        for b0 in jnp.split(interior, ndev[0], axis=0):
+            if nsh == 2:
+                rows.append(jnp.concatenate(
+                    [pad_block(b) for b in jnp.split(b0, ndev[1], axis=1)],
+                    axis=1,
+                ))
+            else:
+                rows.append(pad_block(b0))
+        stacked = jnp.concatenate(rows, axis=0)
         stacked = lax.with_sharding_constraint(stacked, sharding)
         # distinct buffer for the aliased kernel write (WAR hazard if it
         # aliased ``stacked``, cf. PallasStencil.prepare)
         scratch = jnp.copy(stacked)
         out, _ = mapped(stacked, scratch, n_outer)
-        interiors = [
-            plan.layout.unpad(
-                lax.slice_in_dim(out, i * P0l, (i + 1) * P0l, axis=0)
-            )
-            for i in range(n)
-        ]
-        res = jnp.pad(jnp.concatenate(interiors, axis=0), h)
+        # gather: per-block unpad, re-concatenate interiors
+        out_rows = []
+        for i in range(ndev[0]):
+            row = lax.slice_in_dim(out, i * Pl[0], (i + 1) * Pl[0], axis=0)
+            if nsh == 2:
+                out_rows.append(jnp.concatenate([
+                    plan.layout.unpad(
+                        lax.slice_in_dim(row, j * Pl[1], (j + 1) * Pl[1],
+                                         axis=1)
+                    )
+                    for j in range(ndev[1])
+                ], axis=1))
+            else:
+                out_rows.append(plan.layout.unpad(row))
+        res = jnp.pad(jnp.concatenate(out_rows, axis=0), h)
         return fill_halo(res, h, bc)
 
     return run
@@ -125,11 +157,15 @@ def _sharded_pallas_full_fn(method: "ShardedPallasStencil", mesh: Mesh,
 
 @dataclasses.dataclass(frozen=True)
 class ShardedPallasStencil:
-    """Distributed Jacobi iteration: leading-dim sharding, per-device Pallas.
+    """Distributed Jacobi iteration: leading-dim(s) sharding, per-device
+    Pallas.
 
-    ``axis_name`` names the mesh axis sharding grid dim 0. The per-device
-    interior block must satisfy the kernel's slab constraints (2D: rows
-    divisible by 8).
+    ``axis_names`` names the mesh axes sharding the leading grid dims in
+    order — ``("x",)`` shards dim 0 (any grid), ``("x", "y")`` shards
+    dims 0 and 1 (3D grids only: the 2D slab kernel's minor dim is the
+    lane dim, whose halos would cost 128 lanes per side). ``axis_name``
+    is the legacy 1D spelling. The per-device interior block must satisfy
+    the kernel's constraints (2D: rows divisible by 8).
     """
 
     spec: StencilSpec
@@ -141,27 +177,52 @@ class ShardedPallasStencil:
     interpret: bool = False
     vmem_budget: Optional[int] = None  # None = per-kernel default
     tap_mode: Optional[str] = None     # None = per-dtype/per-spec default
+    axis_names: Optional[Tuple[str, ...]] = None  # overrides axis_name
 
-    def local_plan(self, n_devices: int):
+    @property
+    def _axes(self) -> Tuple[str, ...]:
+        return self.axis_names if self.axis_names else (self.axis_name,)
+
+    def local_plan(self, mesh_shape):
         """Per-device kernel plan: the 2D-tiled kernel for 3D grids (full
         minor planes with deep temporal halos do not fit VMEM at
-        production sizes), the slab kernel for 2D."""
-        lead = self.interior_shape[0]
-        if lead % n_devices:
+        production sizes), the slab kernel for 2D. ``mesh_shape`` is the
+        per-sharded-dim device count (an int means 1D)."""
+        if isinstance(mesh_shape, int):
+            mesh_shape = (mesh_shape,)
+        nsh = len(mesh_shape)
+        if nsh != len(self._axes):
             raise ValueError(
-                f"leading dim {lead} not divisible by mesh size {n_devices}"
+                f"mesh shape {mesh_shape} does not match sharded axes "
+                f"{self._axes}"
             )
-        local_shape = (lead // n_devices,) + tuple(self.interior_shape[1:])
+        if nsh > 2:
+            raise ValueError(
+                "mesh must be 1D or 2D over the leading grid dims"
+            )
+        if nsh == 2 and len(self.interior_shape) != 3:
+            raise ValueError(
+                "2-axis sharding needs a 3D grid (the 2D slab kernel's "
+                "minor dim is the lane dim; shard the leading dim only)"
+            )
+        local = list(self.interior_shape)
+        for d, n_dev in enumerate(mesh_shape):
+            if local[d] % n_dev:
+                raise ValueError(
+                    f"grid dim {d} ({local[d]}) not divisible by mesh "
+                    f"axis size {n_dev}"
+                )
+            local[d] //= n_dev
         if len(self.interior_shape) == 3:
             kwargs = ({"vmem_budget": self.vmem_budget}
                       if self.vmem_budget else {})
             return make_tiled_plan(
-                self.spec, local_shape, self.dtype, self.sweeps_per_call,
+                self.spec, tuple(local), self.dtype, self.sweeps_per_call,
                 tap_mode=self.tap_mode, **kwargs,
             )
         kwargs = {"vmem_budget": self.vmem_budget} if self.vmem_budget else {}
         return make_plan(
-            self.spec, local_shape, self.dtype, self.sweeps_per_call,
+            self.spec, tuple(local), self.dtype, self.sweeps_per_call,
             self.slab, tap_mode=self.tap_mode, **kwargs,
         )
 
@@ -174,59 +235,93 @@ class ShardedPallasStencil:
         else:
             sweep = _cached_sweep(plan, bc, self.interpret)
         kr = plan.halo                      # ghost depth = k * radius
-        lead_lo = plan.layout.pads[0][0]    # may exceed kr (2D alignment)
-        n0 = plan.interior_shape[0]
-        axis = self.axis_name
+        axes = self._axes
+        nsh = len(axes)
+        ndim = len(plan.interior_shape)
+        pad_lo = [plan.layout.pads[d][0] for d in range(nsh)]
+        loc = [plan.interior_shape[d] for d in range(nsh)]
+
+        def _strip_bounds(d, start_d):
+            """(starts, limits) of the kr-deep phase-``d`` strip at
+            dim-``d`` padded offset ``start_d``: full padded extent in
+            earlier sharded dims (their ghosts were refreshed in the
+            previous phase, so corner blocks ride transitively —
+            ``parallel/rma.py`` strip_extent / ``stencil_rma.cpp``
+            phase order) and in unsharded dims (constant BC ghosts on
+            both ends), interior-only in later sharded dims (a corner
+            would otherwise be written by two phases)."""
+            starts, limits = [], []
+            for e in range(ndim):
+                if e == d:
+                    starts.append(start_d)
+                    limits.append(start_d + kr)
+                elif e < nsh and e > d:
+                    starts.append(pad_lo[e])
+                    limits.append(pad_lo[e] + loc[e])
+                else:
+                    starts.append(0)
+                    limits.append(None)  # full extent, filled below
+            return starts, limits
 
         def exchange(padded):
-            """Refresh the kr-deep lead-dim ghosts from mesh neighbors
-            (push model, ``stencil_rma.cpp:198-255`` analog); mesh-edge
-            devices synthesize the physical BC faces locally."""
-            n = lax.axis_size(axis)
-            idx = lax.axis_index(axis)
-            lo_strip = lax.slice_in_dim(padded, lead_lo, lead_lo + kr, axis=0)
-            hi_strip = lax.slice_in_dim(
-                padded, lead_lo + n0 - kr, lead_lo + n0, axis=0
-            )
-            # my low rows -> previous device's high ghosts; my high rows ->
-            # next device's low ghosts
-            hi_ghost = lax.ppermute(
-                lo_strip, axis, [(i, i - 1) for i in range(1, n)]
-            )
-            lo_ghost = lax.ppermute(
-                hi_strip, axis, [(i, i + 1) for i in range(n - 1)]
-            )
-            # Mesh-edge devices keep their own ghost rows, which were
-            # BC-filled by PaddedLayout.pad at scatter time and are never
-            # written by the kernel: this preserves the later-dims-win
-            # corner convention (a uniform lead-BC face would clobber the
-            # minor-dim face values in corner columns, which box stencils
-            # read — cf. core.grid.DirichletBC docstring).
-            own_lo = lax.slice_in_dim(padded, lead_lo - kr, lead_lo, axis=0)
-            own_hi = lax.slice_in_dim(
-                padded, lead_lo + n0, lead_lo + n0 + kr, axis=0
-            )
-            lo_ghost = jnp.where(idx == 0, own_lo, lo_ghost)
-            hi_ghost = jnp.where(idx == n - 1, own_hi, hi_ghost)
-            zeros = (0,) * (padded.ndim - 1)
-            padded = lax.dynamic_update_slice(
-                padded, lo_ghost, (lead_lo - kr,) + zeros
-            )
-            padded = lax.dynamic_update_slice(
-                padded, hi_ghost, (lead_lo + n0,) + zeros
-            )
+            """Refresh the kr-deep sharded-dim ghosts from mesh neighbors
+            (push model, ``stencil_rma.cpp:198-255`` analog), one phase
+            per sharded dim; mesh-edge devices synthesize the physical BC
+            faces locally."""
+            for d, ax in enumerate(axes):
+                n = lax.axis_size(ax)
+                idx = lax.axis_index(ax)
+                lo = pad_lo[d]
+                nd = loc[d]
+
+                def strip(start_d):
+                    starts, limits = _strip_bounds(d, start_d)
+                    limits = [padded.shape[e] if l is None else l
+                              for e, l in enumerate(limits)]
+                    return lax.slice(padded, starts, limits)
+
+                lo_strip = strip(lo)                 # my low edge rows
+                hi_strip = strip(lo + nd - kr)       # my high edge rows
+                # my low rows -> previous device's high ghosts; my high
+                # rows -> next device's low ghosts
+                hi_ghost = lax.ppermute(
+                    lo_strip, ax, [(i, i - 1) for i in range(1, n)]
+                )
+                lo_ghost = lax.ppermute(
+                    hi_strip, ax, [(i, i + 1) for i in range(n - 1)]
+                )
+                # Mesh-edge devices keep their own ghost rows, which were
+                # BC-filled by PaddedLayout.pad at scatter time and are
+                # never written by the kernel: this preserves the
+                # later-dims-win corner convention (a uniform face fill
+                # would clobber the minor-dim face values in corner
+                # columns, which box stencils read — cf. core.grid
+                # DirichletBC docstring).
+                lo_ghost = jnp.where(idx == 0, strip(lo - kr), lo_ghost)
+                hi_ghost = jnp.where(idx == n - 1, strip(lo + nd), hi_ghost)
+                st_lo, _ = _strip_bounds(d, lo - kr)
+                st_hi, _ = _strip_bounds(d, lo + nd)
+                padded = lax.dynamic_update_slice(padded, lo_ghost,
+                                                  tuple(st_lo))
+                padded = lax.dynamic_update_slice(padded, hi_ghost,
+                                                  tuple(st_hi))
             return padded
 
         def device_fn(padded, scratch, n_outer):
             # ``scratch`` is a distinct buffer with the same BC-carrying pad
             # layout — the kernel writes into it in place (ping-pong WAR
             # hazard if it aliased ``padded``, cf. PallasStencil.prepare).
-            n = lax.axis_size(axis)
-            idx = lax.axis_index(axis)
-            pins = jnp.stack(
-                [(idx == 0).astype(jnp.int32),
-                 (idx == n - 1).astype(jnp.int32)]
-            )
+            pin_list = []
+            for ax in axes:
+                n = lax.axis_size(ax)
+                idx = lax.axis_index(ax)
+                pin_list += [(idx == 0).astype(jnp.int32),
+                             (idx == n - 1).astype(jnp.int32)]
+            if isinstance(plan, TiledPlan) and nsh == 1:
+                # the tiled kernel takes 4 pins (d0lo, d0hi, d1lo, d1hi);
+                # unsharded d1 faces are always physical
+                pin_list += [jnp.int32(1), jnp.int32(1)]
+            pins = jnp.stack(pin_list)
 
             def body(_, carry):
                 cur, nxt = carry
@@ -244,10 +339,11 @@ class ShardedPallasStencil:
     def iterate_fn(self, mesh: Mesh, bc: DirichletBC):
         """Jitted padded-global-array -> padded-global-array step function.
 
-        The global array is the per-device padded layouts concatenated along
-        dim 0 (each device block carries its own ghost/alignment rows — the
-        natural distributed layout; use :meth:`scatter`/:meth:`gather` to
-        convert to/from a plain interior array).
+        The global array is the per-device padded layouts tiled along the
+        sharded dims (each device block carries its own ghost/alignment
+        rows — the natural distributed layout; use
+        :meth:`scatter`/:meth:`gather` to convert to/from a plain
+        interior array).
 
         Cached per (self, mesh, bc): rebuilding the jit closure per call
         would re-trace every call (ops.pallas._cached_runner); the
@@ -257,28 +353,43 @@ class ShardedPallasStencil:
 
     def scatter(self, grid: HaloGrid, mesh: Mesh) -> jax.Array:
         """Global interior -> sharded stacked-padded-blocks array."""
-        n = mesh.shape[self.axis_name]
-        plan = self.local_plan(n)
+        axes = self._axes
+        ndev = tuple(mesh.shape[a] for a in axes)
+        plan = self.local_plan(ndev)
         interior = np.asarray(grid.interior())
-        blocks = [
-            np.asarray(plan.layout.pad(
-                jnp.asarray(b), grid.bc
-            ))
-            for b in np.split(interior, n, axis=0)
-        ]
-        stacked = np.concatenate(blocks, axis=0)
-        sharding = NamedSharding(mesh, P(self.axis_name))
+        rows = []
+        for b0 in np.split(interior, ndev[0], axis=0):
+            if len(axes) == 2:
+                rows.append(np.concatenate([
+                    np.asarray(plan.layout.pad(jnp.asarray(b), grid.bc))
+                    for b in np.split(b0, ndev[1], axis=1)
+                ], axis=1))
+            else:
+                rows.append(
+                    np.asarray(plan.layout.pad(jnp.asarray(b0), grid.bc))
+                )
+        stacked = np.concatenate(rows, axis=0)
+        sharding = NamedSharding(mesh, P(*axes))
         return jax.device_put(stacked, sharding)
 
     def gather(self, stacked: jax.Array, mesh: Mesh,
                grid: HaloGrid) -> HaloGrid:
         """Sharded stacked-padded-blocks array -> HaloGrid."""
-        n = mesh.shape[self.axis_name]
-        plan = self.local_plan(n)
+        axes = self._axes
+        ndev = tuple(mesh.shape[a] for a in axes)
+        plan = self.local_plan(ndev)
+        Pl = plan.layout.padded_shape
         arr = np.asarray(stacked)
-        blocks = np.split(arr, n, axis=0)
-        interiors = [np.asarray(plan.layout.unpad(b)) for b in blocks]
-        interior = np.concatenate(interiors, axis=0)
+        out_rows = []
+        for row in np.split(arr, ndev[0], axis=0):
+            if len(axes) == 2:
+                out_rows.append(np.concatenate([
+                    np.asarray(plan.layout.unpad(b))
+                    for b in np.split(row, ndev[1], axis=1)
+                ], axis=1))
+            else:
+                out_rows.append(np.asarray(plan.layout.unpad(row)))
+        interior = np.concatenate(out_rows, axis=0)
         return HaloGrid.from_interior(
             jnp.asarray(interior), halo=grid.halo, bc=grid.bc
         )

@@ -182,36 +182,39 @@ def make_sharded_noverlap(config, spec, grid) -> Runner:
 
 
 def make_sharded_pallas(config, spec, grid) -> Runner:
-    """Production multi-chip path: per-device Pallas slab kernel + ppermute
-    halo exchange (BASELINE config 5). Leading-dim sharding only."""
+    """Production multi-chip path: per-device Pallas kernel + ppermute
+    halo exchange (BASELINE config 5). ``--mesh a`` shards the leading
+    dim; ``--mesh a b`` shards both leading dims of a 3D grid (the
+    reference's 2D CPE mesh / v5e-16 4x4 ICI torus topology)."""
     from stencil_tpu.parallel.halo import make_mesh
     from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
 
     if config is not None and config.mesh:
-        n = 1
-        for s in config.mesh:
-            n *= s
+        mesh_sizes = tuple(config.mesh)
     else:
-        n = len(jax.devices())
-    mesh = make_mesh((n,), ("x",))
+        mesh_sizes = (len(jax.devices()),)
+    if len(mesh_sizes) > 2:
+        raise ValueError("mesh must be 1D or 2D over the leading grid dims")
+    axes = ("x", "y")[: len(mesh_sizes)]
+    mesh = make_mesh(mesh_sizes, axes)
     k = config.temporal if config is not None and config.temporal > 1 else 1
     method = ShardedPallasStencil(
         spec,
         grid.interior_shape,
-        axis_name="x",
+        axis_names=axes,
         dtype=str(grid.dtype),
         sweeps_per_call=k,
         slab=config.block if config is not None else None,
         interpret=not _on_tpu(),
         tap_mode=getattr(config, "tap_mode", None),
     )
-    method.local_plan(n)  # validate divisibility/slab feasibility eagerly
+    method.local_plan(mesh_sizes)  # validate divisibility/VMEM eagerly
     return Runner(
-        name=f"sharded_pallas(n={n},k={k})",
+        name=f"sharded_pallas(mesh={'x'.join(map(str, mesh_sizes))},k={k})",
         iterate=lambda g, it: method.iterate(g, it, mesh),
         description=(
-            "per-device Pallas slab kernel + ppermute halo exchange over "
-            "the device mesh (leading-dim sharding)"
+            "per-device Pallas kernel + ppermute halo exchange over "
+            "the device mesh (leading-dim(s) sharding)"
         ),
         granularity=k,
     )

@@ -106,3 +106,101 @@ def test_sharded_pallas_tap_mode_plumbs_to_local_plan():
     m = ShardedPallasStencil(get_spec("jacobi7"), (32, 16, 24),
                              sweeps_per_call=2, interpret=True)
     assert m.local_plan(2).tap_mode == "rotacc"
+
+
+# -- 2D-mesh sharding (both leading dims over the torus axes) -----------------
+
+def _run2d(spec, shape, iters, k, mesh_shape=(2, 4), dtype="float32"):
+    mesh = make_mesh(mesh_shape, ("x", "y"))
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype=dtype)
+    method = ShardedPallasStencil(
+        spec, shape, axis_names=("x", "y"), dtype=dtype, sweeps_per_call=k,
+        interpret=True,
+    )
+    out = method.iterate(grid, iters, mesh)
+    ref = golden.golden_iterate(
+        np.zeros(shape, dtype=np.float64), spec, iters, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), dtype=np.float64), ref,
+        atol=5e-6, rtol=5e-6,
+    )
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_2d_mesh_3d_star_matches_golden(k):
+    # the reference's core topology: a 2D device mesh over the two
+    # leading grid dims (stencil_rma.cpp:194-196 runs an 8x8 CPE mesh)
+    _run2d(get_spec("jacobi7"), (16, 16, 20), iters=4, k=k)
+
+
+def test_2d_mesh_3d_box_matches_golden():
+    # box stencils read the exchanged halo corners: validates the
+    # phase-ordered transitive corner transit
+    _run2d(get_spec("jacobi27"), (16, 16, 20), iters=4, k=2)
+
+
+def test_2d_mesh_radius2_temporal():
+    _run2d(star(3, 2), (16, 16, 20), iters=4, k=2)
+
+
+def test_2d_mesh_bitwise_matches_1d_mesh():
+    """(2,4) 2D-mesh result is bitwise identical to the (2,) 1D-mesh
+    result: per-point tap accumulation order is fixed by the spec, so
+    mesh topology must not change a single bit."""
+    spec = get_spec("jacobi7")
+    shape = (16, 16, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    m2 = ShardedPallasStencil(spec, shape, axis_names=("x", "y"),
+                              sweeps_per_call=2, interpret=True)
+    m1 = ShardedPallasStencil(spec, shape, axis_names=("x",),
+                              sweeps_per_call=2, interpret=True)
+    a = m2.iterate(grid, 4, make_mesh((2, 4), ("x", "y")))
+    b = m1.iterate(grid, 4, make_mesh((2,), ("x",)))
+    np.testing.assert_array_equal(np.asarray(a.interior()),
+                                  np.asarray(b.interior()))
+
+
+def test_2d_mesh_custom_bc():
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC(values=((2.0, -1.0), (0.5, 3.0), (-2.5, 4.0)))
+    spec = get_spec("jacobi27")
+    shape = (16, 16, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32", bc=bc)
+    mesh = make_mesh((2, 4), ("x", "y"))
+    method = ShardedPallasStencil(spec, shape, axis_names=("x", "y"),
+                                  sweeps_per_call=2, interpret=True)
+    out = method.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_2d_mesh_registry_routing():
+    from stencil_tpu import registry
+    from stencil_tpu.config import RunConfig
+
+    spec = get_spec("jacobi7")
+    cfg = RunConfig(size=(16, 16, 20), spec="jacobi7", temporal=2,
+                    mesh=(2, 4))
+    grid = HaloGrid.create((16, 16, 20), halo=1)
+    runner = registry.get_runner("sharded_pallas", cfg, spec, grid)
+    assert "mesh=2x4" in runner.name
+    out = runner.iterate(grid, 4)
+    ref = golden.golden_iterate(
+        np.zeros((16, 16, 20), dtype=np.float64), spec, 4, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6
+    )
+
+
+def test_2d_mesh_rejects_2d_grid():
+    with pytest.raises(ValueError, match="3D grid"):
+        ShardedPallasStencil(
+            get_spec("jacobi5"), (64, 40), axis_names=("x", "y"),
+            interpret=True,
+        ).local_plan((2, 4))

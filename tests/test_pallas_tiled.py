@@ -61,8 +61,8 @@ def test_plan_validation():
     spec = get_spec("jacobi7")
     with pytest.raises(ValueError, match="3D-only"):
         make_tiled_plan(get_spec("jacobi5"), (16, 16))
-    with pytest.raises(ValueError, match="must divide"):
-        make_tiled_plan(spec, (15, 16, 20), tiles=(8, 8))
+    with pytest.raises(ValueError, match="exceed"):
+        make_tiled_plan(spec, (15, 16, 20), tiles=(16, 8))
     with pytest.raises(ValueError, match="sublane"):
         make_tiled_plan(spec, (16, 12, 20), tiles=(8, 4))
 
@@ -355,3 +355,56 @@ def test_every_tap_mode_dtype_combo_is_safe(mode, dtype):
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=tol, rtol=tol
     )
+
+
+@pytest.mark.parametrize("shape,k,tiles", [
+    ((15, 17, 20), 2, (8, 8)),    # ragged d0 + d1 (unaligned clamp, extra1>0)
+    ((13, 23, 19), 3, (8, 8)),    # ragged everything incl. n2
+    ((16, 20, 20), 2, (8, 8)),    # ragged d1 only
+    ((20, 16, 20), 2, (8, 8)),    # ragged d0 only
+    ((17, 17, 17), 1, (8, 8)),    # prime-ish dims, k=1
+])
+def test_ragged_grids_match_golden(shape, k, tiles):
+    """Non-divisible grids run on the fast tiled path via clamped
+    overlapping last tiles (the capability the reference documents but
+    never implemented: /root/reference/include/stencil/
+    program_options.hpp:11-14 'multiple rounds'; its DMA kernels silently
+    SKIP out-of-range tiles, boundary_matrix.hpp:199-207)."""
+    _check(get_spec("jacobi7"), shape, k, tiles, iters=2 * k)
+
+
+@pytest.mark.parametrize("mode", ["slice", "synth", "rotacc"])
+def test_ragged_box_all_tap_modes(mode):
+    # box stencils read halo corners; ragged clamps must preserve the
+    # later-dims-win corner rule in the re-pinned overhang rows
+    spec = get_spec("jacobi27")
+    shape = (15, 21, 19)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True, tap_mode=mode)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_mid_tile_deep_temporal_overhang_regression():
+    """k=8 r=2 with 8x8 tiles on a DIVISIBLE grid: the per-sweep recompute
+    extension (k-t)*r = up to 14 rows exceeds the 8-row tile pitch, so MID
+    tiles compute into the physical ghost zone between sweeps. The round-2
+    kernel pinned edge tiles only and silently read those stencil-updated
+    ghost rows back (measured 8e-5 vs golden); the dynamic-threshold pin
+    bands fix it."""
+    _check(star(3, 2), (16, 24, 20), 8, (8, 8), iters=8)
+
+
+def test_ragged_choose_tiles_feasible():
+    # choose_tiles must return a feasible tiling for prime-ish dims
+    # (round 2 returned None and the CLI fell to the 10x slower XLA path)
+    spec = get_spec("jacobi7")
+    tiles = choose_tiles(spec, (257, 257, 257), sweeps_per_call=8)
+    assert tiles is not None
+    s0, t1 = tiles
+    assert s0 <= 257 and t1 <= 257 and t1 % 8 == 0
