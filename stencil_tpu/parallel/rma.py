@@ -207,6 +207,35 @@ def make_rma_plan(spec: StencilSpec, local_shape, dtype="float32",
                    sweeps_per_call=sweeps_per_call, layout=layout)
 
 
+def push_bytes_per_step(plan: RmaPlan) -> int:
+    """Bytes a mesh-INTERIOR device pushes over ICI per outer step.
+
+    Mirrors the kernel's descriptor geometry exactly (``strip_extent`` /
+    ``push_desc`` in ``build_rma_iterate``): per sharded dim ``sd``, two
+    pushes (lo + hi neighbor) of depth ``pads[sd][0]`` — ``k*r`` rounded
+    up to that dim's DMA granule — spanning the full padded extent of
+    earlier sharded dims and all unsharded dims, interior-only in later
+    sharded dims. Depends on the LOCAL block geometry only: mesh size
+    never enters, which is the static property behind the >=90%
+    weak-scaling target (tests/test_comm_volume.py pins it).
+    """
+    ndim = len(plan.local_shape)
+    B = plan.layout.padded_shape
+    nn = plan.local_shape
+    sharded = plan.sharded_dims
+    itemsize = np.dtype(plan.dtype).itemsize
+    total = 0
+    for sd in sharded:
+        depth = plan.layout.pads[sd][0]
+        ext = 1
+        for d in range(ndim):
+            if d == sd:
+                continue
+            ext *= nn[d] if (d in sharded and d > sd) else B[d]
+        total += 2 * depth * ext * itemsize
+    return total
+
+
 def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                       collective_id: int = 7, interpret: bool = False,
                       detect_races: bool = False):
