@@ -1,0 +1,162 @@
+"""On-device plan autotuner with a persistent cache.
+
+The default plans pin the MEASURED v5e winners (min-overfetch tiles,
+per-dtype tap modes — `ops/pallas_tiled.choose_tiles`). On a different
+TPU generation (v4/v5p/v6e VMEM sizes and DMA characteristics) those
+defaults may be stale. `--autotune` measures the top-ranked feasible
+(tiles, tap_mode) combinations for the requested configuration ON THE
+ATTACHED DEVICE, caches the winner keyed by (device kind, spec, shape,
+dtype, k), and falls back to the pinned defaults off-TPU or on failure.
+
+The committed v5e artifact (`results/autotune_v5e.json`) doubles as a
+regression record: re-tuning on a v5e should reproduce it.
+
+Analog: the reference leaves tile choice to the user (-b/--block-size)
+and explores it externally via run_expr.py sweeps
+(/root/reference/run_expr.py:6-15); here the sweep is on-demand,
+cached, and feasibility-pruned by the VMEM model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Tuple
+
+DEFAULT_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "results", "autotune_v5e.json",
+)
+# measure at a reduced signal threshold: candidates differ by >=5%
+# when they differ at all, and each extra candidate costs its
+# compile + measurement
+TUNE_SIGNAL_SECONDS = 0.4
+MAX_CANDIDATES = 4
+
+
+def _device_kind() -> str:
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    except Exception:
+        return "unknown"
+
+
+def cache_key(spec, shape, dtype: str, k: int, device_kind: str) -> str:
+    return "|".join([
+        device_kind, spec.name or "custom", f"r{spec.radius}",
+        "x".join(map(str, shape)), str(dtype), f"k{k}",
+    ])
+
+
+def load_cache(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_cache(path: str, cache: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def lookup(spec, shape, dtype: str, k: int,
+           cache_path: str = DEFAULT_CACHE) -> Optional[dict]:
+    """Cached winner for this (device, config), or None."""
+    cache = load_cache(cache_path)
+    return cache.get(cache_key(spec, shape, dtype, k, _device_kind()))
+
+
+def candidates(spec, shape, dtype: str, k: int,
+               limit: int = MAX_CANDIDATES):
+    """(tiles, tap_mode) combinations to measure: the top model-ranked
+    tile choices crossed with the dtype-legal tap modes (rotacc+synth
+    for 4-byte dtypes — measured equal on stars, rotacc ~2x on separable
+    boxes; synth only for 16-bit, whose sublane rotates have no safe
+    lowering)."""
+    import numpy as np
+
+    from stencil_tpu.ops.pallas_tiled import rank_tiles
+
+    modes = (["rotacc", "synth"] if np.dtype(dtype).itemsize == 4
+             else ["synth"])
+    out = []
+    for mode in modes:
+        for tiles in rank_tiles(spec, shape, dtype, k,
+                                tap_mode=mode)[: max(1, limit // len(modes))]:
+            out.append((tiles, mode))
+    return out
+
+
+def autotune(spec, shape, dtype: str, k: int,
+             cache_path: str = DEFAULT_CACHE,
+             measure_fn: Optional[Callable] = None,
+             force: bool = False) -> Optional[dict]:
+    """Measure the candidate set on the attached device; return and cache
+    the winner as ``{"tiles": [s0, t1], "tap_mode": str, "glups": float}``.
+
+    ``measure_fn(tiles, tap_mode) -> glups`` may be injected for testing;
+    the default builds a TiledPallasStencil per candidate and times it
+    with the marginal protocol. Returns None (pinned defaults apply) when
+    nothing could be measured.
+    """
+    kind = _device_kind()
+    key = cache_key(spec, shape, dtype, k, kind)
+    cache = load_cache(cache_path)
+    if not force and key in cache:
+        return cache[key]
+
+    if measure_fn is None:
+        measure_fn = _measure_glups_factory(spec, shape, dtype, k)
+
+    best = None
+    for tiles, mode in candidates(spec, shape, dtype, k):
+        try:
+            glups = float(measure_fn(tiles, mode))
+        except Exception as e:  # infeasible/compile-crash candidates skip
+            print(f"# autotune: {tiles} {mode} failed: {e}")
+            continue
+        print(f"# autotune: tiles={tiles} tap_mode={mode} -> "
+              f"{glups:.1f} GLUPS")
+        if best is None or glups > best["glups"]:
+            best = {"tiles": list(tiles), "tap_mode": mode,
+                    "glups": round(glups, 2)}
+    if best is not None:
+        cache[key] = best
+        try:
+            save_cache(cache_path, cache)
+        except OSError:
+            pass  # read-only install: the winner still applies this run
+    return best
+
+
+def _measure_glups_factory(spec, shape, dtype, k):
+    import numpy as np
+
+    from stencil_tpu.core.grid import HaloGrid
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+    from stencil_tpu.utils.timing import measure_marginal
+
+    grid = HaloGrid.create(tuple(shape), halo=spec.radius, dtype=dtype)
+    points = int(np.prod(shape))
+
+    def measure(tiles, tap_mode):
+        m = TiledPallasStencil(spec, tuple(shape), dtype,
+                               sweeps_per_call=k, tiles=tuple(tiles),
+                               tap_mode=tap_mode)
+
+        def run_n(n):
+            return m.iterate(grid, n).data
+
+        meas = measure_marginal(run_n, warmup_iters=k, granularity=k,
+                                min_signal_seconds=TUNE_SIGNAL_SECONDS)
+        return points / meas.seconds_per_iteration / 1e9
+
+    return measure

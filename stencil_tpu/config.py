@@ -44,6 +44,7 @@ class RunConfig:
     # kernel tap-evaluation strategy override for the pallas methods
     # (None = per-dtype default): slice | roll | synth | rotacc
     tap_mode: Optional[str] = None
+    autotune: bool = False               # measure (tiles, tap_mode) on-device
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -117,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-overlap", action="store_true",
                    help="disable the interior-first comm/compute overlap "
                         "in the 'sharded' method")
+    p.add_argument("--autotune", action="store_true",
+                   help="measure the top-ranked feasible (tiles, tap_mode) "
+                        "combinations for this config on the attached TPU "
+                        "and use/cache the winner (results/autotune_*.json;"
+                        " pinned defaults off-TPU)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -167,6 +173,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         mesh=tuple(ns.mesh),
         no_overlap=ns.no_overlap,
         tap_mode=ns.tap_mode,
+        autotune=ns.autotune,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

@@ -112,6 +112,17 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
     return (2 * win + cbuf + 2 * out + win) * itemsize
 
 
+def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
+               vmem_budget=DEFAULT_VMEM_BUDGET, tap_mode="synth",
+               s0_fixed=None):
+    """All VMEM-feasible (s0, t1) candidates, best-ranked first, by the
+    same fetched/useful ratio ``choose_tiles`` uses. The autotuner
+    measures the head of this list on the attached device."""
+    ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
+                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed)
+    return [t for _, t in ranked]
+
+
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=DEFAULT_VMEM_BUDGET,
                  tap_mode="synth", s0_fixed=None) -> Optional[Tuple[int, int]]:
@@ -127,12 +138,17 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     32x128 at 103.4) and bf16 -> 64x128 (139.7, beats same-volume 32x256
     at 129.5). ``s0_fixed`` pins the d0 tile size (the CLI's -b/--block
     flag) and only t1 is chosen."""
+    ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
+                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed)
+    return ranked[0][1] if ranked else None
+
+
+def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
+                  vmem_budget, tap_mode, s0_fixed):
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
     kr = sweeps_per_call * spec.radius
     p1 = round_up(kr, sublane)
-    best = None
-    best_key = None
     if s0_fixed is not None:
         if s0_fixed > n0:
             raise ValueError(
@@ -148,6 +164,7 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                    if t % sublane == 0 and t <= n1} | {n1})
     from fractions import Fraction
 
+    out = []
     for s0 in s0_c:
         for t1 in t1_c:
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
@@ -159,9 +176,9 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                     nt0 * nt1 * (s0 + 2 * kr) * (t1 + 2 * p1), n0 * n1
                 )
                 key = (-ratio, vol, t1)  # min ratio; ties: vol, then t1
-                if best_key is None or key > best_key:
-                    best, best_key = (s0, t1), key
-    return best
+                out.append((key, (s0, t1)))
+    out.sort(key=lambda kt: kt[0], reverse=True)
+    return out
 
 
 def make_tiled_plan(spec, interior_shape, dtype="float32",

@@ -73,6 +73,14 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         # hold a k*r-deep temporal window in VMEM for production grids,
         # and tiling both minor-halo'd dims keeps windows small
         return _make_pallas_tiled(config, spec, grid, k)
+    if config is not None and config.autotune and _on_tpu():
+        # the autotuner's search space is the 3D tiled kernel's; the 2D
+        # slab kernel has one lever (-b slab rows) with a measured-flat
+        # response — pinned defaults apply
+        import sys
+
+        print("# autotune: 2D slab path uses pinned defaults",
+              file=sys.stderr)
     method = PallasStencil(
         spec,
         grid.interior_shape,
@@ -97,6 +105,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
     from stencil_tpu.ops.pallas_tiled import TiledPallasStencil, choose_tiles
 
     tiles = None
+    tap_mode = getattr(config, "tap_mode", None)
     if config is not None and config.block:
         # -b/--block pins the d0 tile size; t1 is chosen within budget
         tiles = choose_tiles(spec, grid.interior_shape, str(grid.dtype), k,
@@ -106,6 +115,17 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
                 f"no feasible d1 tile for block={config.block} at "
                 f"k={k} on {grid.interior_shape}"
             )
+    if config is not None and config.autotune and tiles is None \
+            and tap_mode is None:
+        if _on_tpu():
+            from stencil_tpu import autotune
+
+            win = autotune.autotune(spec, grid.interior_shape,
+                                    str(grid.dtype), k)
+            if win is not None:
+                tiles = tuple(win["tiles"])
+                tap_mode = win["tap_mode"]
+        # off-TPU: pinned defaults (the cache is keyed by device kind)
     method = TiledPallasStencil(
         spec,
         grid.interior_shape,
@@ -113,7 +133,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         sweeps_per_call=k,
         tiles=tiles,
         interpret=not _on_tpu(),
-        tap_mode=getattr(config, "tap_mode", None),
+        tap_mode=tap_mode,
     )
     return Runner(
         name=(f"pallas_tiled(k={k},{method.plan.s0}x{method.plan.t1})"),

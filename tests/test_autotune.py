@@ -1,0 +1,89 @@
+"""Autotuner tests (CPU: measurement injected; the on-device pass runs
+via --autotune on real hardware and commits results/autotune_v5e.json)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from stencil_tpu import autotune
+from stencil_tpu.core.spec import get_spec
+from stencil_tpu.ops.pallas_tiled import _vmem_bytes, DEFAULT_VMEM_BUDGET
+
+
+def test_candidates_are_feasible_and_ranked():
+    spec = get_spec("jacobi7")
+    cands = autotune.candidates(spec, (256, 256, 256), "float32", 8)
+    assert cands, "headline config must have candidates"
+    modes = {m for _, m in cands}
+    assert modes == {"rotacc", "synth"}
+    for (s0, t1), mode in cands:
+        assert _vmem_bytes(spec, (256, 256, 256), "float32", 8, s0, t1,
+                           mode) <= DEFAULT_VMEM_BUDGET
+    # the model's best (the pinned default 64x64) leads its mode group
+    first_rotacc = next(t for t, m in cands if m == "rotacc")
+    assert first_rotacc == (64, 64)
+
+
+def test_bf16_candidates_synth_only():
+    cands = autotune.candidates(get_spec("jacobi7"), (256, 256, 256),
+                                "bfloat16", 8)
+    assert cands and all(m == "synth" for _, m in cands)
+
+
+def test_autotune_measures_caches_and_reuses(tmp_path):
+    spec = get_spec("jacobi7")
+    cache = str(tmp_path / "tune.json")
+    calls = []
+
+    def fake_measure(tiles, mode):
+        calls.append((tuple(tiles), mode))
+        # make a non-default candidate win so we know measurement decides
+        return 100.0 if (tuple(tiles), mode) == calls[0] else 50.0
+
+    win = autotune.autotune(spec, (64, 64, 64), "float32", 4,
+                            cache_path=cache, measure_fn=fake_measure)
+    assert win is not None and win["glups"] == 100.0
+    assert (tuple(win["tiles"]), win["tap_mode"]) == calls[0]
+    # cache file written, keyed by device kind + config
+    stored = json.load(open(cache))
+    assert len(stored) == 1
+    key = next(iter(stored))
+    assert "jacobi7" in key and "64x64x64" in key and "k4" in key
+    # second call: served from cache, measure_fn NOT invoked
+    n_calls = len(calls)
+    win2 = autotune.autotune(spec, (64, 64, 64), "float32", 4,
+                             cache_path=cache, measure_fn=fake_measure)
+    assert win2 == win and len(calls) == n_calls
+
+
+def test_autotune_survives_failing_candidates(tmp_path):
+    spec = get_spec("jacobi7")
+
+    def flaky(tiles, mode):
+        if mode == "rotacc":
+            raise RuntimeError("compiler crash")
+        return 42.0
+
+    win = autotune.autotune(spec, (64, 64, 64), "float32", 4,
+                            cache_path=str(tmp_path / "t.json"),
+                            measure_fn=flaky)
+    assert win is not None and win["tap_mode"] == "synth"
+
+
+def test_autotune_all_fail_returns_none(tmp_path):
+    def broken(tiles, mode):
+        raise RuntimeError("no")
+
+    win = autotune.autotune(get_spec("jacobi7"), (64, 64, 64), "float32",
+                            4, cache_path=str(tmp_path / "t.json"),
+                            measure_fn=broken)
+    assert win is None
+
+
+def test_cli_flag_parses():
+    from stencil_tpu.config import parse_args
+
+    cfg = parse_args(["-s", "64", "64", "64", "--autotune"])
+    assert cfg.autotune is True
+    assert parse_args(["-s", "64", "64"]).autotune is False
