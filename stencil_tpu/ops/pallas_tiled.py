@@ -80,6 +80,20 @@ class TiledPlan:
     # measurement baseline that quantifies the double-buffered pipeline's
     # DMA/compute overlap (results/overlap.md)
     pipeline: bool = True
+    # input-window DMA slots / prefetch lookahead (2 = classic double
+    # buffering with i+2 prefetch; 3-4 = deeper pipeline against
+    # DMA+compute issue contention — measured on v5e cfg4: neutral, see
+    # docs/performance.md)
+    slots: int = 2
+    # sliding-d1 window reuse: consecutive tiles in a d0 row share their
+    # 2*p1-row window overlap; with slide=True the overlap rows are
+    # copied VMEM->VMEM from the previous tile's slot (hidden behind
+    # compute) and the HBM fetch shrinks to the t1 NEW rows — removing
+    # the d1 halo read overfetch entirely. Costs one extra compute
+    # ping-pong window at k>1 (the DMA slots must stay pristine, so
+    # intermediate sweeps can no longer overwrite the window in place).
+    # Requires d1-divisible tiles with t1 >= 2*p1.
+    slide: bool = False
 
     @property
     def halo(self) -> int:
@@ -96,7 +110,8 @@ class TiledPlan:
                 self.layout.padded_shape[2])
 
 
-def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
+def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
+                slots=2, slide=False) -> int:
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
@@ -106,10 +121,11 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth") -> int:
     itemsize = np.dtype(dtype).itemsize
     win = w0 * w1 * P2
     out = s0 * t1 * P2
-    # 2 input slots + 1 compute ping-pong + 2 output slots + ~1 win of
-    # Mosaic tap temporaries
-    cbuf = win if k > 1 else 0
-    return (2 * win + cbuf + 2 * out + win) * itemsize
+    # `slots` input slots + compute ping-pong (x2 when sliding: the DMA
+    # window must stay pristine) + 2 output slots + ~1 win of Mosaic tap
+    # temporaries
+    cbuf = (2 * win if slide else win) if k > 1 else 0
+    return (slots * win + cbuf + 2 * out + win) * itemsize
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
@@ -185,9 +201,13 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
                     vmem_budget=DEFAULT_VMEM_BUDGET,
                     vmem_limit=None, tap_mode=None,
-                    pipeline=True) -> TiledPlan:
+                    pipeline=True, slots=2, slide=False) -> TiledPlan:
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
+    if slots < 2:
+        raise ValueError("the DMA pipeline needs >= 2 input slots")
+    if slide and not pipeline:
+        raise ValueError("slide requires the pipelined DMA schedule")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -219,6 +239,17 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             f"t1 must be a multiple of the sublane size {sublane} "
             f"(or the full dim {n1})"
         )
+    if slide:
+        p1_ = round_up(sweeps_per_call * spec.radius, sublane)
+        if n1 % t1:
+            raise ValueError(
+                "slide requires d1-divisible tiles (the overlap-row "
+                "relation between consecutive windows assumes unclamped "
+                "tile starts)")
+        if t1 < 2 * p1_:
+            raise ValueError(
+                f"slide requires t1 >= 2*p1 = {2 * p1_} (the previous "
+                "tile's NEW rows must contain the next tile's overlap)")
     if defaulted and tap_mode == "rotacc" and t1 % sublane:
         # whole-dim d1 tiles with a non-sublane-multiple extent give a
         # window whose sublane dim is misaligned; rotacc's sublane
@@ -283,7 +314,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
         # 80MB limit and hard-crashes at 61MB).
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                          s0, t1, tap_mode)
+                          s0, t1, tap_mode, slots, slide)
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
@@ -292,7 +323,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
-                     tap_mode=tap_mode, pipeline=pipeline)
+                     tap_mode=tap_mode, pipeline=pipeline, slots=slots,
+                     slide=slide)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -313,6 +345,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     s0, t1 = plan.s0, plan.t1
     p1 = plan.p1
     w0, w1, _ = plan.window_shape
+    S = plan.slots
     d2_lo = layout.pads[2][0]
     nt0, nt1 = -(-n0 // s0), -(-n1 // t1)
     nt = nt0 * nt1
@@ -347,7 +380,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             )
 
     def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
-               isem, osem):
+               isem, osem, cbuf2, csem):
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -360,13 +393,33 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             c1 = lax.min(i1 * t1, C1) if nt1 > 1 else 0
             return r0, c1
 
-        def in_copy(i, sl):
+        def in_copy(i, sl, partial=False):
             r0, c1 = tile_coords(i)
+            if partial:
+                # sliding mode, non-first tile of a d0 row: fetch only
+                # the t1 NEW rows; rows [0, 2*p1) arrive via ov_copy from
+                # the previous tile's slot
+                c1 = pl.multiple_of(c1 + 2 * p1, sublane)
+                return pltpu.make_async_copy(
+                    cur_hbm.at[pl.ds(r0, w0), pl.ds(c1, t1)],
+                    scratch.at[sl].at[:, pl.ds(2 * p1, t1)],
+                    isem.at[sl],
+                )
             c1 = pl.multiple_of(c1, sublane)
             return pltpu.make_async_copy(
                 cur_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
                 scratch.at[sl],
                 isem.at[sl],
+            )
+
+        def ov_copy(sl_src, sl_dst):
+            # the 2*p1 overlap rows of the next window are the tail of
+            # the previous tile's NEW rows (t1 >= 2*p1, plan-validated):
+            # local VMEM->VMEM async copy, hidden behind compute
+            return pltpu.make_async_copy(
+                scratch.at[sl_src].at[:, pl.ds(t1, 2 * p1)],
+                scratch.at[sl_dst].at[:, pl.ds(0, 2 * p1)],
+                csem.at[0],
             )
 
         def out_copy(i, sl):
@@ -687,27 +740,34 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     rows1hi >= C1 - c1, jnp.asarray(d1_hi_bc, dtype),
                     dst[:, w1 - b1:, d2i])
 
-        def compute(sl, i):
-            # 2-buffer ping-pong: sweep t reads bufs[(t-1) % 2], writes
-            # bufs[t % 2]; even sweeps overwrite the (dead) DMA window in
-            # place — its unwritten rim is never read again, because sweep
-            # t+1 reads exactly the region sweep t wrote.
-            bufs = (scratch.at[sl], cbuf)
+        def compute(sl, osl, i):
+            # Buffer ping-pong: sweep t reads wbuf(t-1) (t=1: the DMA
+            # window), writes wbuf(t). Non-slide: even sweeps overwrite
+            # the (dead) DMA window in place — its unwritten rim is never
+            # read again, because sweep t+1 reads exactly the region
+            # sweep t wrote. Slide: the window must stay pristine (the
+            # next tile's overlap rows are copied out of it), so sweeps
+            # ping-pong between two dedicated buffers instead.
+            def wbuf(t):
+                if plan.slide and k > 1:
+                    return (cbuf, cbuf2)[(t - 1) % 2]
+                return (cbuf, scratch.at[sl])[(t - 1) % 2]
+
             for t in range(1, k + 1):
                 need = (k - t) * r
                 a0, m0 = kr - need, s0 + 2 * need
                 a1, m1 = p1 - need, t1 + 2 * need
-                src = bufs[(t - 1) % 2]
+                src = scratch.at[sl] if t == 1 else wbuf(t - 1)
                 y = taps_into(src[...], a0, m0, a1, m1)
                 if t < k:
-                    dst = bufs[t % 2]
+                    dst = wbuf(t)
                     dst[pl.ds(a0, m0), pl.ds(a1, m1),
                         pl.ds(d2_lo, n2)] = y
                     pin(dst, i, need)
                 else:
                     d1_idx = (pl.ds(p1, t1) if full_d1
                               else slice(None))
-                    otile[(sl, slice(None), d1_idx,
+                    otile[(osl, slice(None), d1_idx,
                            pl.ds(d2_lo, n2))] = y
                     if extra1:
                         # ragged d1: the clamped last tile's output band
@@ -720,7 +780,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
 
                         @pl.when((pins_ref[3] != 0) & (c1 >= C1))
                         def _():
-                            otile[(sl, slice(None),
+                            otile[(osl, slice(None),
                                    pl.ds(t1 - extra1, extra1),
                                    pl.ds(d2_lo, n2))] = jnp.full(
                                 (s0, extra1, n2), d1_hi_bc, dtype)
@@ -731,6 +791,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # them end to end)
         if k > 1:
             fill_d2_ghosts(cbuf, (w0, w1))
+            if plan.slide:
+                fill_d2_ghosts(cbuf2, (w0, w1))
         ot_d1 = P1 if full_d1 else t1
         if full_d1:
             # the full-d1 output tile carries the padded array's d1 ghost
@@ -751,38 +813,90 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             # waited before compute touches the tile and the writeback is
             # drained before the next tile starts
             def body_serial(i, _):
-                sl = lax.rem(i, 2)
+                sl = lax.rem(i, S)
+                osl = lax.rem(i, 2)
                 in_copy(i, sl).start()
                 in_copy(i, sl).wait()
-                compute(sl, i)
-                out_copy(i, sl).start()
-                out_copy(i, sl).wait()
+                compute(sl, osl, i)
+                out_copy(i, osl).start()
+                out_copy(i, osl).wait()
                 return 0
 
             lax.fori_loop(0, nt, body_serial, 0)
             return
 
-        in_copy(0, 0).start()
+        # fill the input pipeline S deep (S=2 is the classic double
+        # buffer; deeper S prefetches further ahead of compute). In slide
+        # mode only the first tile of each d0 row fetches its full window;
+        # later tiles fetch their t1 NEW rows (the overlap arrives via
+        # ov_copy, chained tile-to-tile behind compute).
+        slide = plan.slide
 
-        @pl.when(nt > 1)
-        def _():
-            in_copy(1, 1).start()
+        def is_row_start(j):
+            return j % nt1 == 0
+
+        in_copy(0, 0).start()
+        for j in range(1, S):
+            @pl.when(nt > j)
+            def _(j=j):
+                in_copy(j, j, partial=slide and not is_row_start(j)).start()
 
         def body(i, _):
-            sl = lax.rem(i, 2)
-            in_copy(i, sl).wait()
+            sl = lax.rem(i, S)
+            osl = lax.rem(i, 2)
+            if slide:
+                part = lax.rem(i, nt1) != 0
+
+                # mirrored wait: the descriptor must match the start
+                @pl.when(part)
+                def _():
+                    in_copy(i, sl, partial=True).wait()
+
+                @pl.when(jnp.logical_not(part))
+                def _():
+                    in_copy(i, sl).wait()
+            else:
+                in_copy(i, sl).wait()
 
             @pl.when(i >= 2)
             def _():
-                out_copy(i - 2, sl).wait()
+                out_copy(i - 2, osl).wait()
 
-            compute(sl, i)
+            if slide:
+                # stage tile i+1's overlap rows out of THIS slot while we
+                # compute; waited below, before this slot's rows can be
+                # overwritten by the i+S prefetch (the single-threaded
+                # kernel order also sequences it before body(i+1)'s reads)
+                nxt_part = (i + 1 < nt) & (lax.rem(i + 1, nt1) != 0)
 
-            @pl.when(i + 2 < nt)
-            def _():
-                in_copy(i + 2, sl).start()
+                @pl.when(nxt_part)
+                def _():
+                    ov_copy(sl, lax.rem(i + 1, S)).start()
 
-            out_copy(i, sl).start()
+            compute(sl, osl, i)
+
+            if slide:
+                @pl.when(nxt_part)
+                def _():
+                    ov_copy(sl, lax.rem(i + 1, S)).wait()
+
+                @pl.when(i + S < nt)
+                def _():
+                    nsp = lax.rem(i + S, nt1) != 0
+
+                    @pl.when(nsp)
+                    def _():
+                        in_copy(i + S, sl, partial=True).start()
+
+                    @pl.when(jnp.logical_not(nsp))
+                    def _():
+                        in_copy(i + S, sl).start()
+            else:
+                @pl.when(i + S < nt)
+                def _():
+                    in_copy(i + S, sl).start()
+
+            out_copy(i, osl).start()
             return 0
 
         lax.fori_loop(0, nt, body, 0)
@@ -809,11 +923,14 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((P0, P1, P2), dtype),
             scratch_shapes=[
-                pltpu.VMEM((2,) + win_shape, dtype),
+                pltpu.VMEM((S,) + win_shape, dtype),
                 pltpu.VMEM(win_shape if k > 1 else (1, 1, 1), dtype),
                 pltpu.VMEM((2,) + otile_shape, dtype),
+                pltpu.SemaphoreType.DMA((S,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM(win_shape if (k > 1 and plan.slide)
+                           else (1, 1, 1), dtype),
+                pltpu.SemaphoreType.DMA((1,)),
             ],
             input_output_aliases={2: 0},
             interpret=interpret,
@@ -882,10 +999,11 @@ class TiledPallasStencil:
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
-                 tap_mode=None, pipeline=True):
+                 tap_mode=None, pipeline=True, slots=2, slide=False):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
-                                    vmem_limit, tap_mode, pipeline)
+                                    vmem_limit, tap_mode, pipeline, slots,
+                                    slide)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -923,6 +1041,8 @@ class TiledPallasStencil:
                 vmem_limit=self.plan.vmem_limit,
                 tap_mode=self.plan.tap_mode,
                 pipeline=self.plan.pipeline,
+                slots=self.plan.slots,
+                slide=self.plan.slide,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

@@ -408,3 +408,67 @@ def test_ragged_choose_tiles_feasible():
     assert tiles is not None
     s0, t1 = tiles
     assert s0 <= 257 and t1 <= 257 and t1 % 8 == 0
+
+
+@pytest.mark.parametrize("slots", [3, 4])
+def test_deeper_dma_pipeline_matches_golden(slots):
+    # slots>2: deeper input prefetch (i+S lookahead) must be numerically
+    # identical; 6 tiles exercise slot-index wraparound at S != 2
+    grid = HaloGrid.create((24, 16, 20), halo=1, dtype="float32")
+    m = TiledPallasStencil(get_spec("jacobi7"), (24, 16, 20),
+                           sweeps_per_call=2, tiles=(8, 8), interpret=True,
+                           slots=slots)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros((24, 16, 20), np.float64),
+                                get_spec("jacobi7"), 4, bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+@pytest.mark.parametrize("k,spec_name", [
+    (1, "jacobi7"), (3, "jacobi7"), (2, "jacobi27"),
+])
+def test_sliding_window_reuse_matches_golden(k, spec_name):
+    """slide=True: only the first tile per d0 row fetches a full window;
+    later tiles VMEM-copy the 2*p1 overlap rows from the previous slot
+    and fetch t1 new rows. Numerically identical to the full-fetch
+    schedule; 3 d1 tiles x 2 d0 rows exercise the row-start reset and
+    the overlap chain."""
+    spec = get_spec(spec_name)
+    shape = (16, 48, 20)
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=k, tiles=(8, 16),
+                           interpret=True, slide=True)
+    assert m.plan.slide
+    out = m.iterate(grid, 2 * k)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 2 * k,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_slide_bitwise_matches_full_fetch():
+    spec = get_spec("jacobi7")
+    shape = (16, 48, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    a = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 16),
+                           interpret=True, slide=True).iterate(grid, 4)
+    b = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 16),
+                           interpret=True).iterate(grid, 4)
+    np.testing.assert_array_equal(np.asarray(a.interior()),
+                                  np.asarray(b.interior()))
+
+
+def test_slide_validation():
+    spec = get_spec("jacobi7")
+    with pytest.raises(ValueError, match="d1-divisible"):
+        make_tiled_plan(spec, (16, 20, 20), tiles=(8, 8), slide=True,
+                        sweeps_per_call=2)
+    with pytest.raises(ValueError, match="t1 >= 2\\*p1"):
+        make_tiled_plan(spec, (16, 16, 20), tiles=(8, 8), slide=True,
+                        sweeps_per_call=2)
+    with pytest.raises(ValueError, match="pipelined"):
+        make_tiled_plan(spec, (16, 48, 20), tiles=(8, 16), slide=True,
+                        sweeps_per_call=2, pipeline=False)
