@@ -319,6 +319,11 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
         extra = 2 * win_b if tap_mode == "rotacc" else 0
+        if slide:
+            # measured on v5e: the 384^3 k=4 64x64 slide-synth plan ran
+            # out of scoped VMEM by 60KB at est*1.25 — sliding's extra
+            # live window needs one more window of stack headroom
+            extra += win_b
         vmem_limit = max(DEFAULT_VMEM_LIMIT, int(est * 1.25) + extra)
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
