@@ -76,13 +76,17 @@ def lookup(spec, shape, dtype: str, k: int,
 
 def candidates(spec, shape, dtype: str, k: int,
                limit: int = MAX_CANDIDATES):
-    """(tiles, tap_mode) combinations to measure: the top model-ranked
-    tile choices crossed with the dtype-legal tap modes (rotacc+synth
-    for 4-byte dtypes — measured equal on stars, rotacc ~2x on separable
-    boxes; synth only for 16-bit, whose sublane rotates have no safe
-    lowering)."""
+    """(tiles, tap_mode, slide) combinations to measure: the top
+    model-ranked tile choices crossed with the dtype-legal tap modes
+    (rotacc+synth for 4-byte dtypes — measured equal on stars, rotacc
+    ~2x on separable boxes; synth only for 16-bit, whose sublane rotates
+    have no safe lowering). For radius >= 2 the best slide-legal tile is
+    also tried with sliding-d1 window reuse — the measured cfg4 winner
+    (64x96+slide, 47.5 vs 47.3 GLUPS on v5e); radius-1 stars measure
+    slide as negative (VMEM pressure), so it is not offered there."""
     import numpy as np
 
+    from stencil_tpu.ops.layout import round_up, sublane_for_dtype
     from stencil_tpu.ops.pallas_tiled import rank_tiles
 
     modes = (["rotacc", "synth"] if np.dtype(dtype).itemsize == 4
@@ -91,7 +95,16 @@ def candidates(spec, shape, dtype: str, k: int,
     for mode in modes:
         for tiles in rank_tiles(spec, shape, dtype, k,
                                 tap_mode=mode)[: max(1, limit // len(modes))]:
-            out.append((tiles, mode))
+            out.append((tiles, mode, False))
+    if spec.radius >= 2:
+        sublane = sublane_for_dtype(dtype)
+        p1 = round_up(k * spec.radius, sublane)
+        n1 = shape[1]
+        for tiles, mode, _ in list(out):
+            t1 = tiles[1]
+            if n1 % t1 == 0 and t1 >= 2 * p1:
+                out.append((tiles, mode, True))
+                break
     return out
 
 
@@ -100,9 +113,11 @@ def autotune(spec, shape, dtype: str, k: int,
              measure_fn: Optional[Callable] = None,
              force: bool = False) -> Optional[dict]:
     """Measure the candidate set on the attached device; return and cache
-    the winner as ``{"tiles": [s0, t1], "tap_mode": str, "glups": float}``.
+    the winner as ``{"tiles": [s0, t1], "tap_mode": str, "slide": bool,
+    "glups": float}``.
 
-    ``measure_fn(tiles, tap_mode) -> glups`` may be injected for testing;
+    ``measure_fn(tiles, tap_mode, slide) -> glups`` may be injected for
+    testing;
     the default builds a TiledPallasStencil per candidate and times it
     with the marginal protocol. Returns None (pinned defaults apply) when
     nothing could be measured.
@@ -117,17 +132,17 @@ def autotune(spec, shape, dtype: str, k: int,
         measure_fn = _measure_glups_factory(spec, shape, dtype, k)
 
     best = None
-    for tiles, mode in candidates(spec, shape, dtype, k):
+    for tiles, mode, slide in candidates(spec, shape, dtype, k):
         try:
-            glups = float(measure_fn(tiles, mode))
+            glups = float(measure_fn(tiles, mode, slide))
         except Exception as e:  # infeasible/compile-crash candidates skip
-            print(f"# autotune: {tiles} {mode} failed: {e}")
+            print(f"# autotune: {tiles} {mode} slide={slide} failed: {e}")
             continue
-        print(f"# autotune: tiles={tiles} tap_mode={mode} -> "
-              f"{glups:.1f} GLUPS")
+        print(f"# autotune: tiles={tiles} tap_mode={mode} slide={slide} "
+              f"-> {glups:.1f} GLUPS")
         if best is None or glups > best["glups"]:
             best = {"tiles": list(tiles), "tap_mode": mode,
-                    "glups": round(glups, 2)}
+                    "slide": slide, "glups": round(glups, 2)}
     if best is not None:
         cache[key] = best
         try:
@@ -147,10 +162,10 @@ def _measure_glups_factory(spec, shape, dtype, k):
     grid = HaloGrid.create(tuple(shape), halo=spec.radius, dtype=dtype)
     points = int(np.prod(shape))
 
-    def measure(tiles, tap_mode):
+    def measure(tiles, tap_mode, slide=False):
         m = TiledPallasStencil(spec, tuple(shape), dtype,
                                sweeps_per_call=k, tiles=tuple(tiles),
-                               tap_mode=tap_mode)
+                               tap_mode=tap_mode, slide=slide)
 
         def run_n(n):
             return m.iterate(grid, n).data

@@ -45,6 +45,8 @@ class RunConfig:
     # (None = per-dtype default): slice | roll | synth | rotacc
     tap_mode: Optional[str] = None
     autotune: bool = False               # measure (tiles, tap_mode) on-device
+    slots: int = 2                       # tiled-kernel input-DMA pipeline depth
+    slide: bool = False                  # tiled-kernel sliding-d1 window reuse
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -123,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "combinations for this config on the attached TPU "
                         "and use/cache the winner (results/autotune_*.json;"
                         " pinned defaults off-TPU)")
+    p.add_argument("--slots", type=int, default=2,
+                   help="tiled 3D kernel: input-DMA pipeline depth (2 = "
+                        "double buffering; 3-4 measured neutral-to-worse "
+                        "on v5e, kept for experiments)")
+    p.add_argument("--slide", action="store_true",
+                   help="tiled 3D kernel: sliding-d1 window reuse (fetch "
+                        "only new rows, VMEM-copy the overlap; needs "
+                        "d1-divisible tiles with t1 >= 2*p1)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -174,6 +184,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         no_overlap=ns.no_overlap,
         tap_mode=ns.tap_mode,
         autotune=ns.autotune,
+        slots=ns.slots,
+        slide=ns.slide,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

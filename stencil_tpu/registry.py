@@ -73,14 +73,15 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         # hold a k*r-deep temporal window in VMEM for production grids,
         # and tiling both minor-halo'd dims keeps windows small
         return _make_pallas_tiled(config, spec, grid, k)
-    if config is not None and config.autotune and _on_tpu():
-        # the autotuner's search space is the 3D tiled kernel's; the 2D
-        # slab kernel has one lever (-b slab rows) with a measured-flat
+    if config is not None and (config.autotune or config.slide
+                               or config.slots != 2) and _on_tpu():
+        # autotune/slide/slots are 3D tiled-kernel options; the 2D slab
+        # kernel has one lever (-b slab rows) with a measured-flat
         # response — pinned defaults apply
         import sys
 
-        print("# autotune: 2D slab path uses pinned defaults",
-              file=sys.stderr)
+        print("# autotune/slide/slots apply to the 3D tiled kernel; "
+              "2D slab path uses pinned defaults", file=sys.stderr)
     method = PallasStencil(
         spec,
         grid.interior_shape,
@@ -115,6 +116,8 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
                 f"no feasible d1 tile for block={config.block} at "
                 f"k={k} on {grid.interior_shape}"
             )
+    slide = bool(getattr(config, "slide", False))
+    slots = getattr(config, "slots", 2) or 2
     if config is not None and config.autotune and tiles is None \
             and tap_mode is None:
         if _on_tpu():
@@ -125,6 +128,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
             if win is not None:
                 tiles = tuple(win["tiles"])
                 tap_mode = win["tap_mode"]
+                slide = bool(win.get("slide", False))
         # off-TPU: pinned defaults (the cache is keyed by device kind)
     method = TiledPallasStencil(
         spec,
@@ -134,6 +138,8 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         tiles=tiles,
         interpret=not _on_tpu(),
         tap_mode=tap_mode,
+        slide=slide,
+        slots=slots,
     )
     return Runner(
         name=(f"pallas_tiled(k={k},{method.plan.s0}x{method.plan.t1})"),

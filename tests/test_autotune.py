@@ -15,20 +15,32 @@ def test_candidates_are_feasible_and_ranked():
     spec = get_spec("jacobi7")
     cands = autotune.candidates(spec, (256, 256, 256), "float32", 8)
     assert cands, "headline config must have candidates"
-    modes = {m for _, m in cands}
+    modes = {m for _, m, _ in cands}
     assert modes == {"rotacc", "synth"}
-    for (s0, t1), mode in cands:
+    for (s0, t1), mode, slide in cands:
         assert _vmem_bytes(spec, (256, 256, 256), "float32", 8, s0, t1,
                            mode) <= DEFAULT_VMEM_BUDGET
+        assert not slide  # radius-1: slide measured negative, not offered
     # the model's best (the pinned default 64x64) leads its mode group
-    first_rotacc = next(t for t, m in cands if m == "rotacc")
+    first_rotacc = next(t for t, m, _ in cands if m == "rotacc")
     assert first_rotacc == (64, 64)
+
+
+def test_radius2_candidates_include_slide():
+    from stencil_tpu.core.spec import get_spec as gs
+
+    cands = autotune.candidates(gs("laplace3d_ho"), (384, 384, 384),
+                                "float32", 4)
+    slides = [(t, m) for t, m, s in cands if s]
+    assert slides, "radius-2 configs must offer a slide candidate"
+    for (s0, t1), _ in slides:
+        assert 384 % t1 == 0 and t1 >= 16  # slide-legal
 
 
 def test_bf16_candidates_synth_only():
     cands = autotune.candidates(get_spec("jacobi7"), (256, 256, 256),
                                 "bfloat16", 8)
-    assert cands and all(m == "synth" for _, m in cands)
+    assert cands and all(m == "synth" for _, m, _ in cands)
 
 
 def test_autotune_measures_caches_and_reuses(tmp_path):
@@ -36,7 +48,7 @@ def test_autotune_measures_caches_and_reuses(tmp_path):
     cache = str(tmp_path / "tune.json")
     calls = []
 
-    def fake_measure(tiles, mode):
+    def fake_measure(tiles, mode, slide):
         calls.append((tuple(tiles), mode))
         # make a non-default candidate win so we know measurement decides
         return 100.0 if (tuple(tiles), mode) == calls[0] else 50.0
@@ -60,7 +72,7 @@ def test_autotune_measures_caches_and_reuses(tmp_path):
 def test_autotune_survives_failing_candidates(tmp_path):
     spec = get_spec("jacobi7")
 
-    def flaky(tiles, mode):
+    def flaky(tiles, mode, slide):
         if mode == "rotacc":
             raise RuntimeError("compiler crash")
         return 42.0
@@ -72,7 +84,7 @@ def test_autotune_survives_failing_candidates(tmp_path):
 
 
 def test_autotune_all_fail_returns_none(tmp_path):
-    def broken(tiles, mode):
+    def broken(tiles, mode, slide):
         raise RuntimeError("no")
 
     win = autotune.autotune(get_spec("jacobi7"), (64, 64, 64), "float32",
