@@ -32,6 +32,12 @@ DEFAULT_CACHE = os.path.join(
 # compile + measurement
 TUNE_SIGNAL_SECONDS = 0.4
 MAX_CANDIDATES = 4
+# slide candidates get a looser VMEM estimate ceiling than the default
+# 52MB budget: the estimate double-counts conservatively, v5e carries
+# 128MB, and an over-appetite candidate fails per-candidate (caught)
+# instead of crashing the tuner. 64x96+slide (est ~88MB) is the
+# measured cfg4 winner and must stay offered.
+SLIDE_VMEM_BUDGET = 96 * 1024 * 1024
 
 
 def _device_kind() -> str:
@@ -96,14 +102,33 @@ def candidates(spec, shape, dtype: str, k: int,
         for tiles in rank_tiles(spec, shape, dtype, k,
                                 tap_mode=mode)[: max(1, limit // len(modes))]:
             out.append((tiles, mode, False))
-    if spec.radius >= 2:
+    if spec.radius >= 2 and out:
+        from stencil_tpu.ops.pallas_tiled import _vmem_bytes
+
         sublane = sublane_for_dtype(dtype)
         p1 = round_up(k * spec.radius, sublane)
         n1 = shape[1]
+        s0b = out[0][0][0]
+        # (a) the ranked-head tile with slide, in its own mode
         for tiles, mode, _ in list(out):
             t1 = tiles[1]
             if n1 % t1 == 0 and t1 >= 2 * p1:
                 out.append((tiles, mode, True))
+                break
+        # (b) the LARGEST slide-legal t1: slide removes the d1 overfetch
+        # the ranking charges, so bigger rows win on per-tile overheads
+        # (the measured cfg4 winner, 64x96+slide synth). synth keeps the
+        # scoped-VMEM limit lowest (rotacc adds 2 windows); candidates
+        # past the hardware's appetite fail per-candidate and are skipped.
+        for t1 in sorted({16, 32, 48, 64, 96, 128, 256}, reverse=True):
+            if (t1 <= n1 and n1 % t1 == 0 and t1 % sublane == 0
+                    and t1 >= 2 * p1
+                    and _vmem_bytes(spec, shape, dtype, k, s0b, t1,
+                                    "synth", 2, True)
+                    <= SLIDE_VMEM_BUDGET):
+                cand = ((s0b, t1), "synth", True)
+                if cand not in out:
+                    out.append(cand)
                 break
     return out
 

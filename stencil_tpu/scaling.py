@@ -63,6 +63,7 @@ def run_weak_scaling(
 
     points: List[ScalePoint] = []
     base_per_chip = None
+    audited = False
     for n in mesh_sizes:
         gshape = (local_shape[0] * n,) + tuple(local_shape[1:])
         mesh = make_mesh((n,), ("x",))
@@ -85,6 +86,31 @@ def run_weak_scaling(
                 temporal=temporal):
             out, _ = fn(stacked, scratch, jnp.int32(it // temporal))
             return out
+
+        if not audited and n > 1:
+            # static comm audit: per-device exchanged bytes and the
+            # no-hidden-collective guarantee the >=90% target rests on
+            # (mesh-size independent; tests/test_comm_volume.py pins it)
+            try:
+                from stencil_tpu.parallel.comm_audit import audit_step
+
+                a = audit_step(
+                    fn,
+                    jax.ShapeDtypeStruct(stacked.shape, stacked.dtype),
+                    jax.ShapeDtypeStruct(stacked.shape, stacked.dtype),
+                    jax.ShapeDtypeStruct((), np.int32),
+                )
+                extra = (f", PLUS hidden collectives: "
+                         f"{a['other_collectives']}"
+                         if a["other_collectives"] else "")
+                progress(
+                    f"comm audit: {a['ppermute_count']} ppermutes/step, "
+                    f"{a['ppermute_bytes'] / 1e6:.2f} MB/device/step "
+                    f"(mesh-size independent){extra}"
+                )
+            except Exception as e:
+                progress(f"comm audit unavailable: {e}")
+            audited = True
 
         run(temporal)  # compile
         warm.join(timeout=900)
