@@ -24,7 +24,9 @@ def test_weak_scaling_full_ladder():
     assert pts[0].efficiency == 1.0
     assert pts[-1].global_shape == (64, 16, 24)
     assert all(p.glups > 0 for p in pts)
-    assert all("GLUPS" in m for m in msgs)
+    audit = [m for m in msgs if m.startswith("comm audit")]
+    assert len(audit) == 1 and "ppermutes/step" in audit[0]
+    assert all("GLUPS" in m for m in msgs if not m.startswith("comm audit"))
 
 
 def test_weak_scaling_8dev_matches_golden():
