@@ -324,7 +324,12 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             # out of scoped VMEM by 60KB at est*1.25 — sliding's extra
             # live window needs one more window of stack headroom
             extra += win_b
-        vmem_limit = max(DEFAULT_VMEM_LIMIT, int(est * 1.25) + extra)
+        # 1.35x + 4MB (was 1.25x): the round-3 dynamic-threshold pin
+        # bands keep extra live temporaries, and Mosaic reserves ~3MB
+        # below the set limit — the radius-2 384^3 synth plans (needed
+        # 64.28M vs est 51.9M at 64x64) OOM'd under the old margin
+        vmem_limit = max(DEFAULT_VMEM_LIMIT,
+                         int(est * 1.35) + extra + 4 * 1024 * 1024)
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
