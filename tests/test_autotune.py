@@ -99,3 +99,26 @@ def test_cli_flag_parses():
     cfg = parse_args(["-s", "64", "64", "64", "--autotune"])
     assert cfg.autotune is True
     assert parse_args(["-s", "64", "64"]).autotune is False
+
+
+def test_registry_applies_autotuned_winner(monkeypatch, tmp_path):
+    """--autotune plumbing: the registry must apply the cached winner's
+    tiles, tap_mode AND slide bit to the plan it builds."""
+    from stencil_tpu import registry
+    from stencil_tpu.config import RunConfig
+    from stencil_tpu.core.grid import HaloGrid
+
+    win = {"tiles": [8, 16], "tap_mode": "synth", "slide": True,
+           "glups": 1.0}
+    monkeypatch.setattr(registry, "_on_tpu", lambda: True)
+    monkeypatch.setattr(autotune, "autotune",
+                        lambda *a, **k: dict(win))
+    # interpret=True comes from _on_tpu() being faked; force it back on
+    # by building the method directly through the factory and checking
+    # the plan only (no execution)
+    cfg = RunConfig(size=(16, 48, 20), spec="jacobi7", temporal=2,
+                    autotune=True, methods=("pallas_temporal",))
+    spec = cfg.resolved_spec()
+    grid = HaloGrid.create((16, 48, 20), halo=1)
+    runner = registry.get_runner("pallas_temporal", cfg, spec, grid)
+    assert "8x16" in runner.name

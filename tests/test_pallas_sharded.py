@@ -204,3 +204,24 @@ def test_2d_mesh_rejects_2d_grid():
             get_spec("jacobi5"), (64, 40), axis_names=("x", "y"),
             interpret=True,
         ).local_plan((2, 4))
+
+
+def test_ragged_local_blocks():
+    """Global dims divide the mesh, but the per-device block need not
+    divide the tile sizes: the clamped-tile machinery must compose with
+    disabled pins on mesh-internal faces (overlapping windows into
+    neighbor-halo data)."""
+    spec = get_spec("jacobi7")
+    shape = (30, 20, 24)           # local (15, 20, 24) on 2 devices
+    mesh = make_mesh((2,), ("x",))
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    method = ShardedPallasStencil(spec, shape, sweeps_per_call=2,
+                                  interpret=True)
+    plan = method.local_plan(2)
+    assert plan.interior_shape == (15, 20, 24)
+    out = method.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
