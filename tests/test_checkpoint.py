@@ -124,6 +124,8 @@ def test_bc_mismatch_rejected(tmp_path, setup):
 @pytest.mark.parametrize("method,cfg_kwargs", [
     ("pallas", {"temporal": 2}),
     ("sharded_pallas", {"temporal": 2, "mesh": (2,)}),
+    ("sharded_pallas", {"temporal": 2, "mesh": (2, 2)}),
+    ("rma", {"temporal": 2, "mesh": (2, 2)}),
 ])
 def test_checkpoint_resume_across_methods(tmp_path, method, cfg_kwargs):
     """Resume must work with every kernel family, not just the xla
