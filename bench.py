@@ -64,10 +64,11 @@ def main() -> int:
              "bfloat16", "pallas_temporal", 8, None),
             ("cfg4_3dr2_384_k4", "laplace3d_ho", (384, 384, 384),
              "float32", "pallas_temporal", 4, None),
-            # rma keeps the whole block VMEM-resident: 128^3 fp32 (~8MB
-            # x3 buffers) is the validated on-silicon geometry; 256^3
-            # correctly refuses (exceeds the VMEM budget)
-            ("rma_128_k2", "jacobi7", (128, 128, 128), "float32",
+            # rma keeps the whole block VMEM-resident: 64x64x128 fp32 is
+            # the validated k=2 on-silicon geometry (128.2 GLUPS round
+            # 2); 128^3 k=2 correctly refuses (3 buffers exceed the
+            # residency budget)
+            ("rma_64x64x128_k2", "jacobi7", (64, 64, 128), "float32",
              "rma", 2, None),
         ]
 

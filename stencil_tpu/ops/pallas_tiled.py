@@ -319,17 +319,23 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
         extra = 2 * win_b if tap_mode == "rotacc" else 0
-        if slide:
-            # measured on v5e: the 384^3 k=4 64x64 slide-synth plan ran
-            # out of scoped VMEM by 60KB at est*1.25 — sliding's extra
-            # live window needs one more window of stack headroom
-            extra += win_b
-        # 1.35x + 4MB (was 1.25x): the round-3 dynamic-threshold pin
-        # bands keep extra live temporaries, and Mosaic reserves ~3MB
-        # below the set limit — the radius-2 384^3 synth plans (needed
-        # 64.28M vs est 51.9M at 64x64) OOM'd under the old margin
-        vmem_limit = max(DEFAULT_VMEM_LIMIT,
-                         int(est * 1.35) + extra + 4 * 1024 * 1024)
+        # The margin is a PER-CLASS compromise, bisected on v5e:
+        # - the limit VALUE changes Mosaic's schedule: jacobi7 k=8 64x64
+        #   rotacc runs 111 GLUPS at a 56.1MB limit and ~93 at >=58.8MB
+        #   (A/B with identical plans) — so plans that never OOM'd keep
+        #   the round-2 margin (est*1.25, and the floor) untouched;
+        # - non-rotacc radius>=2 plans NEED ~1.30x est + Mosaic's ~3MB
+        #   reserve (the 384^3 synth 64x64 plan wanted 64.28M against a
+        #   51.9M estimate) and are floor-bound, so the bigger margin
+        #   costs them nothing;
+        # - slide plans need ~1.19x est + reserve (the 60KB-short OOM at
+        #   est*1.25) — the 0.35 margin covers it (64x64 compiled at
+        #   87M, 64x96 at 123M; adding more pushes past the 128MB chip).
+        if slide or (spec.radius >= 2 and tap_mode != "rotacc"):
+            margin = int(est * 0.35) + 4 * 1024 * 1024
+        else:
+            margin = int(est * 0.25)
+        vmem_limit = max(DEFAULT_VMEM_LIMIT, est + margin + extra)
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,

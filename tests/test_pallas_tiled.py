@@ -472,3 +472,27 @@ def test_slide_validation():
     with pytest.raises(ValueError, match="pipelined"):
         make_tiled_plan(spec, (16, 48, 20), tiles=(8, 16), slide=True,
                         sweeps_per_call=2, pipeline=False)
+
+
+def test_vmem_limit_stays_on_fast_side_of_the_cliff():
+    """The scoped-VMEM limit VALUE changes Mosaic's schedule: the
+    headline plan (jacobi7 k=8 64x64 rotacc) measured 111 GLUPS at a
+    56.36MB limit and ~93 at >=58.8MB on v5e (A/B, identical plans).
+    Keep the known-fast classes bit-exact and give the measured-OOM
+    classes (non-rotacc radius>=2, slide) their needed margin."""
+    from stencil_tpu.core.spec import get_spec as gs
+
+    p = make_tiled_plan(gs("jacobi7"), (256, 256, 256), sweeps_per_call=8,
+                        tiles=(64, 64))
+    assert p.vmem_limit == 56360960  # the round-2 measured-fast value
+    p2 = make_tiled_plan(gs("laplace3d_ho"), (384, 384, 384),
+                         sweeps_per_call=4, tiles=(64, 64),
+                         tap_mode="synth")
+    assert p2.vmem_limit >= 67_300_000   # measured need 64.28M + reserve
+    p3 = make_tiled_plan(gs("jacobi7"), (256, 256, 256), sweeps_per_call=8,
+                         tiles=(64, 128), dtype="bfloat16")
+    assert p3.vmem_limit == 48 * 1024 * 1024
+    p4 = make_tiled_plan(gs("laplace3d_ho"), (384, 384, 384),
+                         sweeps_per_call=4, tiles=(64, 96),
+                         tap_mode="synth", slide=True)
+    assert p4.vmem_limit <= 125_000_000  # under the 128MB chip
