@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 DEFAULT_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -57,7 +57,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec
-from stencil_tpu.ops.pallas import SlabPlan, _cached_sweep, make_plan
+from stencil_tpu.ops.pallas import _cached_sweep, make_plan
 from stencil_tpu.ops.pallas_tiled import (
     TiledPlan, _cached_tiled_sweep, make_tiled_plan,
 )

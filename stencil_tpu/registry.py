@@ -26,7 +26,7 @@ has ``iterate(grid, n) -> HaloGrid``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 
