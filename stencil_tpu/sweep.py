@@ -38,10 +38,12 @@ def sweep_configs(
     spec: Optional[str] = None,
     temporal: int = 8,
     check: bool = False,
+    dtypes: Sequence[str] = ("float32",),
+    mesh: Sequence[int] = (),
 ) -> List[RunConfig]:
     spec = spec or ("jacobi5" if ndim == 2 else "jacobi7")
     out = []
-    for size, iters in itertools.product(sizes, iterations):
+    for size, iters, dt in itertools.product(sizes, iterations, dtypes):
         out.append(RunConfig(
             size=(size,) * ndim,
             iterations=iters,
@@ -49,6 +51,8 @@ def sweep_configs(
             methods=tuple(methods),
             temporal=temporal,
             check=check,
+            dtype=dt,
+            mesh=tuple(mesh),
         ))
     return out
 
@@ -98,11 +102,22 @@ def main(argv=None) -> int:
     p.add_argument("--spec", type=str, default=None)
     p.add_argument("--temporal", type=int, default=8)
     p.add_argument("--check", action="store_true")
+    p.add_argument("--dtypes", type=str, nargs="+", default=["float32"])
+    p.add_argument("--mesh", type=int, nargs="*", default=[],
+                   help="device-mesh axis sizes for sharded methods")
     p.add_argument("--csv", type=str, default="sweep.csv")
     p.add_argument("--json", type=str, default="sweep.jsonl")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. cpu for the virtual "
+                        "mesh; plugins ignore JAX_PLATFORMS)")
     ns = p.parse_args(argv)
+    if ns.platform:
+        import jax
+
+        jax.config.update("jax_platforms", ns.platform)
     cfgs = sweep_configs(ns.sizes, ns.iterations, ns.methods, ns.ndim,
-                         ns.spec, ns.temporal, ns.check)
+                         ns.spec, ns.temporal, ns.check, ns.dtypes,
+                         ns.mesh)
     run_sweep(cfgs, ns.csv, ns.json)
     return 0
 
