@@ -20,10 +20,14 @@ Geometry per tile (window-local coordinates):
 
 ``k`` virtual sweeps run in VMEM per HBM round trip; the compute region
 shrinks by ``r`` per sweep in d0 and d1 (redundant overlap recompute), and
-physical Dirichlet ghosts are re-pinned between sweeps on tiles that touch
-a physical face (later-dims-win corner order: d0, then d1, then d2).
-``pins`` disables d0 pinning on mesh-interior devices exactly like the
-slab kernel, so this kernel drops into the sharded path unchanged.
+physical Dirichlet ghosts are re-pinned between sweeps on any tile whose
+window crosses a physical face — static-size bands with dynamic per-tile
+thresholds (later-dims-win corner order: d0, then d1, then d2). The
+4-entry ``pins`` vector (d0lo, d0hi, d1lo, d1hi) disables pinning on
+mesh-internal faces, so this kernel drops into the 1D- or 2D-mesh
+sharded path unchanged. Tiles need not divide the grid dims (clamped
+overlapping last tiles); ``slots`` deepens the input-DMA pipeline and
+``slide`` enables sliding-d1 window reuse (see the class docstrings).
 """
 
 from __future__ import annotations
