@@ -178,10 +178,22 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
     else:
         s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
                        if s <= n0})
+        if all(n0 % s for s in s0_c):
+            # properly ragged dim (no divisor candidate): ceil-division
+            # sizes minimize the clamp overlap — e.g. 257 planes as
+            # 3 tiles of 86 fetch 306 rows vs 5 tiles of 64 fetching
+            # 400 (the ratio model then decides; divisible dims are
+            # untouched so measured-pinned defaults cannot shift)
+            s0_c = sorted(set(s0_c) | {-(-n0 // m) for m in range(2, 9)
+                                       if -(-n0 // m) <= n0})
     # t1 must be a sublane multiple for aligned DMA window offsets — OR
     # the full dim (whole-dim windows are always legal)
-    t1_c = sorted({t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
-                   if t % sublane == 0 and t <= n1} | {n1})
+    base_t1 = {t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
+               if t % sublane == 0 and t <= n1}
+    if base_t1 and all(n1 % t for t in base_t1):
+        base_t1 |= {round_up(-(-n1 // m), sublane) for m in range(2, 9)
+                    if round_up(-(-n1 // m), sublane) <= n1}
+    t1_c = sorted(base_t1 | {n1})
     from fractions import Fraction
 
     out = []

@@ -496,3 +496,25 @@ def test_vmem_limit_stays_on_fast_side_of_the_cliff():
                          sweeps_per_call=4, tiles=(64, 96),
                          tap_mode="synth", slide=True)
     assert p4.vmem_limit <= 125_000_000  # under the 128MB chip
+
+
+def test_ragged_ceil_candidates_improve_fetch_ratio():
+    """Properly ragged dims get ceil-division tile candidates (e.g. 257
+    rows as 3 tiles of 88 instead of 5 of 64), cutting the clamp
+    overlap; divisible dims are untouched so the measured-pinned
+    defaults cannot shift."""
+    spec = get_spec("jacobi7")
+    assert choose_tiles(spec, (256, 256, 256), sweeps_per_call=8) == (64, 64)
+    s0, t1 = choose_tiles(spec, (257, 257, 257), sweeps_per_call=8)
+    # the ceil candidates must beat the power-of-two-only ratio 2.42
+    from fractions import Fraction
+    kr, p1 = 8, 8
+    nt0, nt1 = -(-257 // s0), -(-257 // t1)
+    ratio = Fraction(nt0 * nt1 * (s0 + 2 * kr) * (t1 + 2 * p1), 257 * 257)
+    assert float(ratio) < 2.2
+
+
+def test_ragged_auto_tiles_match_golden():
+    # end-to-end through the chooser (not explicit tiles): the new
+    # ceil-division candidates must be correct, not just well-ranked
+    _check(get_spec("jacobi7"), (33, 29, 20), 2, None, iters=4)
