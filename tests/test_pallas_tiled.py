@@ -518,3 +518,15 @@ def test_ragged_auto_tiles_match_golden():
     # end-to-end through the chooser (not explicit tiles): the new
     # ceil-division candidates must be correct, not just well-ranked
     _check(get_spec("jacobi7"), (33, 29, 20), 2, None, iters=4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_ragged_shapes(seed):
+    """Seeded fuzz over arbitrary (mostly ragged) 3D shapes x spec x k
+    through the auto tile chooser — the clamp/pin/ceil-candidate
+    machinery must hold for shapes nobody hand-picked."""
+    rng = np.random.default_rng(seed + 100)
+    spec = [get_spec("jacobi7"), star(3, 2), get_spec("jacobi27")][seed % 3]
+    shape = tuple(int(rng.integers(9, 28)) for _ in range(3))
+    k = int(rng.integers(1, 4))
+    _check(spec, shape, k, None, iters=2 * k)
