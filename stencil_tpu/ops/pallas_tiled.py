@@ -360,11 +360,17 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
-                      interpret: bool = False):
-    """Compile one outer step (k virtual sweeps) over the whole 3D grid.
+                      interpret: bool = False, subset=None):
+    """Compile one outer step (k virtual sweeps) over the whole 3D grid,
+    or — with ``subset`` (a tuple of tile ids) — over just those tiles.
 
-    Returns ``sweep(cur, nxt, pins=None) -> new`` over padded arrays, same
-    contract as ``ops.pallas.build_sweep``.
+    Subsets enable the interior/edge phase split of the overlapped
+    sharded path (``parallel/pallas_sharded.py``): the interior-tile
+    kernel has no data dependency on the halo exchange, so XLA may
+    overlap it with the ppermutes; the edge-tile kernel runs after.
+    Tiles outside the subset pass through untouched via the output
+    aliasing. Returns ``sweep(cur, nxt, pins=None) -> new`` over padded
+    arrays, same contract as ``ops.pallas.build_sweep``.
     """
     spec = plan.spec
     k = plan.sweeps_per_call
@@ -389,6 +395,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     C0 = n0 - s0
     extra1 = layout.pads[1][1] - layout.pads[1][0]
     C1 = n1 + extra1 - t1
+    ids = tuple(range(nt)) if subset is None else tuple(subset)
+    if subset is not None:
+        if plan.slide:
+            raise ValueError(
+                "tile subsets break the sliding-window overlap chain; "
+                "use slide=False for phase-split sweeps")
+        if not ids or any(t < 0 or t >= nt for t in ids):
+            raise ValueError(f"tile subset out of range [0, {nt})")
+    nt_run = len(ids)
 
     (d0_lo_bc, d0_hi_bc), (d1_lo_bc, d1_hi_bc), (d2_lo_bc, d2_hi_bc) = \
         bc.values
@@ -411,8 +426,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
             )
 
-    def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
-               isem, osem, cbuf2, csem):
+    def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, out_hbm, scratch,
+               cbuf, otile, isem, osem, cbuf2, csem):
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -844,17 +859,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             # reference without its async iget/iput overlap): every DMA is
             # waited before compute touches the tile and the writeback is
             # drained before the next tile starts
-            def body_serial(i, _):
-                sl = lax.rem(i, S)
-                osl = lax.rem(i, 2)
-                in_copy(i, sl).start()
-                in_copy(i, sl).wait()
-                compute(sl, osl, i)
-                out_copy(i, osl).start()
-                out_copy(i, osl).wait()
+            def body_serial(pos, _):
+                tid = ids_ref[pos]
+                sl = lax.rem(pos, S)
+                osl = lax.rem(pos, 2)
+                in_copy(tid, sl).start()
+                in_copy(tid, sl).wait()
+                compute(sl, osl, tid)
+                out_copy(tid, osl).start()
+                out_copy(tid, osl).wait()
                 return 0
 
-            lax.fori_loop(0, nt, body_serial, 0)
+            lax.fori_loop(0, nt_run, body_serial, 0)
             return
 
         # fill the input pipeline S deep (S=2 is the classic double
@@ -867,79 +883,84 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         def is_row_start(j):
             return j % nt1 == 0
 
-        in_copy(0, 0).start()
-        for j in range(1, S):
-            @pl.when(nt > j)
-            def _(j=j):
-                in_copy(j, j, partial=slide and not is_row_start(j)).start()
+        # positions j walk the (possibly subset) run list; the tile id
+        # comes from SMEM. Slide requires subset=None (validated), where
+        # position == tile id, so its row-start arithmetic stays on ids.
+        in_copy(ids_ref[0], 0).start()
+        for j in range(1, min(S, nt_run)):
+            in_copy(ids_ref[j], j,
+                    partial=slide and not is_row_start(j)).start()
 
-        def body(i, _):
-            sl = lax.rem(i, S)
-            osl = lax.rem(i, 2)
+        def body(pos, _):
+            tid = ids_ref[pos]
+            sl = lax.rem(pos, S)
+            osl = lax.rem(pos, 2)
             if slide:
-                part = lax.rem(i, nt1) != 0
+                part = lax.rem(tid, nt1) != 0
 
                 # mirrored wait: the descriptor must match the start
                 @pl.when(part)
                 def _():
-                    in_copy(i, sl, partial=True).wait()
+                    in_copy(tid, sl, partial=True).wait()
 
                 @pl.when(jnp.logical_not(part))
                 def _():
-                    in_copy(i, sl).wait()
+                    in_copy(tid, sl).wait()
             else:
-                in_copy(i, sl).wait()
+                in_copy(tid, sl).wait()
 
-            @pl.when(i >= 2)
+            @pl.when(pos >= 2)
             def _():
-                out_copy(i - 2, osl).wait()
+                out_copy(ids_ref[pos - 2], osl).wait()
 
             if slide:
-                # stage tile i+1's overlap rows out of THIS slot while we
-                # compute; waited below, before this slot's rows can be
-                # overwritten by the i+S prefetch (the single-threaded
-                # kernel order also sequences it before body(i+1)'s reads)
-                nxt_part = (i + 1 < nt) & (lax.rem(i + 1, nt1) != 0)
+                # stage tile tid+1's overlap rows out of THIS slot while
+                # we compute; waited below, before this slot's rows can
+                # be overwritten by the pos+S prefetch (the
+                # single-threaded kernel order also sequences it before
+                # body(pos+1)'s reads)
+                nxt_part = (tid + 1 < nt) & (lax.rem(tid + 1, nt1) != 0)
 
                 @pl.when(nxt_part)
                 def _():
-                    ov_copy(sl, lax.rem(i + 1, S)).start()
+                    ov_copy(sl, lax.rem(tid + 1, S)).start()
 
-            compute(sl, osl, i)
+            compute(sl, osl, tid)
 
             if slide:
                 @pl.when(nxt_part)
                 def _():
-                    ov_copy(sl, lax.rem(i + 1, S)).wait()
+                    ov_copy(sl, lax.rem(tid + 1, S)).wait()
 
-                @pl.when(i + S < nt)
+                @pl.when(pos + S < nt_run)
                 def _():
-                    nsp = lax.rem(i + S, nt1) != 0
+                    nsp = lax.rem(tid + S, nt1) != 0
 
                     @pl.when(nsp)
                     def _():
-                        in_copy(i + S, sl, partial=True).start()
+                        in_copy(tid + S, sl, partial=True).start()
 
                     @pl.when(jnp.logical_not(nsp))
                     def _():
-                        in_copy(i + S, sl).start()
+                        in_copy(tid + S, sl).start()
             else:
-                @pl.when(i + S < nt)
+                @pl.when(pos + S < nt_run)
                 def _():
-                    in_copy(i + S, sl).start()
+                    in_copy(ids_ref[pos + S], sl).start()
 
-            out_copy(i, osl).start()
+            out_copy(tid, osl).start()
             return 0
 
-        lax.fori_loop(0, nt, body, 0)
-        out_copy(nt - 1, lax.rem(nt - 1, 2)).wait()
+        lax.fori_loop(0, nt_run, body, 0)
+        out_copy(ids_ref[nt_run - 1], lax.rem(nt_run - 1, 2)).wait()
 
-        @pl.when(nt > 1)
-        def _():
-            out_copy(nt - 2, lax.rem(nt - 2, 2)).wait()
+        if nt_run > 1:
+            out_copy(ids_ref[nt_run - 2], lax.rem(nt_run - 2, 2)).wait()
 
     win_shape = plan.window_shape
     otile_shape = (s0, (P1 if full_d1 else t1), P2)
+
+    ids_arr = np.asarray(ids, np.int32)
 
     @jax.jit
     def sweep(cur, nxt, pins=None):
@@ -948,6 +969,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         return pl.pallas_call(
             kernel,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -964,20 +986,52 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                            else (1, 1, 1), dtype),
                 pltpu.SemaphoreType.DMA((1,)),
             ],
-            input_output_aliases={2: 0},
+            input_output_aliases={3: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=plan.vmem_limit or DEFAULT_VMEM_LIMIT,
             ),
-        )(pins, cur, nxt)
+        )(pins, jnp.asarray(ids_arr), cur, nxt)
 
     return sweep
 
 
+def partition_tiles(plan: TiledPlan):
+    """(interior_ids, edge_ids): interior tiles' windows never touch the
+    ``k*r``-deep d0/d1 ghost bands a mesh halo exchange refreshes, so
+    their compute has NO data dependency on the exchange and can overlap
+    it (the phase split of the overlapped sharded path). Conservative
+    and device-independent: tiles touching bands that happen to be
+    physical faces on a given device are still 'edge' — merely a
+    scheduling choice, never a correctness one."""
+    n0, n1, _ = plan.interior_shape
+    s0, t1 = plan.s0, plan.t1
+    kr = plan.halo
+    p1 = plan.p1
+    nt0, nt1 = -(-n0 // s0), -(-n1 // t1)
+    C0 = n0 - s0
+    extra1 = plan.layout.pads[1][1] - p1
+    C1 = n1 + extra1 - t1
+    interior, edge = [], []
+    for tid in range(nt0 * nt1):
+        i0, i1 = tid // nt1, tid % nt1
+        r0 = min(i0 * s0, C0)
+        c1 = min(i1 * t1, C1)
+        touches = (
+            r0 < kr                      # window over the d0-lo band
+            or r0 > C0 - kr              # d0-hi band ([w0-kr, w0) rows)
+            or c1 < p1                   # d1-lo band
+            or c1 > n1 - t1 - p1         # d1-hi band
+        )
+        (edge if touches else interior).append(tid)
+    return tuple(interior), tuple(edge)
+
+
 @functools.lru_cache(maxsize=64)
-def _cached_tiled_sweep(plan: TiledPlan, bc: DirichletBC, interpret: bool):
-    return build_tiled_sweep(plan, bc, interpret)
+def _cached_tiled_sweep(plan: TiledPlan, bc: DirichletBC, interpret: bool,
+                        subset=None):
+    return build_tiled_sweep(plan, bc, interpret, subset)
 
 
 @functools.lru_cache(maxsize=64)

@@ -178,6 +178,17 @@ class ShardedPallasStencil:
     vmem_budget: Optional[int] = None  # None = per-kernel default
     tap_mode: Optional[str] = None     # None = per-dtype/per-spec default
     axis_names: Optional[Tuple[str, ...]] = None  # overrides axis_name
+    # interior-first comm/compute overlap (3D tiled kernel): the outer
+    # step splits into an interior-tile kernel with NO data dependency
+    # on the halo exchange (it reads the pre-exchange array — interior
+    # windows never touch the exchanged ghost bands, partition_tiles)
+    # and an edge-tile kernel that runs after. XLA's scheduler may then
+    # overlap the ppermutes with interior compute — the reference's
+    # interior-first RMA pipeline (stencil_rma.cpp:333-360), expressed
+    # as a dependency structure instead of manual ordering. Bitwise
+    # identical to the fused step; tests/test_comm_volume.py proves the
+    # independence statically.
+    overlap: bool = True
 
     @property
     def _axes(self) -> Tuple[str, ...]:
@@ -230,8 +241,18 @@ class ShardedPallasStencil:
 
     def _device_fn(self, plan, bc: DirichletBC):
         """Builds block -> block over the device-local PADDED array."""
+        sweep_int = sweep_edge = None
         if isinstance(plan, TiledPlan):
             sweep = _cached_tiled_sweep(plan, bc, self.interpret)
+            if self.overlap and not plan.slide:
+                from stencil_tpu.ops.pallas_tiled import partition_tiles
+
+                interior, edge = partition_tiles(plan)
+                if interior and edge:
+                    sweep_int = _cached_tiled_sweep(plan, bc,
+                                                    self.interpret, interior)
+                    sweep_edge = _cached_tiled_sweep(plan, bc,
+                                                     self.interpret, edge)
         else:
             sweep = _cached_sweep(plan, bc, self.interpret)
         kr = plan.halo                      # ghost depth = k * radius
@@ -325,9 +346,16 @@ class ShardedPallasStencil:
 
             def body(_, carry):
                 cur, nxt = carry
-                cur = exchange(cur)
-                new = sweep(cur, nxt, pins)
-                return (new, cur)
+                cur2 = exchange(cur)
+                if sweep_int is not None:
+                    # interior tiles read the PRE-exchange array (their
+                    # windows exclude the refreshed bands), so this
+                    # kernel and the ppermutes have no data dependency
+                    part = sweep_int(cur, nxt, pins)
+                    new = sweep_edge(cur2, part, pins)
+                else:
+                    new = sweep(cur2, nxt, pins)
+                return (new, cur2)
 
             out, other = lax.fori_loop(0, n_outer, body, (padded, scratch))
             return out, other

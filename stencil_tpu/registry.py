@@ -233,6 +233,9 @@ def make_sharded_pallas(config, spec, grid) -> Runner:
         slab=config.block if config is not None else None,
         interpret=not _on_tpu(),
         tap_mode=getattr(config, "tap_mode", None),
+        # --no-overlap disables the interior-first phase split, exactly
+        # as it does for the `sharded` method
+        overlap=not (config is not None and config.no_overlap),
     )
     method.local_plan(mesh_sizes)  # validate divisibility/VMEM eagerly
     return Runner(

@@ -154,3 +154,103 @@ def test_rma_push_bytes_formula():
             make_rma_plan(spec, (16, 16, 32), mesh_shape=(2,),
                           sweeps_per_call=2)
         )
+
+
+def test_interior_kernel_is_independent_of_the_exchange():
+    """The static proof behind the overlapped sharded step: inside the
+    per-step loop body, the interior-tile kernel's transitive inputs
+    contain NO ppermute (XLA is free to overlap them), while the
+    edge-tile kernel depends on every ppermute. This is the
+    dependency-structure expression of the reference's interior-first
+    RMA pipeline — checkable on one chip."""
+    spec = get_spec("jacobi7")
+    shape = (96, 24, 32)
+    mesh = make_mesh((4,), ("x",))
+    # the small vmem budget forces 8x8 tiles on the (24, 24, 32) local
+    # block so a true interior tile exists (production blocks tile
+    # naturally; CPU-test blocks would fit one window)
+    method = ShardedPallasStencil(spec, shape, sweeps_per_call=2,
+                                  interpret=True, overlap=True,
+                                  vmem_budget=700_000)
+    from stencil_tpu.ops.pallas_tiled import partition_tiles
+
+    interior, edge = partition_tiles(method.local_plan(4))
+    assert interior and edge
+    bc = DirichletBC.reference_default(3)
+    fn = _sharded_pallas_full_fn(method, mesh, bc, 1)
+    data = jax.ShapeDtypeStruct((98, 26, 34), np.float32)
+    traced = jax.jit(fn).trace(data, jax.ShapeDtypeStruct((), np.int32))
+
+    # find the loop-body jaxpr that contains both ppermutes and the two
+    # sweep pjit calls
+    def find_body(jaxpr):
+        prims = [e.primitive.name for e in jaxpr.eqns]
+        if "ppermute" in prims:
+            return jaxpr
+        for eqn in jaxpr.eqns:
+            for v in eqn.params.values():
+                stack = [v]
+                while stack:
+                    u = stack.pop()
+                    if isinstance(u, (tuple, list)):
+                        stack.extend(u)
+                    elif hasattr(u, "jaxpr") and hasattr(u.jaxpr, "eqns"):
+                        r = find_body(u.jaxpr)
+                        if r is not None:
+                            return r
+                    elif hasattr(u, "eqns"):
+                        r = find_body(u)
+                        if r is not None:
+                            return r
+        return None
+
+    body = find_body(traced.jaxpr.jaxpr)
+    assert body is not None
+
+    def has_pallas(eqn):
+        for v in eqn.params.values():
+            stack = [v]
+            while stack:
+                u = stack.pop()
+                if isinstance(u, (tuple, list)):
+                    stack.extend(u)
+                elif hasattr(u, "jaxpr") and hasattr(u.jaxpr, "eqns"):
+                    stack.append(u.jaxpr)
+                elif hasattr(u, "eqns"):
+                    if any(e.primitive.name == "pallas_call"
+                           for e in u.eqns):
+                        return True
+                    stack.extend(u.eqns and [u2 for e in u.eqns
+                                             for u2 in e.params.values()])
+        return eqn.primitive.name == "pallas_call"
+
+    sweep_eqns = [e for e in body.eqns if has_pallas(e)]
+    assert len(sweep_eqns) == 2, (
+        f"expected interior+edge sweeps, found {len(sweep_eqns)}"
+    )
+    perm_eqns = [e for e in body.eqns if e.primitive.name == "ppermute"]
+    assert perm_eqns
+
+    # transitive ancestry within the body jaxpr
+    producer = {}
+    for eqn in body.eqns:
+        for ov in eqn.outvars:
+            producer[id(ov)] = eqn
+
+    def ancestors(eqn, acc):
+        for iv in eqn.invars:
+            p = producer.get(id(iv))
+            if p is not None and id(p) not in acc:
+                acc.add(id(p))
+                ancestors(p, acc)
+        return acc
+
+    int_anc = ancestors(sweep_eqns[0], set())
+    edge_anc = ancestors(sweep_eqns[1], set())
+    perm_ids = {id(e) for e in perm_eqns}
+    assert not (int_anc & perm_ids), (
+        "interior sweep depends on the exchange — overlap impossible"
+    )
+    assert perm_ids <= edge_anc, (
+        "edge sweep must consume every exchanged strip"
+    )

@@ -225,3 +225,49 @@ def test_ragged_local_blocks():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
     )
+
+
+# -- interior-first comm/compute overlap --------------------------------------
+
+def test_overlap_bitwise_matches_fused():
+    """overlap=True (interior/edge phase split) must be bitwise identical
+    to the fused step on 1D and 2D meshes. The small vmem budget forces
+    8x8 local tiles so the split actually engages (partition_tiles finds
+    interior tiles; without it small CPU blocks fit a single window and
+    the path falls back to fused)."""
+    from stencil_tpu.ops.pallas_tiled import partition_tiles
+
+    spec = get_spec("jacobi27")
+    shape = (48, 48, 32)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    for mesh_shape, axes in [((2,), ("x",)), ((2, 2), ("x", "y"))]:
+        mesh = make_mesh(mesh_shape, axes)
+        m_over = ShardedPallasStencil(spec, shape, axis_names=axes,
+                                      sweeps_per_call=2, interpret=True,
+                                      overlap=True, vmem_budget=700_000)
+        interior, edge = partition_tiles(m_over.local_plan(mesh_shape))
+        assert interior and edge  # the split must actually engage
+        a = m_over.iterate(grid, 4, mesh)
+        b = ShardedPallasStencil(spec, shape, axis_names=axes,
+                                 sweeps_per_call=2, interpret=True,
+                                 overlap=False,
+                                 vmem_budget=700_000).iterate(grid, 4, mesh)
+        np.testing.assert_array_equal(np.asarray(a.interior()),
+                                      np.asarray(b.interior()))
+
+
+def test_no_overlap_flag_routes():
+    from stencil_tpu import registry
+    from stencil_tpu.config import RunConfig
+
+    spec = get_spec("jacobi7")
+    grid = HaloGrid.create((16, 16, 20), halo=1)
+    cfg = RunConfig(size=(16, 16, 20), spec="jacobi7", temporal=2,
+                    mesh=(2,), no_overlap=True,
+                    methods=("sharded_pallas",))
+    runner = registry.get_runner("sharded_pallas", cfg, spec, grid)
+    out = runner.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros((16, 16, 20), np.float64), spec,
+                                4, bc=grid.bc)
+    np.testing.assert_allclose(np.asarray(out.interior(), np.float64),
+                               ref, atol=5e-6)

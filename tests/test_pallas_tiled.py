@@ -530,3 +530,35 @@ def test_fuzz_random_ragged_shapes(seed):
     shape = tuple(int(rng.integers(9, 28)) for _ in range(3))
     k = int(rng.integers(1, 4))
     _check(spec, shape, k, None, iters=2 * k)
+
+
+def test_tile_subset_phases_compose_bitwise():
+    """partition_tiles + subset sweeps: running the interior-tile kernel
+    then the edge-tile kernel (output aliasing threading the untouched
+    tiles through) must be bitwise identical to the fused sweep — the
+    correctness half of the overlapped sharded path."""
+    from stencil_tpu.core.grid import DirichletBC
+    from stencil_tpu.ops.pallas_tiled import (
+        build_tiled_sweep, make_tiled_plan, partition_tiles,
+    )
+
+    spec = get_spec("jacobi7")
+    plan = make_tiled_plan(spec, (24, 24, 20), sweeps_per_call=2,
+                           tiles=(8, 8))
+    interior, edge = partition_tiles(plan)
+    assert interior and edge and len(interior) + len(edge) == 9
+    bc = DirichletBC.reference_default(3)
+    grid = HaloGrid.create((24, 24, 20), halo=1, dtype="float32")
+    cur = plan.layout.pad(grid.interior(), bc)
+    nxt = np.array(cur, copy=True)
+
+    import jax.numpy as jnp
+
+    full = build_tiled_sweep(plan, bc, interpret=True)
+    s_int = build_tiled_sweep(plan, bc, interpret=True, subset=interior)
+    s_edge = build_tiled_sweep(plan, bc, interpret=True, subset=edge)
+
+    ref = full(jnp.asarray(cur), jnp.asarray(nxt))
+    part = s_int(jnp.asarray(cur), jnp.asarray(nxt))
+    out = s_edge(jnp.asarray(cur), part)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
