@@ -271,3 +271,21 @@ def test_no_overlap_flag_routes():
                                 4, bc=grid.bc)
     np.testing.assert_allclose(np.asarray(out.interior(), np.float64),
                                ref, atol=5e-6)
+
+
+def test_2d_mesh_bfloat16():
+    # 16-bit path through the full 2D-mesh composition (synth taps,
+    # int32-bitcast lane rolls, 4-face pins)
+    spec = get_spec("jacobi7")
+    shape = (16, 32, 24)
+    grid = HaloGrid.create(shape, halo=1, dtype="bfloat16")
+    mesh = make_mesh((2, 2), ("x", "y"))
+    method = ShardedPallasStencil(spec, shape, axis_names=("x", "y"),
+                                  dtype="bfloat16", sweeps_per_call=2,
+                                  interpret=True)
+    out = method.iterate(grid, 4, mesh)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
+    )
