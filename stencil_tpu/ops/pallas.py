@@ -504,12 +504,23 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             taps = {"synth": taps_synth,
                     "rotacc": taps_rotacc}.get(plan.tap_mode, taps_into)
             start = slab_start(slab_i)
-            # pin physical Dirichlet ghosts only where this block's edge IS
-            # the physical boundary. pins_ref[0]/[1] are 0 on mesh-interior
-            # devices in the sharded path (their lead-dim ghosts hold live
-            # neighbor data, redundantly recomputed each virtual sweep).
-            is_first = (start == 0) & (pins_ref[0] != 0)
-            is_last = (start == lead - slab) & (pins_ref[1] != 0)
+            # Re-pin physical Dirichlet ghosts with static-size bands and
+            # dynamic per-slab thresholds (cf. ops/pallas_tiled.pin): any
+            # slab whose window crosses a physical lead face re-pins
+            # exactly the rows at/beyond it — edge slabs AND mid slabs
+            # whose per-sweep recompute extension (k-t)*r exceeds the
+            # slab pitch. The round-2 kernel pinned edge slabs only and
+            # read stencil-updated ghost rows back at slab < (k-1)*r
+            # (measured 2.3e-4 vs golden at k=8 r=2 slab=8 on 32x40;
+            # regression test in tests/test_pallas.py). pins_ref[0]/[1]
+            # are 0 on mesh-interior devices in the sharded path (their
+            # lead-dim ghosts hold live neighbor data, redundantly
+            # recomputed each virtual sweep).
+            pin_lo = (pins_ref[0] != 0) & (start < lead_lo)
+            pin_hi = (pins_ref[1] != 0) & (start > lead - slab - lead_lo)
+            rows_band = lax.broadcasted_iota(
+                jnp.int32, (lead_lo,) + (1,) * (ndim - 1), 0
+            )
             bufs = (scratch.at[sl], cbuf)
             for t in range(1, k + 1):
                 need = (k - t) * r
@@ -520,20 +531,23 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 if t < k:
                     dst = bufs[t % 2]
                     dst[minor_interior_idx(pl.ds(lead_a, n0))] = y
-                    # re-pin physical lead-dim ghosts (first/last slab only;
-                    # interior slabs never read outside the valid region)
-                    @pl.when(is_first)
+
+                    @pl.when(pin_lo)
                     def _():
-                        dst[minor_interior_idx(slice(0, lead_lo))] = jnp.full(
-                            (lead_lo,) + minor_interior, lead_lo_bc, dtype
+                        bi = minor_interior_idx(slice(0, lead_lo))
+                        dst[bi] = jnp.where(
+                            rows_band < lead_lo - start,
+                            jnp.asarray(lead_lo_bc, dtype), dst[bi]
                         )
 
-                    @pl.when(is_last)
+                    @pl.when(pin_hi)
                     def _():
-                        dst[minor_interior_idx(
+                        bi = minor_interior_idx(
                             slice(win_lead - lead_lo, None)
-                        )] = jnp.full(
-                            (lead_lo,) + minor_interior, lead_hi_bc, dtype
+                        )
+                        dst[bi] = jnp.where(
+                            rows_band >= lead - slab - start,
+                            jnp.asarray(lead_hi_bc, dtype), dst[bi]
                         )
                 else:
                     otile[(sl,) + minor_interior_idx(slice(None))] = y

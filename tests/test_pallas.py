@@ -199,3 +199,24 @@ def test_2d_default_tap_mode_is_spec_aware():
     assert make_plan(S.jacobi5(), (64, 64)).tap_mode == "synth"
     assert make_plan(S.jacobi5(), (64, 64),
                      "bfloat16").tap_mode == "synth"
+
+
+def test_mid_slab_deep_temporal_overhang_regression():
+    """k=8 r=2 with 8-row slabs: the per-sweep recompute extension
+    (k-t)*r = up to 14 rows exceeds the slab pitch, so MID slabs compute
+    into the physical ghost zone between sweeps. The round-2 kernel
+    pinned edge slabs only and read those stencil-updated ghost rows
+    back (measured 2.3e-4 vs golden); the dynamic-threshold pin bands
+    fix it — the same bug class fixed in the tiled kernel this round."""
+    from stencil_tpu.core.spec import star
+
+    spec = star(2, 2)
+    grid = HaloGrid.create((32, 40), halo=2, dtype="float32")
+    m = PallasStencil(spec, (32, 40), sweeps_per_call=8, slab=8,
+                      interpret=True)
+    out = m.iterate(grid, 8)
+    ref = golden.golden_iterate(np.zeros((32, 40), np.float64), spec, 8,
+                                bc=grid.bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
