@@ -562,3 +562,32 @@ def test_tile_subset_phases_compose_bitwise():
     part = s_int(jnp.asarray(cur), jnp.asarray(nxt))
     out = s_edge(jnp.asarray(cur), part)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_tile_subset_phases_compose_bitwise_ragged():
+    """Phase split over a RAGGED grid: partition_tiles must classify the
+    clamped last tiles correctly (their r0/c1 are the clamp values, not
+    i*tile), and the composed phases must stay bitwise."""
+    from stencil_tpu.core.grid import DirichletBC
+    from stencil_tpu.ops.pallas_tiled import (
+        build_tiled_sweep, make_tiled_plan, partition_tiles,
+    )
+    import jax.numpy as jnp
+
+    spec = get_spec("jacobi7")
+    plan = make_tiled_plan(spec, (27, 29, 20), sweeps_per_call=2,
+                           tiles=(8, 8))
+    interior, edge = partition_tiles(plan)
+    assert interior and edge
+    bc = DirichletBC.reference_default(3)
+    grid = HaloGrid.create((27, 29, 20), halo=1, dtype="float32")
+    cur = jnp.asarray(plan.layout.pad(grid.interior(), bc))
+    nxt = jnp.array(cur, copy=True)
+
+    full = build_tiled_sweep(plan, bc, interpret=True)
+    s_int = build_tiled_sweep(plan, bc, interpret=True, subset=interior)
+    s_edge = build_tiled_sweep(plan, bc, interpret=True, subset=edge)
+
+    ref = full(cur, nxt)
+    out = s_edge(cur, s_int(cur, nxt))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
