@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Callable, Optional
 
 DEFAULT_CACHE = os.path.join(
@@ -161,10 +162,11 @@ def autotune(spec, shape, dtype: str, k: int,
         try:
             glups = float(measure_fn(tiles, mode, slide))
         except Exception as e:  # infeasible/compile-crash candidates skip
-            print(f"# autotune: {tiles} {mode} slide={slide} failed: {e}")
+            print(f"# autotune: {tiles} {mode} slide={slide} failed: {e}",
+                  file=sys.stderr)
             continue
         print(f"# autotune: tiles={tiles} tap_mode={mode} slide={slide} "
-              f"-> {glups:.1f} GLUPS")
+              f"-> {glups:.1f} GLUPS", file=sys.stderr)
         if best is None or glups > best["glups"]:
             best = {"tiles": list(tiles), "tap_mode": mode,
                     "slide": slide, "glups": round(glups, 2)}
