@@ -39,13 +39,18 @@ def make_grid(config: RunConfig, spec) -> HaloGrid:
     )
 
 
-def check_method(config: RunConfig, spec, runner) -> golden.CheckResult:
+def check_method(config: RunConfig, spec, runner):
+    """Run the golden-model differential check.
+
+    Returns ``(CheckResult, iterations_checked)``. The reference's -c
+    verifies the FULL iteration count (stencil.cpp:94-131); the
+    multithreaded native golden (native/golden.cpp) makes that
+    affordable here. Only when no C++ toolchain is available do we fall
+    back to the NumPy golden, capped at 50 iterations to keep -c usable
+    on big sweeps — the caller must surface that cap (a capped check is
+    NOT a full-run check and must never silently read as one).
+    """
     grid = make_grid(config, spec)
-    # The reference's -c verifies the FULL iteration count
-    # (stencil.cpp:94-131); the multithreaded native golden
-    # (native/golden.cpp) makes that affordable here. Only when no C++
-    # toolchain is available do we fall back to the NumPy golden, capped
-    # at 50 iterations to keep -c usable on big sweeps.
     from stencil_tpu import native
 
     iters = config.iterations
@@ -62,9 +67,10 @@ def check_method(config: RunConfig, spec, runner) -> golden.CheckResult:
     tol = config.check_tolerance
     if tol is None:
         tol = 3e-2 if config.dtype == "bfloat16" else 1e-4
-    return golden.check_against_golden(
+    chk = golden.check_against_golden(
         np.asarray(out.interior()), ref, tolerance=tol
     )
+    return chk, iters
 
 
 def bench_method(config: RunConfig, spec, runner):
@@ -117,15 +123,25 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
             continue
 
         if config.check:
-            chk = check_method(config, spec, runner)
+            chk, iters_checked = check_method(config, spec, runner)
+            capped = iters_checked < config.iterations
             rec["check"] = {
                 "ok": bool(chk.ok),
                 "max_abs_err": chk.max_abs_err,
                 "max_rel_err": chk.max_rel_err,
+                "iterations_checked": iters_checked,
+                "capped": capped,
             }
             status = "OK" if chk.ok else "FAILED"
-            print(f"[{name}] correctness: {status} — {chk.message()}",
-                  file=out)
+            print(f"[{name}] correctness: {status} "
+                  f"({iters_checked} iterations verified) — "
+                  f"{chk.message()}", file=out)
+            if capped:
+                print(
+                    f"[{name}] WARNING: no C++ toolchain — NumPy golden "
+                    f"fallback verified only {iters_checked} of "
+                    f"{config.iterations} iterations", file=out,
+                )
             if not chk.ok:
                 results.append(rec)
                 continue

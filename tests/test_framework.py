@@ -62,9 +62,38 @@ def test_cli_run_xla_with_check(tmp_path, capsys):
     results = run_all(cfg)
     assert len(results) == 1
     assert results[0]["check"]["ok"]
+    # honest -c reporting: the record must say how many iterations the
+    # golden comparison actually covered (8 <= the NumPy fallback's 50
+    # cap, so both the native and fallback paths verify all 8)
+    assert results[0]["check"]["iterations_checked"] == 8
+    assert results[0]["check"]["capped"] is False
     assert results[0]["glups"] > 0
     lines = (tmp_path / "out.jsonl").read_text().strip().split("\n")
     assert json.loads(lines[0])["method"] == "xla"
+
+
+def test_cli_check_reports_numpy_fallback_cap(monkeypatch, capsys):
+    """Without a C++ toolchain the NumPy golden caps the check at 50
+    iterations — the CLI must say so loudly instead of printing a bare
+    'OK' (round-3 verdict item 4)."""
+    import io
+
+    from stencil_tpu import native
+    from stencil_tpu.cli import run_all
+
+    monkeypatch.setattr(native, "golden_iterate_native",
+                        lambda *a, **k: None)
+    cfg = RunConfig(size=(16, 24), iterations=60, methods=("xla",),
+                    check=True)
+    buf = io.StringIO()
+    results = run_all(cfg, out=buf)
+    chk = results[0]["check"]
+    assert chk["ok"]
+    assert chk["iterations_checked"] == 50
+    assert chk["capped"] is True
+    text = buf.getvalue()
+    assert "WARNING" in text and "50 of 60" in text
+    assert "(50 iterations verified)" in text
 
 
 def test_cli_unknown_method(capsys):
