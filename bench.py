@@ -52,24 +52,34 @@ def main() -> int:
         candidates = [("xla", 1)]
 
     # full BASELINE config vector (results/baseline_configs.md rows),
-    # one entry per driver-visible regression surface
+    # one entry per driver-visible regression surface. Trailing dict =
+    # extra RunConfig fields (autotune routes through the committed
+    # results/autotune_v5e.json cache — a hit applies instantly, so the
+    # autotuned-vs-pinned cfg4 pair costs no tuner time here).
     config_rows = []
     if on_tpu:
         config_rows = [
             ("cfg1_2d5pt_512_k16", "jacobi5", (512, 512), "float32",
-             "pallas_temporal", 16, None),
+             "pallas_temporal", 16, None, {}),
             ("cfg2_2d9pt_4096_k4", "jacobi9", (4096, 4096), "float32",
-             "pallas_temporal", 4, 256),
+             "pallas_temporal", 4, 256, {}),
             ("cfg3_3d7pt_256_bf16_k8", "jacobi7", (256, 256, 256),
-             "bfloat16", "pallas_temporal", 8, None),
+             "bfloat16", "pallas_temporal", 8, None, {}),
             ("cfg4_3dr2_384_k4", "laplace3d_ho", (384, 384, 384),
-             "float32", "pallas_temporal", 4, None),
+             "float32", "pallas_temporal", 4, None, {}),
+            ("cfg4_3dr2_384_k4_autotuned", "laplace3d_ho",
+             (384, 384, 384), "float32", "pallas_temporal", 4, None,
+             {"autotune": "on"}),
+            # ragged grid on the fast tiled path (ceil-division clamped
+            # tiles; round-3 capability, previously driver-invisible)
+            ("cfg6_ragged_257_k8", "jacobi7", (257, 257, 257),
+             "float32", "pallas_temporal", 8, None, {}),
             # rma keeps the whole block VMEM-resident: 64x64x128 fp32 is
             # the validated k=2 on-silicon geometry (128.2 GLUPS round
             # 2); 128^3 k=2 correctly refuses (3 buffers exceed the
             # residency budget)
             ("rma_64x64x128_k2", "jacobi7", (64, 64, 128), "float32",
-             "rma", 2, None),
+             "rma", 2, None, {}),
         ]
 
     grid = HaloGrid.create(shape, halo=spec.radius, dtype=dtype)
@@ -91,12 +101,14 @@ def main() -> int:
             print(f"# {name}(k={k}) setup failed: {e}", file=sys.stderr)
 
     cfg_runners = []
-    for key, spec_name, cshape, cdtype, method, k, block in config_rows:
+    for key, spec_name, cshape, cdtype, method, k, block, extra \
+            in config_rows:
         try:
             cspec = get_spec(spec_name)
             cgrid = HaloGrid.create(cshape, halo=cspec.radius, dtype=cdtype)
             ccfg = RunConfig(size=cshape, spec=spec_name, dtype=cdtype,
-                             temporal=k, block=block, methods=(method,))
+                             temporal=k, block=block, methods=(method,),
+                             **extra)
             runner = registry.get_runner(method, ccfg, cspec, cgrid)
             g = max(1, runner.granularity)
             runner.iterate(cgrid, 2 * g)  # compile
@@ -120,11 +132,22 @@ def main() -> int:
     except Exception:
         hbm = None
 
+    # >=3 marginal repeats per config: the JSON carries the min/median/
+    # max GLUPS band so a cross-round delta is distinguishable from
+    # within-process noise (round-3 verdict item 5; day-to-day v5e bands
+    # are ~3%, results/baseline_configs.md)
+    REPEATS = 3
+
     def measure(runner, g, igrid):
         def run_n(n):
             return runner.iterate(igrid, n).data
 
-        return measure_marginal(run_n, warmup_iters=g, granularity=g)
+        return measure_marginal(run_n, warmup_iters=g, granularity=g,
+                                repeats=REPEATS)
+
+    def band(m, npoints):
+        gl = sorted(npoints / s / 1e9 for s in m.marginals)
+        return round(gl[0], 2), round(gl[-1], 2)
 
     best = None
     for label, runner in runners:
@@ -132,9 +155,11 @@ def main() -> int:
         try:
             m = measure(runner, g, grid)
             glups = points / m.seconds_per_iteration / 1e9
-            print(f"# {label}: {glups:.1f} GLUPS", file=sys.stderr)
+            lo, hi = band(m, points)
+            print(f"# {label}: {glups:.1f} GLUPS [{lo}, {hi}]",
+                  file=sys.stderr)
             if best is None or glups > best[1]:
-                best = (label, glups)
+                best = (label, glups, lo, hi)
         except Exception as e:
             print(f"# {label} measure failed: {e}", file=sys.stderr)
 
@@ -144,13 +169,16 @@ def main() -> int:
         try:
             m = measure(runner, g, cgrid)
             glups = cpoints / m.seconds_per_iteration / 1e9
+            lo, hi = band(m, cpoints)
             roof_c = (hbm / roofline.ideal_bytes_per_point(cdtype)
                       if hbm else None)
             configs_out[key] = {
                 "glups": round(glups, 2),
+                "glups_min": lo, "glups_max": hi, "repeats": REPEATS,
                 "x_roofline": round(glups / roof_c, 3) if roof_c else None,
             }
-            print(f"# {key}: {glups:.1f} GLUPS", file=sys.stderr)
+            print(f"# {key}: {glups:.1f} GLUPS [{lo}, {hi}]",
+                  file=sys.stderr)
         except Exception as e:
             print(f"# {key} measure failed: {e}", file=sys.stderr)
             configs_out[key] = {"glups": 0.0, "x_roofline": None}
@@ -167,6 +195,7 @@ def main() -> int:
         "value": round(best[1], 2),
         "unit": "GLUPS",
         "vs_baseline": round(vs, 3),
+        "value_min": best[2], "value_max": best[3], "repeats": REPEATS,
     }
     if configs_out:
         out["configs"] = configs_out

@@ -33,12 +33,27 @@ DEFAULT_CACHE = os.path.join(
 # compile + measurement
 TUNE_SIGNAL_SECONDS = 0.4
 MAX_CANDIDATES = 4
-# slide candidates get a looser VMEM estimate ceiling than the default
-# 52MB budget: the estimate double-counts conservatively, v5e carries
-# 128MB, and an over-appetite candidate fails per-candidate (caught)
-# instead of crashing the tuner. 64x96+slide (est ~88MB) is the
-# measured cfg4 winner and must stay offered.
-SLIDE_VMEM_BUDGET = 96 * 1024 * 1024
+# Device kinds the tile-ranking model was fitted against (it reproduces
+# the measured winners there, so a 4-candidate head is enough). On any
+# OTHER TPU generation the model may mis-rank, so the tuner widens the
+# measured head instead of trusting the pruning (round-3 verdict item 7).
+FITTED_DEVICE_KINDS = ("tpu:TPU v5 lite",)
+# fraction of glups movement vs the cached winner that `--autotune force`
+# reports as drift (day-to-day v5e bands are ~3%,
+# results/baseline_configs.md)
+DRIFT_FRACTION = 0.05
+
+
+def _slide_vmem_budget() -> int:
+    """Slide candidates get a looser VMEM estimate ceiling than the
+    default tiled budget: the estimate double-counts conservatively, the
+    chip carries more, and an over-appetite candidate fails
+    per-candidate (caught) instead of crashing the tuner. 64x96+slide
+    (est ~88MB) is the measured cfg4 winner and must stay offered —
+    96MiB at the 128MiB reference VMEM, device-scaled."""
+    from stencil_tpu import device_model
+
+    return device_model.budgets().slide_budget
 
 
 def _device_kind() -> str:
@@ -49,6 +64,13 @@ def _device_kind() -> str:
         return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
     except Exception:
         return "unknown"
+
+
+def _default_limit(device_kind: Optional[str] = None) -> int:
+    kind = _device_kind() if device_kind is None else device_kind
+    if kind.startswith("tpu:") and kind not in FITTED_DEVICE_KINDS:
+        return 2 * MAX_CANDIDATES
+    return MAX_CANDIDATES
 
 
 def cache_key(spec, shape, dtype: str, k: int, device_kind: str) -> str:
@@ -82,7 +104,7 @@ def lookup(spec, shape, dtype: str, k: int,
 
 
 def candidates(spec, shape, dtype: str, k: int,
-               limit: int = MAX_CANDIDATES):
+               limit: Optional[int] = None):
     """(tiles, tap_mode, slide) combinations to measure: the top
     model-ranked tile choices crossed with the dtype-legal tap modes
     (rotacc+synth for 4-byte dtypes — measured equal on stars, rotacc
@@ -90,8 +112,16 @@ def candidates(spec, shape, dtype: str, k: int,
     have no safe lowering). For radius >= 2 the best slide-legal tile is
     also tried with sliding-d1 window reuse — the measured cfg4 winner
     (64x96+slide, 47.5 vs 47.3 GLUPS on v5e); radius-1 stars measure
-    slide as negative (VMEM pressure), so it is not offered there."""
+    slide as negative (VMEM pressure), so it is not offered there.
+
+    ``limit`` defaults per device kind: the fitted-model head (4) on the
+    v5e the ranking was bisected on, twice that on any other TPU
+    generation (where a mis-ranking model must not prune the true winner
+    before it is ever measured)."""
     import numpy as np
+
+    if limit is None:
+        limit = _default_limit()
 
     from stencil_tpu.ops.layout import round_up, sublane_for_dtype
     from stencil_tpu.ops.pallas_tiled import rank_tiles
@@ -126,7 +156,7 @@ def candidates(spec, shape, dtype: str, k: int,
                     and t1 >= 2 * p1
                     and _vmem_bytes(spec, shape, dtype, k, s0b, t1,
                                     "synth", 2, True)
-                    <= SLIDE_VMEM_BUDGET):
+                    <= _slide_vmem_budget()):
                 cand = ((s0b, t1), "synth", True)
                 if cand not in out:
                     out.append(cand)
@@ -147,12 +177,18 @@ def autotune(spec, shape, dtype: str, k: int,
     the default builds a TiledPallasStencil per candidate and times it
     with the marginal protocol. Returns None (pinned defaults apply) when
     nothing could be measured.
+
+    ``force`` re-measures even on a cache hit and WARNS when the fresh
+    winner drifts from the cached one (different plan, or glups moved by
+    more than DRIFT_FRACTION) — the cache-staleness check the round-3
+    verdict called out (a stale entry was otherwise trusted forever).
     """
     kind = _device_kind()
     key = cache_key(spec, shape, dtype, k, kind)
     cache = load_cache(cache_path)
-    if not force and key in cache:
-        return cache[key]
+    cached = cache.get(key)
+    if not force and cached is not None:
+        return cached
 
     if measure_fn is None:
         measure_fn = _measure_glups_factory(spec, shape, dtype, k)
@@ -171,6 +207,17 @@ def autotune(spec, shape, dtype: str, k: int,
             best = {"tiles": list(tiles), "tap_mode": mode,
                     "slide": slide, "glups": round(glups, 2)}
     if best is not None:
+        if cached is not None:
+            same_plan = (list(cached.get("tiles", ())) == best["tiles"]
+                         and cached.get("tap_mode") == best["tap_mode"]
+                         and bool(cached.get("slide")) == best["slide"])
+            moved = abs(best["glups"] - float(cached.get("glups", 0.0)))
+            if not same_plan or moved > DRIFT_FRACTION * best["glups"]:
+                print(
+                    f"# autotune: CACHE DRIFT for {key}: cached "
+                    f"{cached} -> measured {best} (cache updated)",
+                    file=sys.stderr,
+                )
         cache[key] = best
         try:
             save_cache(cache_path, cache)

@@ -121,6 +121,8 @@ def run_all(config: RunConfig, out=None) -> List[dict]:
             rec["error"] = str(e)
             results.append(rec)
             continue
+        if getattr(runner, "plan_info", None):
+            rec["plan"] = runner.plan_info
 
         if config.check:
             chk, iters_checked = check_method(config, spec, runner)

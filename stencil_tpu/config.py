@@ -44,7 +44,10 @@ class RunConfig:
     # kernel tap-evaluation strategy override for the pallas methods
     # (None = per-dtype default): slice | roll | synth | rotacc
     tap_mode: Optional[str] = None
-    autotune: bool = False               # measure (tiles, tap_mode) on-device
+    # False = pinned defaults; True/'on' = use/measure the cached
+    # on-device winner; 'force' = re-measure even on a cache hit and
+    # warn on drift vs the cache
+    autotune: object = False
     slots: int = 2                       # tiled-kernel input-DMA pipeline depth
     slide: bool = False                  # tiled-kernel sliding-d1 window reuse
 
@@ -120,11 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-overlap", action="store_true",
                    help="disable the interior-first comm/compute overlap "
                         "in the 'sharded' method")
-    p.add_argument("--autotune", action="store_true",
+    p.add_argument("--autotune", nargs="?", const="on", default=False,
+                   choices=("on", "force"),
                    help="measure the top-ranked feasible (tiles, tap_mode) "
                         "combinations for this config on the attached TPU "
                         "and use/cache the winner (results/autotune_*.json;"
-                        " pinned defaults off-TPU)")
+                        " pinned defaults off-TPU). '--autotune force' "
+                        "re-measures on a cache hit and warns on drift")
     p.add_argument("--slots", type=int, default=2,
                    help="tiled 3D kernel: input-DMA pipeline depth (2 = "
                         "double buffering; 3-4 measured neutral-to-worse "

@@ -65,8 +65,16 @@ from stencil_tpu.ops.rolls import lane_roll
 # Budget for explicit VMEM buffers (bytes). Mosaic's default scoped limit
 # is 16MB but the kernel raises it to 32MB (vmem_limit_bytes), which v5e
 # handles — measured 2D 4096^2 k=8: slab 256 (~22MB explicit buffers) runs
-# at 137.5 GLUPS vs 124 for the 10MB-budget slab 88.
-DEFAULT_VMEM_BUDGET = 24 * 1024 * 1024
+# at 137.5 GLUPS vs 124 for the 10MB-budget slab 88. 24MiB at the 128MiB
+# reference VMEM, scaled per device kind by stencil_tpu.device_model.
+
+
+def _resolve_budget(vmem_budget):
+    if vmem_budget is None:
+        from stencil_tpu import device_model
+
+        return device_model.budgets().slab_budget
+    return vmem_budget
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +112,28 @@ class SlabPlan:
         return self.slab + lo + hi
 
 
+def _slab_vmem_limit(spec, plan, k, slab, win_shape, dtype) -> int:
+    """Scoped-VMEM limit for a slab kernel: the buffer estimate with the
+    round-2 margin, floored at the device-scaled 32MiB floor (v5e value)
+    and capped below the device's physical VMEM on non-reference
+    capacities (identity on the 128MiB v5e so bisected limit VALUES stay
+    bit-exact — the value changes Mosaic's schedule, see CLAUDE.md)."""
+    from stencil_tpu import device_model
+
+    b = device_model.budgets()
+    return device_model.cap_limit(
+        max(
+            b.slab_limit_floor,
+            int(_explicit_vmem_bytes(
+                spec, plan.interior_shape, plan.dtype, k, slab
+            ) * 1.25)
+            + (2 * int(np.prod(win_shape)) * dtype.itemsize
+               if plan.tap_mode == "rotacc" else 0),
+        ),
+        b,
+    )
+
+
 def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
     from stencil_tpu.ops.layout import sublane_for_dtype
 
@@ -125,7 +155,7 @@ def choose_slab(
     interior_shape: Tuple[int, ...],
     dtype: str = "float32",
     sweeps_per_call: int = 1,
-    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    vmem_budget: Optional[int] = None,
 ) -> Optional[int]:
     """Largest feasible leading-dim slab within the VMEM budget.
 
@@ -134,6 +164,7 @@ def choose_slab(
     """
     from stencil_tpu.ops.layout import sublane_for_dtype
 
+    vmem_budget = _resolve_budget(vmem_budget)
     ndim = len(interior_shape)
     lead = interior_shape[0]
     step = sublane_for_dtype(dtype) if ndim == 2 else 1
@@ -158,9 +189,10 @@ def make_plan(
     dtype: str = "float32",
     sweeps_per_call: int = 1,
     slab: Optional[int] = None,
-    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    vmem_budget: Optional[int] = None,
     tap_mode: Optional[str] = None,
 ) -> SlabPlan:
+    vmem_budget = _resolve_budget(vmem_budget)
     if spec.ndim != len(interior_shape):
         raise ValueError("spec rank does not match shape rank")
     if spec.ndim not in (2, 3):
@@ -619,13 +651,8 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 # actual buffer estimate (+2 windows for rotacc's live
                 # rolled temporaries, cf. make_tiled_plan) so explicit
                 # large -b values don't hit a hardcoded wall
-                vmem_limit_bytes=max(
-                    32 * 1024 * 1024,
-                    int(_explicit_vmem_bytes(
-                        spec, plan.interior_shape, plan.dtype, k, slab
-                    ) * 1.25)
-                    + (2 * int(np.prod(win_shape)) * dtype.itemsize
-                       if plan.tap_mode == "rotacc" else 0),
+                vmem_limit_bytes=_slab_vmem_limit(
+                    spec, plan, k, slab, win_shape, dtype
                 ),
             ),
         )(pins, cur, nxt)
@@ -711,7 +738,7 @@ class PallasStencil:
         sweeps_per_call: int = 1,
         slab: Optional[int] = None,
         interpret: bool = False,
-        vmem_budget: int = DEFAULT_VMEM_BUDGET,
+        vmem_budget: Optional[int] = None,
         tap_mode: Optional[str] = None,
     ):
         self.plan = make_plan(

@@ -52,12 +52,25 @@ from stencil_tpu.ops.rolls import lane_roll
 # scoped limit (the kernel raises vmem_limit_bytes accordingly); measured
 # 256^3 fp32 k=8 synth taps: tiles 64x64 (~35MB buffers) -> 106.3 GLUPS
 # vs 32x64 slice taps -> 61.3 GLUPS vs pure XLA -> 11.5 GLUPS. The 52MB
-# budget admits 64x64 for the radius-2 384^3 config (measured 47.3 vs
-# 45.1 GLUPS at 32x64, ~50MB buffers at an 80MB scoped limit) while
-# still excluding the tile shapes measured to hard-crash the compiler
-# (bf16 64x256 / 128x128, ~64MB+).
-DEFAULT_VMEM_BUDGET = 52 * 1024 * 1024
-DEFAULT_VMEM_LIMIT = 48 * 1024 * 1024
+# budget (at the 128MiB reference VMEM; scaled per device by
+# stencil_tpu.device_model) admits 64x64 for the radius-2 384^3 config
+# (measured 47.3 vs 45.1 GLUPS at 32x64, ~50MB buffers at an 80MB scoped
+# limit) while still excluding the tile shapes measured to hard-crash
+# the compiler (bf16 64x256 / 128x128, ~64MB+).
+
+
+def _resolve_budget(vmem_budget: Optional[int]) -> int:
+    if vmem_budget is None:
+        from stencil_tpu import device_model
+
+        return device_model.budgets().tiled_budget
+    return vmem_budget
+
+
+def _tiled_limit_floor() -> int:
+    from stencil_tpu import device_model
+
+    return device_model.budgets().tiled_limit_floor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,7 +146,7 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
-               vmem_budget=DEFAULT_VMEM_BUDGET, tap_mode="synth",
+               vmem_budget=None, tap_mode="synth",
                s0_fixed=None):
     """All VMEM-feasible (s0, t1) candidates, best-ranked first, by the
     same fetched/useful ratio ``choose_tiles`` uses. The autotuner
@@ -144,7 +157,7 @@ def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 
 
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
-                 vmem_budget=DEFAULT_VMEM_BUDGET,
+                 vmem_budget=None,
                  tap_mode="synth", s0_fixed=None) -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) minimizing the fetched-window/useful-points ratio
     ceil(n0/s0)*ceil(n1/t1)*(s0+2kr)(t1+2p1)/(n0*n1) within budget;
@@ -165,6 +178,7 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 
 def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
                   vmem_budget, tap_mode, s0_fixed):
+    vmem_budget = _resolve_budget(vmem_budget)
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
     kr = sweeps_per_call * spec.radius
@@ -215,9 +229,10 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
 
 def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
-                    vmem_budget=DEFAULT_VMEM_BUDGET,
+                    vmem_budget=None,
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False) -> TiledPlan:
+    vmem_budget = _resolve_budget(vmem_budget)
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if slots < 2:
@@ -351,7 +366,12 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             margin = int(est * 0.35) + 4 * 1024 * 1024
         else:
             margin = int(est * 0.25)
-        vmem_limit = max(DEFAULT_VMEM_LIMIT, est + margin + extra)
+        from stencil_tpu import device_model
+
+        b = device_model.budgets()
+        vmem_limit = device_model.cap_limit(
+            max(b.tiled_limit_floor, est + margin + extra), b
+        )
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
@@ -990,7 +1010,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                vmem_limit_bytes=plan.vmem_limit or DEFAULT_VMEM_LIMIT,
+                vmem_limit_bytes=plan.vmem_limit or _tiled_limit_floor(),
             ),
         )(pins, jnp.asarray(ids_arr), cur, nxt)
 
@@ -1084,7 +1104,7 @@ class TiledPallasStencil:
 
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
-                 vmem_budget=DEFAULT_VMEM_BUDGET, vmem_limit=None,
+                 vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,

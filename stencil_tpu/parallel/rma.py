@@ -87,10 +87,23 @@ from stencil_tpu.core.grid import DirichletBC, HaloGrid, fill_halo
 from stencil_tpu.core.spec import StencilSpec
 from stencil_tpu.ops.layout import PaddedLayout, round_up, sublane_for_dtype
 
-# total of all VMEM-resident buffers (2 ping-pong blocks + up to 2 compute
-# buffers); v5e handles explicit buffers well past Mosaic's 16MB default
-VMEM_BLOCK_BUDGET = 40 * 1024 * 1024
-VMEM_LIMIT = 48 * 1024 * 1024
+# Total of all VMEM-resident buffers (2 ping-pong blocks + up to 2
+# compute buffers); v5e handles explicit buffers well past Mosaic's 16MB
+# default. 40MiB budget / 48MiB scoped limit at the 128MiB reference
+# VMEM, scaled per device kind by stencil_tpu.device_model.
+
+
+def _block_budget() -> int:
+    from stencil_tpu import device_model
+
+    return device_model.budgets().rma_block_budget
+
+
+def _vmem_limit() -> int:
+    from stencil_tpu import device_model
+
+    b = device_model.budgets()
+    return device_model.cap_limit(b.rma_limit, b)
 
 AXIS_NAMES = ("x", "y")
 
@@ -195,11 +208,12 @@ def make_rma_plan(spec: StencilSpec, local_shape, dtype="float32",
     block = int(np.prod(layout.padded_shape)) * itemsize
     nbuf = 2 + (0 if sweeps_per_call == 1 else
                 (1 if sweeps_per_call == 2 else 2))
-    if nbuf * block > VMEM_BLOCK_BUDGET:
+    budget = _block_budget()
+    if nbuf * block > budget:
         raise ValueError(
             f"per-device block {layout.padded_shape} x{nbuf} buffers = "
             f"{nbuf * block} B exceeds the VMEM-resident budget "
-            f"{VMEM_BLOCK_BUDGET}; use the sharded_pallas method for "
+            f"{budget}; use the sharded_pallas method for "
             "blocks this large"
         )
     return RmaPlan(spec=spec, local_shape=tuple(local_shape), dtype=dtype,
@@ -609,7 +623,7 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 collective_id=collective_id,
-                vmem_limit_bytes=VMEM_LIMIT,
+                vmem_limit_bytes=_vmem_limit(),
             ),
         )(n_arr, padded)
 

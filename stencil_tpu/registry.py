@@ -42,6 +42,10 @@ class Runner:
     # benchmark protocol hints: iteration counts that are multiples of
     # `granularity` avoid compiling remainder kernels inside timed regions
     granularity: int = 1
+    # the applied kernel plan (tiles/tap_mode/... and where it came from:
+    # 'pinned' | 'flag' | 'autotune'), recorded into the CLI JSON so an
+    # autotuned run says WHAT it ran (round-3 verdict item 7)
+    plan_info: dict = dataclasses.field(default_factory=dict)
 
 
 def _on_tpu() -> bool:
@@ -118,17 +122,23 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
             )
     slide = bool(getattr(config, "slide", False))
     slots = getattr(config, "slots", 2) or 2
+    source = "flag" if (tiles is not None or tap_mode is not None) \
+        else "pinned"
+    tuned_glups = None
     if config is not None and config.autotune and tiles is None \
             and tap_mode is None:
         if _on_tpu():
             from stencil_tpu import autotune
 
             win = autotune.autotune(spec, grid.interior_shape,
-                                    str(grid.dtype), k)
+                                    str(grid.dtype), k,
+                                    force=config.autotune == "force")
             if win is not None:
                 tiles = tuple(win["tiles"])
                 tap_mode = win["tap_mode"]
                 slide = bool(win.get("slide", False))
+                source = "autotune"
+                tuned_glups = win.get("glups")
         # off-TPU: pinned defaults (the cache is keyed by device kind)
     method = TiledPallasStencil(
         spec,
@@ -141,6 +151,15 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         slide=slide,
         slots=slots,
     )
+    plan = method.plan
+    plan_info = {
+        "kernel": "pallas_tiled", "source": source,
+        "tiles": [plan.s0, plan.t1], "tap_mode": plan.tap_mode,
+        "slide": plan.slide, "slots": plan.slots, "k": k,
+        "vmem_limit": plan.vmem_limit,
+    }
+    if tuned_glups is not None:
+        plan_info["autotune_glups"] = tuned_glups
     return Runner(
         name=(f"pallas_tiled(k={k},{method.plan.s0}x{method.plan.t1})"),
         iterate=method.iterate,
@@ -149,6 +168,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
             + ("" if k == 1 else f", {k} sweeps per HBM round trip")
         ),
         granularity=k,
+        plan_info=plan_info,
     )
 
 

@@ -118,6 +118,10 @@ class Measurement:
     seconds_per_iteration: float
     iterations_measured: int
     raw_seconds: tuple
+    # per-repeat marginal seconds/iteration (median of these is
+    # seconds_per_iteration): the noise band, so a cross-round delta can
+    # be judged against within-process spread (round-3 verdict item 5)
+    marginals: tuple = ()
 
 
 def measure_marginal(
@@ -186,6 +190,7 @@ def measure_marginal(
         seconds_per_iteration=best,
         iterations_measured=iters_hi - iters_lo,
         raw_seconds=tuple(raws),
+        marginals=tuple(marginals),
     )
 
 

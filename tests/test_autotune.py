@@ -8,7 +8,7 @@ import pytest
 
 from stencil_tpu import autotune
 from stencil_tpu.core.spec import get_spec
-from stencil_tpu.ops.pallas_tiled import _vmem_bytes, DEFAULT_VMEM_BUDGET
+from stencil_tpu.ops.pallas_tiled import _vmem_bytes, _resolve_budget
 
 
 def test_candidates_are_feasible_and_ranked():
@@ -19,7 +19,7 @@ def test_candidates_are_feasible_and_ranked():
     assert modes == {"rotacc", "synth"}
     for (s0, t1), mode, slide in cands:
         assert _vmem_bytes(spec, (256, 256, 256), "float32", 8, s0, t1,
-                           mode) <= DEFAULT_VMEM_BUDGET
+                           mode) <= _resolve_budget(None)
         assert not slide  # radius-1: slide measured negative, not offered
     # the model's best (the pinned default 64x64) leads its mode group
     first_rotacc = next(t for t, m, _ in cands if m == "rotacc")
@@ -97,7 +97,7 @@ def test_cli_flag_parses():
     from stencil_tpu.config import parse_args
 
     cfg = parse_args(["-s", "64", "64", "64", "--autotune"])
-    assert cfg.autotune is True
+    assert cfg.autotune == "on"
     assert parse_args(["-s", "64", "64"]).autotune is False
 
 

@@ -73,9 +73,9 @@ def test_choose_tiles_respects_budget():
     assert tiles is not None
     s0, t1 = tiles
     assert 256 % s0 == 0 and 256 % t1 == 0 and t1 % 8 == 0
-    from stencil_tpu.ops.pallas_tiled import _vmem_bytes, DEFAULT_VMEM_BUDGET
+    from stencil_tpu.ops.pallas_tiled import _vmem_bytes, _resolve_budget
     assert _vmem_bytes(spec, (256, 256, 256), "float32", 8, s0, t1) \
-        <= DEFAULT_VMEM_BUDGET
+        <= _resolve_budget(None)
 
 
 def test_matches_slab_kernel():
