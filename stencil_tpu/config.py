@@ -50,6 +50,10 @@ class RunConfig:
     autotune: object = False
     slots: int = 2                       # tiled-kernel input-DMA pipeline depth
     slide: bool = False                  # tiled-kernel sliding-d1 window reuse
+    # tiled-kernel on-chip core parallelism: split the tile walk over a
+    # 'parallel' Pallas grid dimension (megacore chips run chunks
+    # concurrently; single-core chips sequentially, measured neutral)
+    cores: int = 1
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -138,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiled 3D kernel: sliding-d1 window reuse (fetch "
                         "only new rows, VMEM-copy the overlap; needs "
                         "d1-divisible tiles with t1 >= 2*p1)")
+    p.add_argument("--cores", type=int, default=1,
+                   help="tiled 3D kernel: split the tile walk over N "
+                        "parallel Pallas grid steps (dual-TensorCore "
+                        "chips run them concurrently; on single-core "
+                        "chips measured neutral)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -191,6 +200,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         autotune=ns.autotune,
         slots=ns.slots,
         slide=ns.slide,
+        cores=ns.cores,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

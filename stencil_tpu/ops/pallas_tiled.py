@@ -111,6 +111,18 @@ class TiledPlan:
     # intermediate sweeps can no longer overwrite the window in place).
     # Requires d1-divisible tiles with t1 >= 2*p1.
     slide: bool = False
+    # On-chip core parallelism: cores > 1 expresses the tile walk as a
+    # `cores`-step Pallas grid dimension with 'parallel' semantics —
+    # each grid step runs the SAME pipelined DMA schedule over a
+    # contiguous chunk of the tile list, priming and draining its own
+    # pipeline, so chunks are hazard-free whether the steps execute
+    # sequentially on one TensorCore (v5e: measured-neutral, only a
+    # pipeline refill between chunks) or concurrently on two (v4/v5p
+    # megacore: Mosaic partitions parallel grid dims across cores).
+    # This is the analog of the reference's 64 CPEs claiming tiles
+    # concurrently (stencil_dma.cpp:405-407). Incompatible with slide
+    # (its overlap chain crosses the whole walk).
+    cores: int = 1
 
     @property
     def halo(self) -> int:
@@ -231,7 +243,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     sweeps_per_call=1, tiles=None,
                     vmem_budget=None,
                     vmem_limit=None, tap_mode=None,
-                    pipeline=True, slots=2, slide=False) -> TiledPlan:
+                    pipeline=True, slots=2, slide=False,
+                    cores=1) -> TiledPlan:
     vmem_budget = _resolve_budget(vmem_budget)
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
@@ -239,6 +252,13 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         raise ValueError("the DMA pipeline needs >= 2 input slots")
     if slide and not pipeline:
         raise ValueError("slide requires the pipelined DMA schedule")
+    if cores < 1:
+        raise ValueError("cores must be >= 1")
+    if cores > 1 and slide:
+        raise ValueError(
+            "slide's sliding-window overlap chain crosses the whole tile "
+            "walk and cannot be split across cores; use cores=1 or "
+            "slide=False")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -376,7 +396,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
                      tap_mode=tap_mode, pipeline=pipeline, slots=slots,
-                     slide=slide)
+                     slide=slide, cores=cores)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -873,6 +893,20 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         fill_d2_ghosts(otile.at[0], (s0, ot_d1))
         fill_d2_ghosts(otile.at[1], (s0, ot_d1))
 
+        # Position range of THIS kernel invocation. cores == 1: the whole
+        # run list, statically (bit-identical to the gridless round-3
+        # code). cores > 1: the kernel body is one step of a
+        # 'parallel'-semantics Pallas grid — each step walks a contiguous
+        # chunk of positions and primes/drains its OWN DMA pipeline, so
+        # chunks stay hazard-free executed sequentially on one core or
+        # concurrently on several (per-core scratch).
+        if plan.cores == 1:
+            c_lo, c_hi = 0, nt_run
+        else:
+            chunk = -(-nt_run // plan.cores)
+            c_lo = pl.program_id(0) * chunk
+            c_hi = jnp.minimum(c_lo + chunk, nt_run)
+
         if not plan.pipeline:
             # serialized-DMA reference mode (measurement baseline for the
             # double-buffered pipeline below — the analog of running the
@@ -890,7 +924,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 out_copy(tid, osl).wait()
                 return 0
 
-            lax.fori_loop(0, nt_run, body_serial, 0)
+            lax.fori_loop(c_lo, c_hi, body_serial, 0)
             return
 
         # fill the input pipeline S deep (S=2 is the classic double
@@ -906,10 +940,19 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # positions j walk the (possibly subset) run list; the tile id
         # comes from SMEM. Slide requires subset=None (validated), where
         # position == tile id, so its row-start arithmetic stays on ids.
-        in_copy(ids_ref[0], 0).start()
-        for j in range(1, min(S, nt_run)):
-            in_copy(ids_ref[j], j,
-                    partial=slide and not is_row_start(j)).start()
+        if plan.cores == 1:
+            in_copy(ids_ref[0], 0).start()
+            for j in range(1, min(S, nt_run)):
+                in_copy(ids_ref[j], j,
+                        partial=slide and not is_row_start(j)).start()
+        else:
+            # dynamic chunk bounds (slide impossible here, validated):
+            # prime slots for the first S positions of THIS chunk
+            for j in range(S):
+                @pl.when(c_lo + j < c_hi)
+                def _(j=j):
+                    in_copy(ids_ref[c_lo + j],
+                            lax.rem(c_lo + j, S)).start()
 
         def body(pos, _):
             tid = ids_ref[pos]
@@ -929,7 +972,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             else:
                 in_copy(tid, sl).wait()
 
-            @pl.when(pos >= 2)
+            @pl.when(pos >= c_lo + 2)
             def _():
                 out_copy(ids_ref[pos - 2], osl).wait()
 
@@ -952,7 +995,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 def _():
                     ov_copy(sl, lax.rem(tid + 1, S)).wait()
 
-                @pl.when(pos + S < nt_run)
+                @pl.when(pos + S < c_hi)
                 def _():
                     nsp = lax.rem(tid + S, nt1) != 0
 
@@ -964,23 +1007,49 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     def _():
                         in_copy(tid + S, sl).start()
             else:
-                @pl.when(pos + S < nt_run)
+                @pl.when(pos + S < c_hi)
                 def _():
                     in_copy(ids_ref[pos + S], sl).start()
 
             out_copy(tid, osl).start()
             return 0
 
-        lax.fori_loop(0, nt_run, body, 0)
-        out_copy(ids_ref[nt_run - 1], lax.rem(nt_run - 1, 2)).wait()
+        lax.fori_loop(c_lo, c_hi, body, 0)
+        # drain this chunk's last two output copies (every earlier one was
+        # waited by body(pos+2)); with cores == 1 the bounds are static
+        # and this is exactly the round-3 epilogue
+        if plan.cores == 1:
+            out_copy(ids_ref[nt_run - 1], lax.rem(nt_run - 1, 2)).wait()
 
-        if nt_run > 1:
-            out_copy(ids_ref[nt_run - 2], lax.rem(nt_run - 2, 2)).wait()
+            if nt_run > 1:
+                out_copy(ids_ref[nt_run - 2], lax.rem(nt_run - 2, 2)).wait()
+        else:
+            @pl.when(c_hi > c_lo)
+            def _():
+                out_copy(ids_ref[c_hi - 1], lax.rem(c_hi - 1, 2)).wait()
+
+            @pl.when(c_hi - 1 > c_lo)
+            def _():
+                out_copy(ids_ref[c_hi - 2], lax.rem(c_hi - 2, 2)).wait()
 
     win_shape = plan.window_shape
     otile_shape = (s0, (P1 if full_d1 else t1), P2)
 
     ids_arr = np.asarray(ids, np.int32)
+
+    # cores > 1: the kernel body becomes one step of a 'parallel' grid
+    # dimension — Mosaic partitions parallel grid steps across the
+    # chip's TensorCores (megacore); on a single-core chip the steps run
+    # sequentially (measured neutral on v5e, docs/performance.md). The
+    # gridless cores == 1 call stays byte-identical to round 3.
+    grid_kwargs = {}
+    cparams = dict(
+        has_side_effects=True,
+        vmem_limit_bytes=plan.vmem_limit or _tiled_limit_floor(),
+    )
+    if plan.cores > 1:
+        grid_kwargs["grid"] = (plan.cores,)
+        cparams["dimension_semantics"] = ("parallel",)
 
     @jax.jit
     def sweep(cur, nxt, pins=None):
@@ -1008,10 +1077,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             ],
             input_output_aliases={3: 0},
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True,
-                vmem_limit_bytes=plan.vmem_limit or _tiled_limit_floor(),
-            ),
+            compiler_params=pltpu.CompilerParams(**cparams),
+            **grid_kwargs,
         )(pins, jnp.asarray(ids_arr), cur, nxt)
 
     return sweep
@@ -1105,11 +1172,12 @@ class TiledPallasStencil:
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=None, vmem_limit=None,
-                 tap_mode=None, pipeline=True, slots=2, slide=False):
+                 tap_mode=None, pipeline=True, slots=2, slide=False,
+                 cores=1):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode, pipeline, slots,
-                                    slide)
+                                    slide, cores)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -1149,6 +1217,7 @@ class TiledPallasStencil:
                 pipeline=self.plan.pipeline,
                 slots=self.plan.slots,
                 slide=self.plan.slide,
+                cores=self.plan.cores,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

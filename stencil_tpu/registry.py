@@ -78,13 +78,14 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         # and tiling both minor-halo'd dims keeps windows small
         return _make_pallas_tiled(config, spec, grid, k)
     if config is not None and (config.autotune or config.slide
-                               or config.slots != 2) and _on_tpu():
-        # autotune/slide/slots are 3D tiled-kernel options; the 2D slab
-        # kernel has one lever (-b slab rows) with a measured-flat
+                               or config.slots != 2
+                               or config.cores != 1) and _on_tpu():
+        # autotune/slide/slots/cores are 3D tiled-kernel options; the 2D
+        # slab kernel has one lever (-b slab rows) with a measured-flat
         # response — pinned defaults apply
         import sys
 
-        print("# autotune/slide/slots apply to the 3D tiled kernel; "
+        print("# autotune/slide/slots/cores apply to the 3D tiled kernel; "
               "2D slab path uses pinned defaults", file=sys.stderr)
     method = PallasStencil(
         spec,
@@ -122,6 +123,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
             )
     slide = bool(getattr(config, "slide", False))
     slots = getattr(config, "slots", 2) or 2
+    cores = getattr(config, "cores", 1) or 1
     source = "flag" if (tiles is not None or tap_mode is not None) \
         else "pinned"
     tuned_glups = None
@@ -150,12 +152,14 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         tap_mode=tap_mode,
         slide=slide,
         slots=slots,
+        cores=cores,
     )
     plan = method.plan
     plan_info = {
         "kernel": "pallas_tiled", "source": source,
         "tiles": [plan.s0, plan.t1], "tap_mode": plan.tap_mode,
         "slide": plan.slide, "slots": plan.slots, "k": k,
+        "cores": plan.cores,
         "vmem_limit": plan.vmem_limit,
     }
     if tuned_glups is not None:
