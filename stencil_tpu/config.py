@@ -54,6 +54,10 @@ class RunConfig:
     # 'parallel' Pallas grid dimension (megacore chips run chunks
     # concurrently; single-core chips sequentially, measured neutral)
     cores: int = 1
+    # tiled-kernel ragged-grid strategy: embed the interior in the next
+    # tile multiple with pinned thick ghosts instead of clamping the
+    # last tile per dim (enables slide on ragged d1)
+    embed: bool = False
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -147,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallel Pallas grid steps (dual-TensorCore "
                         "chips run them concurrently; on single-core "
                         "chips measured neutral)")
+    p.add_argument("--embed", action="store_true",
+                   help="tiled 3D kernel, ragged grids: embed the "
+                        "interior in the next tile multiple with pinned "
+                        "thick ghosts instead of clamping the last tile "
+                        "(disjoint windows; makes ragged d1 slide-legal)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -201,6 +210,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         slots=ns.slots,
         slide=ns.slide,
         cores=ns.cores,
+        embed=ns.embed,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

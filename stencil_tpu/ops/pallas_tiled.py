@@ -123,6 +123,16 @@ class TiledPlan:
     # concurrently (stencil_dma.cpp:405-407). Incompatible with slide
     # (its overlap chain crosses the whole walk).
     cores: int = 1
+    # Ragged-grid strategy: False = clamp the last tile per dim (its
+    # window starts early and overlaps its neighbor; overlap rows are
+    # written twice with identical values). True = EMBED the interior in
+    # the next tile-multiple per d0/d1 — the overhang rows are thick
+    # trailing ghosts carrying the face value (pinned every sweep, like
+    # the reference's generate_boundary idea, stencil_rma.cpp:150-166),
+    # tiles divide exactly, windows are disjoint, and d1 becomes
+    # slide-legal. Encoded purely in the layout pads: the kernel reads
+    # extra0/extra1 off them, so clamp and embed share every code path.
+    embed: bool = False
 
     @property
     def halo(self) -> int:
@@ -244,7 +254,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_budget=None,
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
-                    cores=1) -> TiledPlan:
+                    cores=1, embed=False) -> TiledPlan:
     vmem_budget = _resolve_budget(vmem_budget)
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
@@ -292,11 +302,15 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         )
     if slide:
         p1_ = round_up(sweeps_per_call * spec.radius, sublane)
-        if n1 % t1:
+        # embed makes ragged d1 slide-legal: tiles divide the EMBEDDED
+        # extent, so consecutive windows keep the unclamped overlap
+        # relation the VMEM-copy chain assumes
+        n1_eff = -(-n1 // t1) * t1 if embed else n1
+        if n1_eff % t1:
             raise ValueError(
                 "slide requires d1-divisible tiles (the overlap-row "
                 "relation between consecutive windows assumes unclamped "
-                "tile starts)")
+                "tile starts); ragged d1 needs embed=True")
         if t1 < 2 * p1_:
             raise ValueError(
                 f"slide requires t1 >= 2*p1 = {2 * p1_} (the previous "
@@ -340,10 +354,27 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             pads=layout.pads[:2] + ((0, round_up(n2, 128) - n2),),
             halo=layout.halo,
         )
-    if -(-n1 // t1) > 1:
-        # ragged d1: the last tile's window start is clamped DOWN to the
-        # nearest sublane multiple C1 = round_up(n1 - t1, sublane) (DMA
-        # d1 offsets must be sublane-aligned), so its t1-row output band
+    if embed:
+        # embed-and-pin: extend the d0/d1 hi pads to the next tile
+        # multiple. The overhang rows are thick trailing ghosts: the
+        # padded-array fill seeds them with the face value, the kernel's
+        # dynamic pin bands re-assert it every sweep, and tiles divide
+        # the embedded extents exactly (disjoint windows, no clamping).
+        extra0 = -(-n0 // s0) * s0 - n0
+        extra1 = -(-n1 // t1) * t1 - n1
+        if extra0 or extra1:
+            layout = PaddedLayout(
+                interior_shape=layout.interior_shape,
+                pads=((layout.pads[0][0], layout.pads[0][1] + extra0),
+                      (layout.pads[1][0], layout.pads[1][1] + extra1),
+                      layout.pads[2]),
+                halo=layout.halo,
+            )
+    elif -(-n1 // t1) > 1:
+        # ragged d1 (clamp strategy): the last tile's window start is
+        # clamped DOWN to the nearest sublane multiple
+        # C1 = round_up(n1 - t1, sublane) (DMA d1 offsets must be
+        # sublane-aligned), so its t1-row output band
         # overhangs the interior by extra1 = C1 + t1 - n1 < sublane rows;
         # the hi pad grows by extra1 so the window stays in-bounds, and
         # the kernel re-pins those rows to the d1-hi face value
@@ -396,7 +427,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
                      tap_mode=tap_mode, pipeline=pipeline, slots=slots,
-                     slide=slide, cores=cores)
+                     slide=slide, cores=cores, embed=embed)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -432,7 +463,13 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
     # in-bounds; overlapping output rows are written twice with identical
     # values (same input iterate, same tap order). C1 is sublane-aligned
     # by construction; extra1 = rows the last d1 tile overhangs past n1.
-    C0 = n0 - s0
+    # trailing overhangs read off the layout pads: clamp gives extra0 = 0
+    # and extra1 < sublane; embed gives the tile-multiple paddings. Both
+    # strategies share C* = (embedded extent) - tile: tile starts are
+    # min(i*tile, C*) — an identity under embed (divisible), the clamped
+    # early-start for the last tile otherwise.
+    extra0 = layout.pads[0][1] - layout.pads[0][0]
+    C0 = n0 + extra0 - s0
     extra1 = layout.pads[1][1] - layout.pads[1][0]
     C1 = n1 + extra1 - t1
     ids = tuple(range(nt)) if subset is None else tuple(subset)
@@ -805,11 +842,20 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     rows0 < kr - r0, jnp.asarray(d0_lo_bc, dtype),
                     dst[0:kr, :, d2i])
 
-            @pl.when((pins_ref[1] != 0) & (r0 > C0 - kr))
+            # hi band widened by the embed overhang (b0 = kr when extra0
+            # = 0 — the historical clamp band, bit-exact). Threshold
+            # algebra: band row i pins window row w = w0 - b0 + i, and
+            # i >= C0 - r0 reduces to w >= n0 + kr - r0 — exactly the
+            # physical-ghost condition — for EVERY b0.
+            b0 = kr + extra0
+            rows0hi = (rows0 if not extra0
+                       else lax.broadcasted_iota(jnp.int32, (b0, 1, 1), 0))
+
+            @pl.when((pins_ref[1] != 0) & (r0 > C0 - b0))
             def _():
-                dst[w0 - kr:, :, d2i] = jnp.where(
-                    rows0 >= C0 - r0, jnp.asarray(d0_hi_bc, dtype),
-                    dst[w0 - kr:, :, d2i])
+                dst[w0 - b0:, :, d2i] = jnp.where(
+                    rows0hi >= C0 - r0, jnp.asarray(d0_hi_bc, dtype),
+                    dst[w0 - b0:, :, d2i])
 
             b1 = p1 + extra1
             rows1lo = lax.broadcasted_iota(jnp.int32, (1, p1, 1), 1)
@@ -856,6 +902,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                               else slice(None))
                     otile[(osl, slice(None), d1_idx,
                            pl.ds(d2_lo, n2))] = y
+                    if extra0:
+                        # embed d0: the last d0 tile's output band covers
+                        # the extra0 thick-ghost rows — write the d0-hi
+                        # face value (before the d1 overhang write below:
+                        # later dims win in corners)
+                        r0_, _ = tile_coords(i)
+
+                        @pl.when((pins_ref[1] != 0) & (r0_ >= C0))
+                        def _():
+                            otile[(osl, pl.ds(s0 - extra0, extra0),
+                                   d1_idx, pl.ds(d2_lo, n2))] = jnp.full(
+                                (extra0, t1, n2), d0_hi_bc, dtype)
                     if extra1:
                         # ragged d1: the clamped last tile's output band
                         # overhangs the interior by extra1 rows — those
@@ -1097,7 +1155,8 @@ def partition_tiles(plan: TiledPlan):
     kr = plan.halo
     p1 = plan.p1
     nt0, nt1 = -(-n0 // s0), -(-n1 // t1)
-    C0 = n0 - s0
+    extra0 = plan.layout.pads[0][1] - plan.layout.pads[0][0]
+    C0 = n0 + extra0 - s0
     extra1 = plan.layout.pads[1][1] - p1
     C1 = n1 + extra1 - t1
     interior, edge = [], []
@@ -1107,7 +1166,7 @@ def partition_tiles(plan: TiledPlan):
         c1 = min(i1 * t1, C1)
         touches = (
             r0 < kr                      # window over the d0-lo band
-            or r0 > C0 - kr              # d0-hi band ([w0-kr, w0) rows)
+            or r0 > C0 - kr - extra0     # d0-hi band ([w0-b0, w0) rows)
             or c1 < p1                   # d1-lo band
             or c1 > n1 - t1 - p1         # d1-hi band
         )
@@ -1173,11 +1232,11 @@ class TiledPallasStencil:
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False,
-                 cores=1):
+                 cores=1, embed=False):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode, pipeline, slots,
-                                    slide, cores)
+                                    slide, cores, embed)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -1218,6 +1277,7 @@ class TiledPallasStencil:
                 slots=self.plan.slots,
                 slide=self.plan.slide,
                 cores=self.plan.cores,
+                embed=self.plan.embed,
             )
             run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                         self.interpret, grid.halo)

@@ -79,14 +79,15 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         return _make_pallas_tiled(config, spec, grid, k)
     if config is not None and (config.autotune or config.slide
                                or config.slots != 2
-                               or config.cores != 1) and _on_tpu():
-        # autotune/slide/slots/cores are 3D tiled-kernel options; the 2D
-        # slab kernel has one lever (-b slab rows) with a measured-flat
-        # response — pinned defaults apply
+                               or config.cores != 1
+                               or config.embed) and _on_tpu():
+        # autotune/slide/slots/cores/embed are 3D tiled-kernel options;
+        # the 2D slab kernel has one lever (-b slab rows) with a
+        # measured-flat response — pinned defaults apply
         import sys
 
-        print("# autotune/slide/slots/cores apply to the 3D tiled kernel; "
-              "2D slab path uses pinned defaults", file=sys.stderr)
+        print("# autotune/slide/slots/cores/embed apply to the 3D tiled "
+              "kernel; 2D slab path uses pinned defaults", file=sys.stderr)
     method = PallasStencil(
         spec,
         grid.interior_shape,
@@ -124,6 +125,7 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
     slide = bool(getattr(config, "slide", False))
     slots = getattr(config, "slots", 2) or 2
     cores = getattr(config, "cores", 1) or 1
+    embed = bool(getattr(config, "embed", False))
     source = "flag" if (tiles is not None or tap_mode is not None) \
         else "pinned"
     tuned_glups = None
@@ -153,13 +155,14 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
         slide=slide,
         slots=slots,
         cores=cores,
+        embed=embed,
     )
     plan = method.plan
     plan_info = {
         "kernel": "pallas_tiled", "source": source,
         "tiles": [plan.s0, plan.t1], "tap_mode": plan.tap_mode,
         "slide": plan.slide, "slots": plan.slots, "k": k,
-        "cores": plan.cores,
+        "cores": plan.cores, "embed": plan.embed,
         "vmem_limit": plan.vmem_limit,
     }
     if tuned_glups is not None:

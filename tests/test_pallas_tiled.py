@@ -660,3 +660,100 @@ def test_cores_validation():
     with pytest.raises(ValueError, match="slide"):
         make_tiled_plan(spec, (16, 48, 20), tiles=(8, 16), cores=2,
                         slide=True, sweeps_per_call=2)
+
+
+# ---- embed-and-pin ragged strategy (round-3 verdict item 8) --------------
+
+
+@pytest.mark.parametrize("shape,k,tiles", [
+    ((13, 22, 18), 1, (8, 8)),     # ragged d0+d1, box-friendly smalls
+    ((13, 22, 18), 2, (8, 8)),     # + temporal (pin bands live)
+    ((17, 17, 20), 4, (8, 8)),     # deep k: recompute crosses overhang
+    ((23, 16, 20), 2, (6, 8)),     # ragged d0 only, non-pow2 s0
+    ((16, 21, 20), 2, (8, 8)),     # ragged d1 only
+])
+def test_embed_matches_golden(shape, k, tiles):
+    spec = get_spec("jacobi7")
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=k, tiles=tiles,
+                           interpret=True, embed=True)
+    assert m.plan.embed
+    out = m.iterate(grid, 2 * k)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 2 * k,
+                                bc=grid.bc)
+    np.testing.assert_allclose(np.asarray(out.interior(), np.float64),
+                               ref, atol=5e-6, rtol=5e-6)
+
+
+def test_embed_box_and_custom_bc():
+    """Box stencil reads corners of the thick ghosts — later-dims-win
+    values must hold there; distinct per-face values make a wrong corner
+    visible."""
+    from stencil_tpu.core.grid import DirichletBC
+
+    spec = get_spec("jacobi27")
+    shape = (13, 21, 18)
+    bc = DirichletBC(values=((0.25, -1.0), (2.0, 0.5), (-0.75, 1.5)))
+    grid = HaloGrid.create(shape, halo=spec.radius, dtype="float32", bc=bc)
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True, embed=True)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=bc)
+    np.testing.assert_allclose(np.asarray(out.interior(), np.float64),
+                               ref, atol=5e-6, rtol=5e-6)
+
+
+def test_embed_bitwise_matches_clamp():
+    """Same tiles, same tap order per point: embed and clamp must agree
+    BITWISE on the interior (the overlap rows clamp computes twice carry
+    identical values; embed's ghost rows are outside the interior)."""
+    spec = get_spec("jacobi7")
+    shape = (13, 22, 20)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    a = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True, embed=True).iterate(grid, 4)
+    b = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True).iterate(grid, 4)
+    np.testing.assert_array_equal(np.asarray(a.interior()),
+                                  np.asarray(b.interior()))
+
+
+def test_embed_enables_slide_on_ragged_d1():
+    """Ragged d1 is slide-illegal under clamp but legal under embed —
+    and matches golden."""
+    spec = get_spec("jacobi7")
+    shape = (16, 43, 20)
+    with pytest.raises(ValueError, match="embed"):
+        make_tiled_plan(spec, shape, tiles=(8, 16), slide=True,
+                        sweeps_per_call=2)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    m = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 16),
+                           interpret=True, embed=True, slide=True)
+    out = m.iterate(grid, 4)
+    ref = golden.golden_iterate(np.zeros(shape, np.float64), spec, 4,
+                                bc=grid.bc)
+    np.testing.assert_allclose(np.asarray(out.interior(), np.float64),
+                               ref, atol=5e-6, rtol=5e-6)
+
+
+def test_embed_divisible_grid_is_identity():
+    spec = get_spec("jacobi7")
+    p = make_tiled_plan(spec, (16, 16, 20), tiles=(8, 8),
+                        sweeps_per_call=2, embed=True)
+    q = make_tiled_plan(spec, (16, 16, 20), tiles=(8, 8),
+                        sweeps_per_call=2)
+    assert p.layout == q.layout
+
+
+def test_embed_with_cores_matches_golden():
+    spec = get_spec("jacobi7")
+    shape = (13, 22, 18)
+    grid = HaloGrid.create(shape, halo=1, dtype="float32")
+    a = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True, embed=True,
+                           cores=2).iterate(grid, 4)
+    b = TiledPallasStencil(spec, shape, sweeps_per_call=2, tiles=(8, 8),
+                           interpret=True, embed=True).iterate(grid, 4)
+    np.testing.assert_array_equal(np.asarray(a.interior()),
+                                  np.asarray(b.interior()))
