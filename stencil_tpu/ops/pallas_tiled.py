@@ -73,6 +73,24 @@ def _tiled_limit_floor() -> int:
     return device_model.budgets().tiled_limit_floor
 
 
+def _wants_wide_budget(interior_shape, dtype, tap_mode) -> bool:
+    """True when a DEFAULTED budget should widen to admit the larger
+    windows measured to win: fp32 synth/rotacc with a fat lane dim
+    (P2 >= 512) or a ragged d0/d1 (no pow2-ish divisor — clamp/embed
+    territory, where small windows multiply per-tile overheads)."""
+    if np.dtype(dtype).itemsize != 4 or tap_mode not in ("synth",
+                                                         "rotacc"):
+        return False
+    n0, n1, n2 = interior_shape
+    if round_up(n2, 128) >= 512:
+        return True
+    ragged0 = all(n0 % s for s in (4, 8, 16, 32, 64, 128, 256)
+                  if s <= n0) and n0 not in (1, 2)
+    ragged1 = all(n1 % t for t in (8, 16, 32, 48, 64, 96, 128, 256)
+                  if t <= n1)
+    return ragged0 or ragged1
+
+
 @dataclasses.dataclass(frozen=True)
 class TiledPlan:
     spec: StencilSpec
@@ -200,7 +218,26 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
 
 def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
                   vmem_budget, tap_mode, s0_fixed):
-    vmem_budget = _resolve_budget(vmem_budget)
+    widened = False
+    if vmem_budget is None \
+            and _wants_wide_budget(interior_shape, dtype, tap_mode):
+        widened = True
+        # Fat lane dims / ragged grids: window bytes scale with P2 (and
+        # ragged dims lack small divisors), so the default budget prunes
+        # the measured winners — round-4 silicon: 512^3 k=8 (64,64) est
+        # 69MB runs 95.8 GLUPS vs 89-91 for every 52MB-feasible tile;
+        # 256x256x1024 (32,64) est 80MB runs 86.6 (= 1.09x roofline) vs
+        # 78.8 at the 52MB default; ragged 257^3 (86,88) est 88.5MB runs
+        # 61.6 vs 54.0 at (32,88). All compile with auto limits
+        # (107-125MB) under the 128MiB chip. Gated to fp32 synth/rotacc
+        # so every pinned divisible P2 <= 384 winner (and the
+        # untested-at-large-window bf16) is untouched.
+        from stencil_tpu import device_model
+
+        b = device_model.budgets()
+        vmem_budget = max(b.tiled_budget, b.vmem * 92 // 128)
+    else:
+        vmem_budget = _resolve_budget(vmem_budget)
     sublane = sublane_for_dtype(dtype)
     n0, n1, _ = interior_shape
     kr = sweeps_per_call * spec.radius
@@ -214,7 +251,12 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
     else:
         s0_c = sorted({s for s in (4, 8, 16, 32, 64, 128, 256, n0)
                        if s <= n0})
-        if all(n0 % s for s in s0_c):
+        # "has a divisor candidate" must ignore the full dim itself
+        # (n0 % n0 == 0 always): a whole-dim window is never a practical
+        # divisor for large ragged dims, and counting it suppressed the
+        # ceil-division candidates entirely (round-4 fix — on silicon
+        # 257^3 (86,88) runs 61.6 GLUPS vs 54.0 for the pow2 clamps)
+        if all(n0 % s for s in s0_c if s != n0):
             # properly ragged dim (no divisor candidate): ceil-division
             # sizes minimize the clamp overlap — e.g. 257 planes as
             # 3 tiles of 86 fetch 306 rows vs 5 tiles of 64 fetching
@@ -232,11 +274,19 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
     t1_c = sorted(base_t1 | {n1})
     from fractions import Fraction
 
+    # whole-d1 windows only ever fit under the widened budget for shapes
+    # where they were never measured — and round-2 silicon measured
+    # full-d1 (contiguous-segment) windows WORSE everywhere (jacobi7 k=8
+    # 32xfull: 94.2 vs 111.3; cfg4 k=2 16xfull: 33.8) while the ratio
+    # model loves their zero d1 overfetch. Hold them to the base budget
+    # (explicit user budgets are not second-guessed).
+    base_budget = _resolve_budget(None) if widened else vmem_budget
     out = []
     for s0 in s0_c:
         for t1 in t1_c:
+            cap = base_budget if t1 == n1 else vmem_budget
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                           s0, t1, tap_mode) <= vmem_budget:
+                           s0, t1, tap_mode) <= cap:
                 nt0 = -(-n0 // s0)
                 nt1 = -(-n1 // t1)
                 vol = s0 * t1
@@ -255,7 +305,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
                     cores=1, embed=False) -> TiledPlan:
-    vmem_budget = _resolve_budget(vmem_budget)
+    # budget resolution is delegated to choose_tiles: a defaulted (None)
+    # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if slots < 2:
@@ -288,7 +339,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                 f"no feasible (s0, t1) tiling for {interior_shape} "
                 f"(k={sweeps_per_call}): no tile size (candidates: "
                 f"powers-of-two-ish >= {sublane}) fits the VMEM budget "
-                f"{vmem_budget}"
+                f"{_resolve_budget(vmem_budget)}"
             )
     s0, t1 = tiles
     sublane = sublane_for_dtype(dtype)

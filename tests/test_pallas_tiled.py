@@ -757,3 +757,28 @@ def test_embed_with_cores_matches_golden():
                            interpret=True, embed=True).iterate(grid, 4)
     np.testing.assert_array_equal(np.asarray(a.interior()),
                                   np.asarray(b.interior()))
+
+
+def test_fat_lane_default_budget_widens():
+    """Round-4 silicon: at P2 >= 512 the window-byte estimate scales
+    with the lane dim and the default budget pruned the measured
+    winners (512^3 (64,64) = 95.8 GLUPS vs 89-91 for every 52MB tile;
+    256x256x1024 (64,32) = 84.5 vs 78.8). The defaulted budget widens
+    for fp32 synth/rotacc at fat lanes; explicit budgets and every
+    P2 <= 384 pinned winner stay untouched."""
+    spec = get_spec("jacobi7")
+    assert choose_tiles(spec, (512, 512, 512), sweeps_per_call=8,
+                        tap_mode="rotacc") == (64, 64)
+    assert choose_tiles(spec, (256, 256, 256), sweeps_per_call=8,
+                        tap_mode="rotacc") == (64, 64)
+    # explicit budget: no widening
+    assert choose_tiles(spec, (512, 512, 512), sweeps_per_call=8,
+                        tap_mode="rotacc",
+                        vmem_budget=52 * 2**20) != (64, 64)
+    # bf16 keeps the conservative budget (large bf16 windows are the
+    # bisected Mosaic-crasher family)
+    t_bf16 = choose_tiles(spec, (512, 512, 512), dtype="bfloat16",
+                          sweeps_per_call=8, tap_mode="synth")
+    from stencil_tpu.ops.pallas_tiled import _vmem_bytes, _resolve_budget
+    assert _vmem_bytes(spec, (512, 512, 512), "bfloat16", 8, *t_bf16,
+                       "synth") <= _resolve_budget(None)
