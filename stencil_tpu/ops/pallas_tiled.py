@@ -464,7 +464,15 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # - slide plans need ~1.19x est + reserve (the 60KB-short OOM at
         #   est*1.25) — the 0.35 margin covers it (64x64 compiled at
         #   87M, 64x96 at 123M; adding more pushes past the 128MB chip).
-        if slide or (spec.radius >= 2 and tap_mode != "rotacc"):
+        if (spec.radius >= 2 and tap_mode == "synth"
+                and np.dtype(dtype).itemsize == 2):
+            # bf16 radius>=2 synth wants ~1.75-1.8x est (round-4
+            # silicon: cfg4 bf16 default tiles needed 86.9M against a
+            # ~49.5M estimate — the 16-bit select/roll temporaries
+            # double up; 0.35 margin compile-OOMs cleanly). Measured
+            # compiling and correct at 92MB for the default (64,128).
+            margin = int(est * 0.85) + 4 * 1024 * 1024
+        elif slide or (spec.radius >= 2 and tap_mode != "rotacc"):
             margin = int(est * 0.35) + 4 * 1024 * 1024
         else:
             margin = int(est * 0.25)

@@ -496,6 +496,18 @@ def test_vmem_limit_stays_on_fast_side_of_the_cliff():
                          sweeps_per_call=4, tiles=(64, 96),
                          tap_mode="synth", slide=True)
     assert p4.vmem_limit <= 125_000_000  # under the 128MB chip
+    # bf16 radius>=2 synth is its own class (round-4 silicon): Mosaic
+    # wanted 86.85M for the default (64,128) plan and 49.23M for
+    # (64,64) — the fp32-fitted margins compile-OOM'd. Keep both above
+    # measured need + Mosaic's ~3MB reserve.
+    p5 = make_tiled_plan(gs("laplace3d_ho"), (384, 384, 384),
+                         sweeps_per_call=4, tiles=(64, 128),
+                         dtype="bfloat16", tap_mode="synth")
+    assert p5.vmem_limit >= 90_000_000
+    p6 = make_tiled_plan(gs("laplace3d_ho"), (384, 384, 384),
+                         sweeps_per_call=4, tiles=(64, 64),
+                         dtype="bfloat16", tap_mode="synth")
+    assert p6.vmem_limit >= 52_500_000
 
 
 def test_ragged_ceil_candidates_improve_fetch_ratio():
