@@ -33,9 +33,15 @@ from stencil_tpu.utils.timing import (
 
 def make_grid(config: RunConfig, spec) -> HaloGrid:
     """Reference initial conditions: interior 0, Dirichlet halo
-    (``stencil.cpp:190-207``)."""
+    (``stencil.cpp:190-207``); ``--periodic`` dims wrap instead."""
+    bc = None
+    if config.periodic:
+        from stencil_tpu.core.grid import DirichletBC
+
+        bc = DirichletBC.reference_default(len(config.size)) \
+            .with_periodic(config.periodic_dims())
     return HaloGrid.create(
-        config.size, halo=spec.radius, dtype=config.dtype
+        config.size, halo=spec.radius, dtype=config.dtype, bc=bc
     )
 
 

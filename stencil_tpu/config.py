@@ -59,6 +59,11 @@ class RunConfig:
     # last tile per dim (enables slide on ragged d1)
     embed: bool = False
 
+    # boundary conditions: dims that wrap around instead of holding the
+    # Dirichlet face values ("all" = every dim). Capability extension —
+    # the reference is Dirichlet-only (stencil.cpp:190-207).
+    periodic: Tuple[object, ...] = ()
+
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
     check: bool = False                  # (-c, reference -c/--check-result)
@@ -88,6 +93,12 @@ class RunConfig:
             import jax
 
             jax.config.update("jax_platforms", self.platform)
+
+    def periodic_dims(self) -> Tuple[int, ...]:
+        """``periodic`` normalized to a tuple of dim indices."""
+        if any(str(d) == "all" for d in self.periodic):
+            return tuple(range(len(self.size)))
+        return tuple(int(d) for d in self.periodic)
 
     def resolved_spec(self):
         from stencil_tpu.core.spec import get_spec, star
@@ -156,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "interior in the next tile multiple with pinned "
                         "thick ghosts instead of clamping the last tile "
                         "(disjoint windows; makes ragged d1 slide-legal)")
+    p.add_argument("--periodic", type=str, nargs="*", default=[],
+                   help="dims with periodic (wrap-around) boundaries "
+                        "instead of Dirichlet faces, e.g. --periodic 0 1 "
+                        "or --periodic all (reference: Dirichlet-only)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -211,6 +226,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         slide=ns.slide,
         cores=ns.cores,
         embed=ns.embed,
+        periodic=tuple(ns.periodic),
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

@@ -84,6 +84,7 @@ def _configure_golden(lib):
         ctypes.POINTER(ctypes.c_double),  # bc
         ctypes.c_int64,                   # iterations
         ctypes.c_int,                     # num_threads
+        ctypes.POINTER(ctypes.c_int32),   # periodic mask (ndim)
     ]
 
 
@@ -132,6 +133,7 @@ def golden_iterate_native(interior0, spec, iterations, bc=None,
     offsets = np.asarray(spec.offsets, dtype=np.int64).reshape(-1)
     weights = np.asarray(spec.weights, dtype=np.float64)
     bcv = np.asarray(bc.values, dtype=np.float64).reshape(-1)
+    per = np.asarray(bc.periodic_mask(ndim), dtype=np.int32)
 
     def p64(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
@@ -142,6 +144,7 @@ def golden_iterate_native(interior0, spec, iterations, bc=None,
     rc = lib.stencil_golden_iterate(
         p64(x), p64(out), pi64(shape), ndim, pi64(offsets), p64(weights),
         len(spec.weights), spec.radius, p64(bcv), iterations, num_threads,
+        per.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         return None

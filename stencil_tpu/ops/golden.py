@@ -21,7 +21,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from stencil_tpu.core.grid import DirichletBC, fill_halo_np
+from stencil_tpu.core.grid import (
+    DirichletBC, fill_halo_np, refresh_periodic_np,
+)
 from stencil_tpu.core.spec import StencilSpec
 
 
@@ -66,6 +68,9 @@ def golden_iterate(
     idx = tuple(slice(r, s - r) for s in padded.shape)
     for _ in range(iterations):
         padded[idx] = golden_sweep(padded, spec)
+        if bc.any_periodic:
+            # periodic ghosts hold the *current* iterate's wrapped rows
+            refresh_periodic_np(padded, r, bc)
     return padded[idx]
 
 

@@ -123,3 +123,45 @@ class PaddedLayout:
 
     def pad_grid(self, grid: HaloGrid) -> jax.Array:
         return self.pad(grid.interior(), grid.bc)
+
+
+def refresh_periodic_layout(padded: jax.Array, layout: PaddedLayout,
+                            bc: DirichletBC, radius: int) -> jax.Array:
+    """Wrap-refresh rings ``1..radius`` of the periodic dims of a
+    ``PaddedLayout`` buffer.
+
+    The layout's pads are deeper than ``radius`` wherever alignment
+    demands (sublane/lane rounding); the extra rings keep their face
+    values — taps never read beyond ``radius`` at ``sweeps_per_call=1``,
+    the only temporal depth the periodic kernels support. Dims are
+    processed in increasing order over the FULL extent of the other dims,
+    so corner ghosts become the doubly-wrapped values transitively and
+    Dirichlet-dim face values are carried through the wrap — the same
+    corner semantics as :func:`stencil_tpu.core.grid.refresh_periodic`
+    and both golden models.
+    """
+    ndim = layout.ndim
+    per = bc.periodic_mask(ndim)
+    for d in range(ndim):
+        if not per[d]:
+            continue
+        n = layout.interior_shape[d]
+        if n < radius:
+            raise ValueError(
+                f"periodic dim {d} needs interior extent >= radius "
+                f"({n} < {radius})"
+            )
+        lo = layout.pads[d][0]
+
+        def at(sl):
+            return tuple(
+                sl if i == d else slice(None) for i in range(ndim)
+            )
+
+        ghost_lo, src_lo = at(slice(lo - radius, lo)), \
+            at(slice(lo + n - radius, lo + n))
+        ghost_hi, src_hi = at(slice(lo + n, lo + n + radius)), \
+            at(slice(lo, lo + radius))
+        padded = padded.at[ghost_lo].set(padded[src_lo])
+        padded = padded.at[ghost_hi].set(padded[src_hi])
+    return padded

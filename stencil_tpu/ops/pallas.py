@@ -699,14 +699,20 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
     adds a ~0.3 s fixed cost per call that dwarfs the kernel itself.
     """
     from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_periodic_layout
 
     sweep = _cached_sweep(plan, bc, interpret)
+    r = plan.spec.radius
 
     @jax.jit
     def run(data, n_outer):
         h = grid_halo
         idx = tuple(slice(h, s - h) for s in data.shape)
         cur = plan.layout.pad(data[idx], bc)
+        if bc.any_periodic:
+            # periodic ghosts must hold the current iterate's wrapped
+            # rows (refreshed per sweep below; k=1 only, see iterate())
+            cur = refresh_periodic_layout(cur, plan.layout, bc, r)
         # distinct output buffer for the aliased kernel write; XLA's
         # copy-removal is aliasing-aware and must keep this copy because
         # cur is still read by the first sweep
@@ -714,7 +720,10 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
 
         def body(_, carry):
             c, n = carry
-            return (sweep(c, n), c)
+            out = sweep(c, n)
+            if bc.any_periodic:
+                out = refresh_periodic_layout(out, plan.layout, bc, r)
+            return (out, c)
 
         cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
         out = jnp.pad(plan.layout.unpad(cur), h)
@@ -773,6 +782,22 @@ class PallasStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype "
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "PallasStencil")
+        if grid.bc.any_periodic:
+            # wrap refresh runs between kernel calls: one sweep per call,
+            # and taps must read true ghost cells (synth/rotacc
+            # synthesize Dirichlet boundaries in-register)
+            problems = []
+            if self.plan.sweeps_per_call != 1:
+                problems.append("sweeps_per_call must be 1 (use -k 1)")
+            if self.plan.tap_mode != "slice":
+                problems.append(
+                    f"tap_mode {self.plan.tap_mode!r} synthesizes "
+                    "Dirichlet boundaries (use slice)")
+            if problems:
+                raise ValueError(
+                    "periodic BCs on the 2D slab Pallas kernel: "
+                    + "; ".join(problems)
+                )
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

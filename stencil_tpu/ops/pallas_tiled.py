@@ -1260,21 +1260,34 @@ def _cached_tiled_runner(plan: TiledPlan, bc: DirichletBC, interpret: bool):
 def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
                           grid_halo: int):
     """End-to-end jitted iterate (single dispatch per call) — see
-    ops.pallas._cached_iterate for why the pad/unpad must live inside."""
+    ops.pallas._cached_iterate for why the pad/unpad must live inside.
+
+    Periodic dims (``bc.periodic``): their ghost rings must hold the
+    CURRENT iterate's wrapped rows, so the loop body wrap-refreshes the
+    padded buffer after every sweep (small edge copies on the kernel
+    output; supported at ``sweeps_per_call=1`` with ghost-reading tap
+    modes — see ``TiledPallasStencil.iterate``)."""
     from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_periodic_layout
 
     sweep = _cached_tiled_sweep(plan, bc, interpret)
+    r = plan.spec.radius
 
     @jax.jit
     def run(data, n_outer):
         h = grid_halo
         idx = tuple(slice(h, s - h) for s in data.shape)
         cur = plan.layout.pad(data[idx], bc)
+        if bc.any_periodic:
+            cur = refresh_periodic_layout(cur, plan.layout, bc, r)
         nxt = jnp.copy(cur)
 
         def body(_, carry):
             c, n = carry
-            return (sweep(c, n), c)
+            out = sweep(c, n)
+            if bc.any_periodic:
+                out = refresh_periodic_layout(out, plan.layout, bc, r)
+            return (out, c)
 
         cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
         out = jnp.pad(plan.layout.unpad(cur), h)
@@ -1317,6 +1330,27 @@ class TiledPallasStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype "
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "TiledPallasStencil")
+        if grid.bc.any_periodic:
+            # the wrap refresh runs BETWEEN kernel calls, so each call may
+            # advance only one sweep, and taps must read true ghost cells
+            # (synth/rotacc synthesize Dirichlet boundaries in-register;
+            # embed pins thick ghosts the refresh would fight)
+            problems = []
+            if self.plan.sweeps_per_call != 1:
+                problems.append("sweeps_per_call must be 1 (use -k 1)")
+            if self.plan.tap_mode not in ("slice", "roll"):
+                problems.append(
+                    f"tap_mode {self.plan.tap_mode!r} synthesizes "
+                    "Dirichlet boundaries (use slice or roll)")
+            if self.plan.embed:
+                problems.append("embed-and-pin is Dirichlet-only")
+            if self.plan.slide:
+                problems.append("slide is not supported with periodic")
+            if problems:
+                raise ValueError(
+                    "periodic BCs on the tiled Pallas kernel: "
+                    + "; ".join(problems)
+                )
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

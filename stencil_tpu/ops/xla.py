@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.grid import HaloGrid, refresh_periodic
 from stencil_tpu.core.spec import StencilSpec
 
 
@@ -51,9 +51,19 @@ def apply_spec(padded: jax.Array, spec: StencilSpec,
 
 
 def sweep(grid: HaloGrid, spec: StencilSpec) -> HaloGrid:
-    """One full sweep: new interior computed, BC ring preserved."""
+    """One full sweep: new interior computed, BC ring preserved.
+
+    Dirichlet ghosts are constants and survive ``with_interior``
+    untouched; periodic ghosts must be wrap-refreshed from the new
+    interior (XLA fuses the small edge copies into the sweep)."""
     new_interior = apply_spec(grid.data, spec, halo=grid.halo)
-    return grid.with_interior(new_interior)
+    out = grid.with_interior(new_interior)
+    if grid.bc.any_periodic:
+        out = HaloGrid(
+            data=refresh_periodic(out.data, out.halo, out.bc),
+            halo=out.halo, bc=out.bc,
+        )
+    return out
 
 
 @partial(jax.jit, static_argnames=("spec", "iterations"))

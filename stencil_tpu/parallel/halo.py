@@ -27,6 +27,13 @@ dims in order: the strips exchanged along dim d+1 already contain the halo
 received along dim d, so corners ride along — no explicit diagonal sends
 (the reference never solved this; its RMA kernel is radius-1 star only).
 
+Periodic dims (``bc.periodic``, a beyond-reference capability) fall out
+of the same machinery: a periodic SHARDED dim replaces the open
+permutation chain with the circular one (``(i, (i±1) % n)``) — the ring
+topology ``ppermute`` natively expresses and ICI torus links physically
+provide — and drops the mesh-edge BC synthesis; a periodic unsharded dim
+uses the block's own opposite-edge strips as ghosts.
+
 ``overlap=True`` splits each sweep into an interior region that depends only
 on local data and a boundary band that waits on the received halos, giving
 XLA's latency-hiding scheduler room to overlap ppermute with interior
@@ -97,13 +104,19 @@ def _dim_halos(
     r: int,
     bc_lo: float,
     bc_hi: float,
+    periodic: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ghost layers (lo_halo, hi_halo), each r thick along ``dim``.
 
-    If ``axis_name`` is None the dim is not sharded: ghosts are the BC faces.
+    If ``axis_name`` is None the dim is not sharded: ghosts are the BC
+    faces — or, for a periodic dim, the block's own opposite-edge strips.
     Otherwise edge strips are pushed to mesh neighbors with ppermute (push
-    model, like the reference's rma_iput) and mesh-edge devices synthesize
-    the BC locally (``generate_boundary`` analog).
+    model, like the reference's rma_iput): Dirichlet dims use an open
+    permutation chain and mesh-edge devices synthesize the BC locally
+    (``generate_boundary`` analog); periodic dims use the CIRCULAR
+    permutation — the wrap-around IS the ring topology ppermute natively
+    expresses (and ICI torus links physically provide), so the periodic
+    capability costs nothing extra on the wire.
     """
     ndim = x.ndim
 
@@ -111,12 +124,22 @@ def _dim_halos(
         shape = tuple(r if d == dim else x.shape[d] for d in range(ndim))
         return jnp.full(shape, value, x.dtype)
 
+    lo_strip = lax.slice_in_dim(x, 0, r, axis=dim)
+    hi_strip = lax.slice_in_dim(x, x.shape[dim] - r, x.shape[dim], axis=dim)
     if axis_name is None:
+        if periodic:
+            return hi_strip, lo_strip
         return face(bc_lo), face(bc_hi)
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    lo_strip = lax.slice_in_dim(x, 0, r, axis=dim)
-    hi_strip = lax.slice_in_dim(x, x.shape[dim] - r, x.shape[dim], axis=dim)
+    if periodic:
+        hi_halo = lax.ppermute(
+            lo_strip, axis_name, [(i, (i - 1) % n) for i in range(n)]
+        )
+        lo_halo = lax.ppermute(
+            hi_strip, axis_name, [(i, (i + 1) % n) for i in range(n)]
+        )
+        return lo_halo, hi_halo
     # my low strip -> previous device's high halo
     hi_halo = lax.ppermute(
         lo_strip, axis_name, [(i, i - 1) for i in range(1, n)]
@@ -137,9 +160,11 @@ def _exchange_dim(
     r: int,
     bc_lo: float,
     bc_hi: float,
+    periodic: bool = False,
 ) -> jax.Array:
     """Extend ``x`` by r ghost layers on both sides of ``dim``."""
-    lo_halo, hi_halo = _dim_halos(x, dim, axis_name, r, bc_lo, bc_hi)
+    lo_halo, hi_halo = _dim_halos(x, dim, axis_name, r, bc_lo, bc_hi,
+                                  periodic)
     return jnp.concatenate([lo_halo, x, hi_halo], axis=dim)
 
 
@@ -164,11 +189,13 @@ class ShardedStencil:
     def _local_sweep(self, block: jax.Array, bc: DirichletBC) -> jax.Array:
         r = self.spec.radius
         n0 = block.shape[0]
+        per = bc.periodic_mask(self.spec.ndim)
         if not self.overlap or self.axis_names[0] is None or n0 < 4 * r:
             ext = block
             for d in range(self.spec.ndim):
                 lo, hi = bc.values[d]
-                ext = _exchange_dim(ext, d, self.axis_names[d], r, lo, hi)
+                ext = _exchange_dim(ext, d, self.axis_names[d], r, lo, hi,
+                                    per[d])
             return apply_spec(ext, self.spec)
 
         # Overlapped variant (interior-first, like stencil_rma.cpp:338-360):
@@ -178,10 +205,11 @@ class ShardedStencil:
         ext1 = block
         for d in range(1, self.spec.ndim):
             lo, hi = bc.values[d]
-            ext1 = _exchange_dim(ext1, d, self.axis_names[d], r, lo, hi)
+            ext1 = _exchange_dim(ext1, d, self.axis_names[d], r, lo, hi,
+                                 per[d])
         lo0, hi0 = bc.values[0]
         lo_halo, hi_halo = _dim_halos(
-            ext1, 0, self.axis_names[0], r, lo0, hi0
+            ext1, 0, self.axis_names[0], r, lo0, hi0, per[0]
         )
         # Corner fix: where THIS device sits on a physical minor boundary,
         # the minor-ghost cells of the dim-0 halos must hold the minor-dim
@@ -190,6 +218,13 @@ class ShardedStencil:
         # interior received correct diagonal data via ppermute and are left
         # untouched.
         for d in range(1, self.spec.ndim):
+            if per[d]:
+                # periodic minor dims need NO corner fix: the dim-0 strips
+                # were cut from ext1 AFTER its periodic minor extension, so
+                # the halos already carry the neighbor's wrapped minor
+                # ghosts — exactly the values the exchange-in-dim-order
+                # (non-overlap) path produces transitively.
+                continue
             lo_d, hi_d = bc.values[d]
             name = self.axis_names[d]
             if name is None:

@@ -435,6 +435,11 @@ class ShardedPallasStencil:
             raise ValueError(
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing ShardedPallasStencil")
+        if grid.bc.any_periodic:
+            raise ValueError(
+                "periodic BCs are not yet supported by the 'sharded_pallas' "
+                "method; use the 'xla' method"
+            )
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

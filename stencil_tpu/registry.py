@@ -69,6 +69,30 @@ def make_xla(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
     )
 
 
+def _periodic_kernel_constraints(grid, k, tap_mode, allowed,
+                                 kernel: str):
+    """Validate + default the tap mode for periodic-BC grids on the
+    Pallas kernels: one sweep per kernel call (the wrap refresh runs
+    between calls) and a ghost-reading tap mode. Returns the tap mode to
+    use (defaulted to 'slice' when unset)."""
+    if not grid.bc.any_periodic:
+        return tap_mode
+    if k != 1:
+        raise ValueError(
+            f"periodic BCs on the {kernel} kernel need sweeps_per_call=1 "
+            "(pass -k 1): the wrap refresh runs between kernel sweeps"
+        )
+    if tap_mode is None:
+        return "slice"
+    if tap_mode not in allowed:
+        raise ValueError(
+            f"periodic BCs on the {kernel} kernel need a ghost-reading "
+            f"tap mode {sorted(allowed)}, not {tap_mode!r} (boundary-"
+            "synthesizing modes assume Dirichlet faces)"
+        )
+    return tap_mode
+
+
 def _make_pallas(config, spec, grid, k: int) -> Runner:
     from stencil_tpu.ops.pallas import PallasStencil
 
@@ -88,6 +112,9 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
 
         print("# autotune/slide/slots/cores/embed apply to the 3D tiled "
               "kernel; 2D slab path uses pinned defaults", file=sys.stderr)
+    tap_mode = _periodic_kernel_constraints(
+        grid, k, getattr(config, "tap_mode", None), ("slice",), "2D slab"
+    )
     method = PallasStencil(
         spec,
         grid.interior_shape,
@@ -95,7 +122,7 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
         sweeps_per_call=k,
         slab=config.block if config is not None else None,
         interpret=not _on_tpu(),
-        tap_mode=getattr(config, "tap_mode", None),
+        tap_mode=tap_mode,
     )
     return Runner(
         name="pallas" if k == 1 else f"pallas_temporal(k={k})",
@@ -112,7 +139,16 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
     from stencil_tpu.ops.pallas_tiled import TiledPallasStencil, choose_tiles
 
     tiles = None
-    tap_mode = getattr(config, "tap_mode", None)
+    tap_mode = _periodic_kernel_constraints(
+        grid, k, getattr(config, "tap_mode", None), ("slice", "roll"),
+        "tiled 3D"
+    )
+    if grid.bc.any_periodic:
+        if config is not None and (config.embed or config.slide):
+            raise ValueError(
+                "periodic BCs: --embed pins Dirichlet thick ghosts and "
+                "--slide is unsupported; drop the flag"
+            )
     if config is not None and config.block:
         # -b/--block pins the d0 tile size; t1 is chosen within budget
         tiles = choose_tiles(spec, grid.interior_shape, str(grid.dtype), k,
@@ -327,6 +363,17 @@ REGISTRY: Dict[str, Callable] = {
     "rma": make_rma,
 }
 
+# methods that accept grids with periodic (wrap-around) BCs — a
+# capability extension beyond the Dirichlet-only reference
+# (stencil.cpp:190-207). The Pallas kernels take them at
+# sweeps_per_call=1 with ghost-reading tap modes (the wrap refresh runs
+# between kernel calls — see _periodic_kernel_constraints). The others
+# raise the same message from their own iterate() (defense for direct
+# API use); gating here too lets the CLI report '[name] unavailable:
+# ...' instead of a mid-run traceback.
+PERIODIC_METHODS = frozenset({"xla", "pallas", "pallas_tiled",
+                              "sharded", "sharded_noverlap"})
+
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
     try:
@@ -335,4 +382,9 @@ def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
         raise KeyError(
             f"unknown method {name!r}; available: {sorted(REGISTRY)}"
         ) from None
+    if grid.bc.any_periodic and name not in PERIODIC_METHODS:
+        raise ValueError(
+            f"periodic BCs are not yet supported by the {name!r} method; "
+            f"supported: {sorted(PERIODIC_METHODS)}"
+        )
     return factory(config, spec, grid)

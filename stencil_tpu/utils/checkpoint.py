@@ -65,6 +65,7 @@ def save(path: str | Path, grid: HaloGrid, iteration: int,
         "spec_name": spec_name,
         "halo": int(grid.halo),
         "bc": [list(v) for v in grid.bc.values],
+        "bc_periodic": [bool(p) for p in grid.bc.periodic],
         "dtype": str(grid.dtype),
     }
     interior = np.asarray(grid.interior())
@@ -106,7 +107,12 @@ def load(path: str | Path) -> CheckpointState:
             iteration=meta["iteration"],
             spec_name=meta["spec_name"],
             bc=DirichletBC(
-                values=tuple(tuple(v) for v in meta["bc"])
+                values=tuple(tuple(v) for v in meta["bc"]),
+                # absent in pre-periodic checkpoints -> all-Dirichlet;
+                # normalized to () so it compares equal to default BCs
+                periodic=tuple(
+                    bool(p) for p in meta.get("bc_periodic", ())
+                ) if any(meta.get("bc_periodic", ())) else (),
             ),
             halo=meta["halo"],
         )
@@ -162,7 +168,9 @@ class CheckpointedRun:
             if state.bc != grid.bc:
                 raise ValueError(
                     f"checkpoint at {ckpt} has boundary conditions "
-                    f"{state.bc.values}, grid has {grid.bc.values}; "
+                    f"{state.bc.values} (periodic={state.bc.periodic}), "
+                    f"grid has {grid.bc.values} "
+                    f"(periodic={grid.bc.periodic}); "
                     "refusing to resume (use a fresh directory)"
                 )
             grid = state.to_grid(dtype=grid.dtype)
