@@ -128,12 +128,12 @@ class PaddedLayout:
 def refresh_periodic_layout(padded: jax.Array, layout: PaddedLayout,
                             bc: DirichletBC, radius: int) -> jax.Array:
     """Wrap-refresh rings ``1..radius`` of the periodic dims of a
-    ``PaddedLayout`` buffer.
+    ``PaddedLayout`` buffer (pass ``radius = k*r`` to seed the full
+    temporal ghost depth for a ``sweeps_per_call=k`` kernel call).
 
     The layout's pads are deeper than ``radius`` wherever alignment
     demands (sublane/lane rounding); the extra rings keep their face
-    values — taps never read beyond ``radius`` at ``sweeps_per_call=1``,
-    the only temporal depth the periodic kernels support. Dims are
+    values — taps never read beyond the refreshed depth. Dims are
     processed in increasing order over the FULL extent of the other dims,
     so corner ghosts become the doubly-wrapped values transitively and
     Dirichlet-dim face values are carried through the wrap — the same

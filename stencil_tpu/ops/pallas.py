@@ -702,7 +702,12 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
     from stencil_tpu.ops.layout import refresh_periodic_layout
 
     sweep = _cached_sweep(plan, bc, interpret)
-    r = plan.spec.radius
+    depth = plan.layout.halo  # k*r: seed the full temporal ghost depth
+    per = bc.periodic_mask(2)
+    # lead-dim pins off on a periodic d0: the deep wrap refresh between
+    # kernel calls seeds k*r ghost rows, so the kernel treats the faces
+    # like mesh-internal ones (same mechanism as the sharded path)
+    pins = np.asarray([0 if per[0] else 1] * 2, np.int32)
 
     @jax.jit
     def run(data, n_outer):
@@ -711,8 +716,8 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
         cur = plan.layout.pad(data[idx], bc)
         if bc.any_periodic:
             # periodic ghosts must hold the current iterate's wrapped
-            # rows (refreshed per sweep below; k=1 only, see iterate())
-            cur = refresh_periodic_layout(cur, plan.layout, bc, r)
+            # rows (re-refreshed after every kernel call below)
+            cur = refresh_periodic_layout(cur, plan.layout, bc, depth)
         # distinct output buffer for the aliased kernel write; XLA's
         # copy-removal is aliasing-aware and must keep this copy because
         # cur is still read by the first sweep
@@ -720,9 +725,11 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
 
         def body(_, carry):
             c, n = carry
-            out = sweep(c, n)
             if bc.any_periodic:
-                out = refresh_periodic_layout(out, plan.layout, bc, r)
+                out = sweep(c, n, jnp.asarray(pins))
+                out = refresh_periodic_layout(out, plan.layout, bc, depth)
+            else:
+                out = sweep(c, n)
             return (out, c)
 
         cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
@@ -783,16 +790,22 @@ class PallasStencil:
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "PallasStencil")
         if grid.bc.any_periodic:
-            # wrap refresh runs between kernel calls: one sweep per call,
-            # and taps must read true ghost cells (synth/rotacc
-            # synthesize Dirichlet boundaries in-register)
+            # a periodic LEAD dim runs at any temporal depth (deep wrap
+            # refresh between kernel calls + lead pins off); a periodic
+            # LANE dim needs k=1 + the ghost-reading slice mode
+            # (synth/rotacc synthesize the lane boundary in-register,
+            # and the in-VMEM virtual sweeps cannot see the opposite
+            # lane face mid-call)
+            per = grid.bc.periodic_mask(2)
             problems = []
-            if self.plan.sweeps_per_call != 1:
-                problems.append("sweeps_per_call must be 1 (use -k 1)")
-            if self.plan.tap_mode != "slice":
+            if per[1] and self.plan.sweeps_per_call != 1:
                 problems.append(
-                    f"tap_mode {self.plan.tap_mode!r} synthesizes "
-                    "Dirichlet boundaries (use slice)")
+                    "a periodic lane (last) dim needs sweeps_per_call=1 "
+                    "(use -k 1)")
+            if per[1] and self.plan.tap_mode != "slice":
+                problems.append(
+                    f"a periodic lane (last) dim needs the slice tap "
+                    f"mode, not {self.plan.tap_mode!r}")
             if problems:
                 raise ValueError(
                     "periodic BCs on the 2D slab Pallas kernel: "

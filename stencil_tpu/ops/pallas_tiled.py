@@ -1256,22 +1256,42 @@ def _cached_tiled_runner(plan: TiledPlan, bc: DirichletBC, interpret: bool):
     return run
 
 
+def _periodic_pins(bc: DirichletBC, ndim: int = 3):
+    """The kernel ``pins`` vector for a BC: 0 on periodic d0/d1 faces.
+
+    The pins mechanism exists for faces whose deep ghosts hold VALID
+    remote data (the sharded paths' mesh-internal faces) — a periodic
+    face is exactly that, with "remote" = the grid's own opposite face:
+    the deep wrap refresh between kernel calls seeds ``k*r`` ghost
+    layers, and the kernel's shrinking-window recompute then treats the
+    face like a mesh-internal one (no Dirichlet re-pinning)."""
+    per = bc.periodic_mask(ndim)
+    p0 = 0 if per[0] else 1
+    p1 = 0 if (ndim > 2 and per[1]) else 1
+    return np.asarray([p0, p0, p1, p1], np.int32)
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
                           grid_halo: int):
     """End-to-end jitted iterate (single dispatch per call) — see
     ops.pallas._cached_iterate for why the pad/unpad must live inside.
 
-    Periodic dims (``bc.periodic``): their ghost rings must hold the
+    Periodic dims (``bc.periodic``): their ghost layers must hold the
     CURRENT iterate's wrapped rows, so the loop body wrap-refreshes the
-    padded buffer after every sweep (small edge copies on the kernel
-    output; supported at ``sweeps_per_call=1`` with ghost-reading tap
-    modes — see ``TiledPallasStencil.iterate``)."""
+    padded buffer to the full temporal depth ``k*r`` after every kernel
+    call, and the kernel runs with Dirichlet pinning disabled on the
+    periodic d0/d1 faces (``_periodic_pins``) — the same treatment the
+    sharded paths give mesh-internal faces. A periodic LANE dim is the
+    one case that needs ``k=1`` + a ghost-reading tap mode (the in-VMEM
+    virtual sweeps cannot see the opposite lane face mid-call) — gated
+    in ``TiledPallasStencil.iterate``."""
     from stencil_tpu.core.grid import fill_halo
     from stencil_tpu.ops.layout import refresh_periodic_layout
 
     sweep = _cached_tiled_sweep(plan, bc, interpret)
-    r = plan.spec.radius
+    depth = plan.layout.halo  # k*r: seed the full temporal ghost depth
+    pins = _periodic_pins(bc) if bc.any_periodic else None
 
     @jax.jit
     def run(data, n_outer):
@@ -1279,14 +1299,16 @@ def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
         idx = tuple(slice(h, s - h) for s in data.shape)
         cur = plan.layout.pad(data[idx], bc)
         if bc.any_periodic:
-            cur = refresh_periodic_layout(cur, plan.layout, bc, r)
+            cur = refresh_periodic_layout(cur, plan.layout, bc, depth)
         nxt = jnp.copy(cur)
 
         def body(_, carry):
             c, n = carry
-            out = sweep(c, n)
             if bc.any_periodic:
-                out = refresh_periodic_layout(out, plan.layout, bc, r)
+                out = sweep(c, n, jnp.asarray(pins))
+                out = refresh_periodic_layout(out, plan.layout, bc, depth)
+            else:
+                out = sweep(c, n)
             return (out, c)
 
         cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
@@ -1331,17 +1353,25 @@ class TiledPallasStencil:
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "TiledPallasStencil")
         if grid.bc.any_periodic:
-            # the wrap refresh runs BETWEEN kernel calls, so each call may
-            # advance only one sweep, and taps must read true ghost cells
-            # (synth/rotacc synthesize Dirichlet boundaries in-register;
-            # embed pins thick ghosts the refresh would fight)
+            # periodic d0/d1 run at ANY temporal depth and tap mode: the
+            # deep wrap refresh between kernel calls seeds k*r ghost
+            # layers and _periodic_pins disables Dirichlet re-pinning on
+            # those faces (synth/rotacc only synthesize the d2 LANE
+            # boundary, so they stay legal). A periodic LANE dim is the
+            # one case needing k=1 + a ghost-reading tap mode: the
+            # in-VMEM virtual sweeps cannot see the opposite lane face
+            # mid-call, and synth modes carry no lane ghosts at all.
+            per = grid.bc.periodic_mask(3)
             problems = []
-            if self.plan.sweeps_per_call != 1:
-                problems.append("sweeps_per_call must be 1 (use -k 1)")
-            if self.plan.tap_mode not in ("slice", "roll"):
+            if per[2] and self.plan.sweeps_per_call != 1:
                 problems.append(
-                    f"tap_mode {self.plan.tap_mode!r} synthesizes "
-                    "Dirichlet boundaries (use slice or roll)")
+                    "a periodic lane (last) dim needs sweeps_per_call=1 "
+                    "(use -k 1)")
+            if per[2] and self.plan.tap_mode not in ("slice", "roll"):
+                problems.append(
+                    f"a periodic lane (last) dim needs a ghost-reading "
+                    f"tap mode, not {self.plan.tap_mode!r} (use slice "
+                    "or roll)")
             if self.plan.embed:
                 problems.append("embed-and-pin is Dirichlet-only")
             if self.plan.slide:

@@ -72,23 +72,32 @@ def make_xla(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
 def _periodic_kernel_constraints(grid, k, tap_mode, allowed,
                                  kernel: str):
     """Validate + default the tap mode for periodic-BC grids on the
-    Pallas kernels: one sweep per kernel call (the wrap refresh runs
-    between calls) and a ghost-reading tap mode. Returns the tap mode to
-    use (defaulted to 'slice' when unset)."""
-    if not grid.bc.any_periodic:
+    Pallas kernels.
+
+    Periodic LEAD dims (d0, and d1 on the tiled kernel) run at any
+    temporal depth with any tap mode: the kernels seed k*r wrapped ghost
+    layers between calls and disable Dirichlet pinning on those faces
+    (their ``pins`` mechanism). A periodic LANE (last) dim is the one
+    constrained case — the in-VMEM virtual sweeps cannot see the
+    opposite lane face mid-call, and synth/rotacc synthesize the lane
+    boundary — so it needs ``k=1`` plus a ghost-reading tap mode
+    (defaulted to 'slice' when unset). Returns the tap mode to use."""
+    per = grid.bc.periodic_mask(grid.ndim)
+    if not per[-1]:
         return tap_mode
     if k != 1:
         raise ValueError(
-            f"periodic BCs on the {kernel} kernel need sweeps_per_call=1 "
-            "(pass -k 1): the wrap refresh runs between kernel sweeps"
+            f"a periodic lane (last) dim on the {kernel} kernel needs "
+            "sweeps_per_call=1 (pass -k 1); periodic leading dims run "
+            "at any temporal depth"
         )
     if tap_mode is None:
         return "slice"
     if tap_mode not in allowed:
         raise ValueError(
-            f"periodic BCs on the {kernel} kernel need a ghost-reading "
-            f"tap mode {sorted(allowed)}, not {tap_mode!r} (boundary-"
-            "synthesizing modes assume Dirichlet faces)"
+            f"a periodic lane (last) dim on the {kernel} kernel needs a "
+            f"ghost-reading tap mode {sorted(allowed)}, not {tap_mode!r} "
+            "(boundary-synthesizing modes assume Dirichlet faces)"
         )
     return tap_mode
 
@@ -365,14 +374,16 @@ REGISTRY: Dict[str, Callable] = {
 
 # methods that accept grids with periodic (wrap-around) BCs — a
 # capability extension beyond the Dirichlet-only reference
-# (stencil.cpp:190-207). The Pallas kernels take them at
-# sweeps_per_call=1 with ghost-reading tap modes (the wrap refresh runs
-# between kernel calls — see _periodic_kernel_constraints). The others
+# (stencil.cpp:190-207). The Pallas kernels run periodic LEADING dims at
+# any temporal depth (deep wrap refresh + pins, like the sharded paths'
+# mesh-internal faces); a periodic LANE dim needs k=1 + a ghost-reading
+# tap mode (see _periodic_kernel_constraints). The remaining methods
 # raise the same message from their own iterate() (defense for direct
 # API use); gating here too lets the CLI report '[name] unavailable:
 # ...' instead of a mid-run traceback.
-PERIODIC_METHODS = frozenset({"xla", "pallas", "pallas_tiled",
-                              "sharded", "sharded_noverlap"})
+PERIODIC_METHODS = frozenset({"xla", "pallas", "pallas_temporal",
+                              "pallas_tiled", "sharded",
+                              "sharded_noverlap"})
 
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:

@@ -226,6 +226,21 @@ def test_native_golden_periodic_matches_numpy(rng, spec_name, shape, dims):
     "pallas_temporal", "sharded_pallas", "rma",
 ])
 def test_unsupported_methods_gate_cleanly(method):
+    # periodic LANE dim: sharded_pallas/rma refuse any periodic grid;
+    # pallas_temporal refuses because the lane dim needs k=1 (its
+    # leading-dim periodic support is covered below)
+    sp = S.jacobi5()
+    bc = DirichletBC.reference_default(2).with_periodic((1,))
+    g = HaloGrid.create((16, 16), halo=1, bc=bc)
+    cfg = RunConfig(size=(16, 16), iterations=2, methods=(method,))
+    with pytest.raises(ValueError, match="periodic|k 1"):
+        registry.get_runner(method, cfg, sp, g)
+
+
+@pytest.mark.parametrize("method", ["sharded_pallas", "rma"])
+def test_mesh_methods_gate_on_lead_periodic_too(method):
+    # the mesh methods' halo exchange assumes Dirichlet outer faces in
+    # every dim — they refuse lead-dim periodic grids as well
     sp = S.jacobi5()
     bc = DirichletBC.reference_default(2).with_periodic((0,))
     g = HaloGrid.create((16, 16), halo=1, bc=bc)
@@ -236,22 +251,24 @@ def test_unsupported_methods_gate_cleanly(method):
 
 def test_direct_iterate_gates_too():
     # defense for direct API use (bypassing the registry): the default
-    # tap mode (synth) assumes Dirichlet faces and must refuse
+    # tap mode (synth) synthesizes the LANE boundary as Dirichlet and
+    # must refuse a lane-periodic grid
     from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
 
     sp = S.get_spec("jacobi7")
-    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    bc = DirichletBC.reference_default(3).with_periodic((2,))
     g = HaloGrid.create((8, 8, 8), halo=1, bc=bc)
     m = TiledPallasStencil(sp, (8, 8, 8), interpret=True)
     with pytest.raises(ValueError, match="periodic"):
         m.iterate(g, 1)
 
 
-def test_periodic_temporal_blocking_gates():
-    # k>1 needs an in-kernel wrap of the deep halo — unsupported; the
-    # registry must refuse with guidance rather than compute wrong halos
+def test_periodic_lane_temporal_blocking_gates():
+    # a periodic LANE dim at k>1 would need the in-VMEM virtual sweeps
+    # to see the opposite lane face mid-call — the registry must refuse
+    # with guidance rather than compute wrong halos
     sp = S.get_spec("jacobi7")
-    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    bc = DirichletBC.reference_default(3).with_periodic((2,))
     g = HaloGrid.create((16, 16, 16), halo=1, bc=bc)
     cfg = RunConfig(size=(16, 16, 16), spec="jacobi7", temporal=4,
                     methods=("pallas_tiled",))
@@ -350,10 +367,11 @@ def test_tiled_kernel_periodic_ragged(rng):
 
 
 def test_registry_pallas_periodic_defaults_to_slice(rng):
-    # method 'pallas' on a periodic 3D grid must come back runnable with
-    # a ghost-reading tap mode picked automatically
+    # method 'pallas' on a LANE-periodic 3D grid must come back runnable
+    # with a ghost-reading tap mode picked automatically; a lead-only
+    # periodic grid keeps the fast default tap mode
     sp = S.get_spec("jacobi7")
-    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    bc = DirichletBC.reference_default(3).with_periodic((0, 2))
     g = HaloGrid.create((12, 16, 20), halo=1, bc=bc)
     cfg = RunConfig(size=(12, 16, 20), spec="jacobi7",
                     methods=("pallas",))
@@ -363,6 +381,15 @@ def test_registry_pallas_periodic_defaults_to_slice(rng):
     ref = golden.golden_iterate(
         np.zeros((12, 16, 20)), sp, 3, bc=bc
     )
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+    bc_lead = DirichletBC.reference_default(3).with_periodic((0,))
+    g_lead = HaloGrid.create((12, 16, 20), halo=1, bc=bc_lead)
+    lead = registry.get_runner("pallas", cfg, sp, g_lead)
+    assert lead.plan_info["tap_mode"] in ("synth", "rotacc")
+    out = lead.iterate(g_lead, 3)
+    ref = golden.golden_iterate(np.zeros((12, 16, 20)), sp, 3, bc=bc_lead)
     chk = golden.check_against_golden(np.asarray(out.interior()), ref)
     assert chk.ok, chk.message()
 
@@ -389,7 +416,7 @@ def test_cli_periodic_unsupported_method_reports_unavailable(capsys):
     from stencil_tpu import cli
 
     rc = cli.main(["-s", "16", "16", "-i", "2", "-m", "pallas_temporal",
-                   "--periodic", "0", "--platform", "cpu"])
+                   "--periodic", "1", "--platform", "cpu"])
     assert rc == 1
     assert "periodic" in capsys.readouterr().out
 
@@ -411,6 +438,126 @@ def test_periodic_dims_normalization():
     assert cfg.periodic_dims() == (0, 1, 2)
     cfg = RunConfig(size=(8, 8), periodic=("1",))
     assert cfg.periodic_dims() == (1,)
+
+
+# ---- temporal blocking (k>1) with periodic leading dims ----------------------
+#
+# Periodic d0/d1 ride the kernels' pins mechanism (Dirichlet re-pinning
+# disabled on those faces, exactly like the sharded paths' mesh-internal
+# faces) with a k*r-deep wrap refresh between kernel calls — so the FULL
+# temporal-blocked fast path, including the boundary-synthesizing synth/
+# rotacc tap modes (which only synthesize the lane boundary), stays
+# available.
+
+
+@pytest.mark.parametrize("dims", [(0,), (1,), (0, 1)])
+@pytest.mark.parametrize("k", [4, 8])
+def test_tiled_temporal_periodic_leading_dims(rng, dims, k):
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic(dims)
+    x0 = rng.random((16, 24, 20)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = TiledPallasStencil(sp, (16, 24, 20), sweeps_per_call=k,
+                           interpret=True)
+    # the fast (lane-boundary-synthesizing) default stays legal
+    assert m.plan.tap_mode in ("synth", "rotacc")
+    out = m.iterate(g, 2 * k + 3)      # exercises the k'=3 remainder too
+    ref = golden.golden_iterate(x0, sp, 2 * k + 3, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_tiled_temporal_periodic_rotacc_box(rng):
+    # rotacc (separable box evaluator) with periodic d0/d1 at k=4
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    sp = S.get_spec("jacobi27")
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    x0 = rng.random((16, 24, 20)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = TiledPallasStencil(sp, (16, 24, 20), sweeps_per_call=4,
+                           interpret=True, tap_mode="rotacc")
+    out = m.iterate(g, 8)
+    ref = golden.golden_iterate(x0, sp, 8, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_tiled_temporal_periodic_radius2(rng):
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    sp = S.get_spec("laplace3d_ho")
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    x0 = rng.random((14, 18, 16)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=2, bc=bc)
+    m = TiledPallasStencil(sp, (14, 18, 16), sweeps_per_call=3,
+                           interpret=True)
+    out = m.iterate(g, 6)
+    ref = golden.golden_iterate(x0, sp, 6, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_tiled_temporal_periodic_ragged(rng):
+    # clamped overlapping last tiles + periodic d0/d1 + temporal depth
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    x0 = rng.random((13, 17, 19)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = TiledPallasStencil(sp, (13, 17, 19), sweeps_per_call=4,
+                           interpret=True)
+    out = m.iterate(g, 8)
+    ref = golden.golden_iterate(x0, sp, 8, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_slab_temporal_periodic_lead(rng):
+    # 2D slab kernel, periodic d0 at k=8 with the default (synthesizing)
+    # tap mode — legal because synth only synthesizes the LANE boundary
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    sp = S.jacobi5()
+    bc = DirichletBC.reference_default(2).with_periodic((0,))
+    x0 = rng.random((32, 40)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = PallasStencil(sp, (32, 40), sweeps_per_call=8, interpret=True)
+    out = m.iterate(g, 16)
+    ref = golden.golden_iterate(x0, sp, 16, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_registry_pallas_temporal_periodic_leading(rng):
+    # the pallas_temporal method (k=8 default) is available for grids
+    # whose periodic dims are all leading
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    g = HaloGrid.create((16, 24, 20), halo=1, bc=bc)
+    cfg = RunConfig(size=(16, 24, 20), spec="jacobi7",
+                    methods=("pallas_temporal",))
+    runner = registry.get_runner("pallas_temporal", cfg, sp, g)
+    out = runner.iterate(g, 8)
+    ref = golden.golden_iterate(np.zeros((16, 24, 20)), sp, 8, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_periodic_interior_shallower_than_temporal_halo_raises(rng):
+    # k*r wrap depth needs interior extent >= k*r in the periodic dim
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    g = HaloGrid.create((6, 16, 16), halo=1, bc=bc)
+    m = TiledPallasStencil(sp, (6, 16, 16), sweeps_per_call=8,
+                           interpret=True)
+    with pytest.raises(ValueError, match="interior extent"):
+        m.iterate(g, 8)
 
 
 # ---- sharded (ppermute halo) over the virtual device mesh --------------------
