@@ -265,13 +265,21 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
             s0_c = sorted(set(s0_c) | {-(-n0 // m) for m in range(2, 9)
                                        if -(-n0 // m) <= n0})
     # t1 must be a sublane multiple for aligned DMA window offsets — OR
-    # the full dim (whole-dim windows are always legal)
+    # the full dim (whole-dim windows are legal in the plan, but Mosaic
+    # rejects a NON-sublane-multiple window extent on hardware: round-4
+    # silicon, 125x130x135 auto plan picked t1=130 and the 146-row
+    # working window crashed the compile with "slice shape along
+    # dimension 2 must be aligned to tiling (8)" — so AUTO only offers
+    # the whole dim when it is aligned or nothing else fits)
     base_t1 = {t for t in (sublane, 16, 32, 48, 64, 96, 128, 256)
                if t % sublane == 0 and t <= n1}
     if base_t1 and all(n1 % t for t in base_t1):
         base_t1 |= {round_up(-(-n1 // m), sublane) for m in range(2, 9)
                     if round_up(-(-n1 // m), sublane) <= n1}
-    t1_c = sorted(base_t1 | {n1})
+    if n1 % sublane == 0 or not base_t1:
+        t1_c = sorted(base_t1 | {n1})
+    else:
+        t1_c = sorted(base_t1)
     from fractions import Fraction
 
     # whole-d1 windows only ever fit under the widened budget for shapes
@@ -472,6 +480,17 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             # double up; 0.35 margin compile-OOMs cleanly). Measured
             # compiling and correct at 92MB for the default (64,128).
             margin = int(est * 0.85) + 4 * 1024 * 1024
+        elif tap_mode in ("slice", "roll") and spec.num_taps >= 14:
+            # many-tap box stencils in the ghost-reading modes keep a
+            # shifted-window temporary live per tap: jacobi27 (26 taps)
+            # slice 128^3 k=1 default tiles wanted ~85-88M against a
+            # 43.8M estimate (round-4 silicon bisect: 88M compiles
+            # bitwise, 84M OOMs; the old 54.8M limit hard-failed). roll
+            # needs more still — its rotated windows double up (93.9M
+            # OOMs, 110M compiles bitwise). Star specs (<= 13 taps)
+            # keep their round-2 values.
+            ratio = 1.5 if tap_mode == "roll" else 1.05
+            margin = int(est * ratio) + 4 * 1024 * 1024
         elif slide or (spec.radius >= 2 and tap_mode != "rotacc"):
             margin = int(est * 0.35) + 4 * 1024 * 1024
         else:

@@ -508,6 +508,34 @@ def test_vmem_limit_stays_on_fast_side_of_the_cliff():
                          sweeps_per_call=4, tiles=(64, 64),
                          dtype="bfloat16", tap_mode="synth")
     assert p6.vmem_limit >= 52_500_000
+    # many-tap box stencils in the ghost-reading modes are their own
+    # class (round-4 silicon bisect: jacobi27 slice 128^3 k=1 default
+    # tiles compile at 88M, OOM at 84M, against a 43.8M estimate —
+    # the old 54.8M limit hard-failed); star specs keep round-2 values
+    for tm in ("slice", "roll"):
+        p7 = make_tiled_plan(gs("jacobi27"), (128, 128, 128),
+                             tiles=(64, 128), tap_mode=tm)
+        assert p7.vmem_limit >= 88 * 2**20, (tm, p7.vmem_limit)
+    p8 = make_tiled_plan(gs("jacobi7"), (128, 128, 128),
+                         tiles=(64, 128), tap_mode="slice")
+    assert p8.vmem_limit == 57_466_880  # round-2 value, untouched
+
+
+def test_auto_tiles_never_pick_unaligned_whole_dim_t1():
+    """Mosaic rejects a non-sublane-multiple window extent on hardware
+    (round-4 silicon: the 125x130x135 auto plan picked t1=130 and its
+    146-row working window crashed the compile) — AUTO must offer the
+    whole dim only when aligned or when nothing else fits."""
+    spec = get_spec("jacobi7")
+    s0, t1 = choose_tiles(spec, (125, 130, 135), sweeps_per_call=4)
+    assert t1 % 8 == 0, (s0, t1)
+    p = make_tiled_plan(spec, (125, 130, 135), sweeps_per_call=4)
+    assert p.t1 % 8 == 0
+    # tiny dims below the sublane size still get the whole-dim fallback
+    p_tiny = make_tiled_plan(spec, (6, 6, 6))
+    assert p_tiny.t1 == 6
+    # aligned whole dims keep their candidate
+    assert choose_tiles(spec, (16, 24, 20), sweeps_per_call=1)[1] in (8, 16, 24)
 
 
 def test_ragged_ceil_candidates_improve_fetch_ratio():
