@@ -33,13 +33,17 @@ from stencil_tpu.utils.timing import (
 
 def make_grid(config: RunConfig, spec) -> HaloGrid:
     """Reference initial conditions: interior 0, Dirichlet halo
-    (``stencil.cpp:190-207``); ``--periodic`` dims wrap instead."""
+    (``stencil.cpp:190-207``); ``--periodic`` dims wrap and ``--neumann``
+    dims mirror (zero-flux) instead."""
     bc = None
-    if config.periodic:
+    if config.periodic or config.neumann:
         from stencil_tpu.core.grid import DirichletBC
 
-        bc = DirichletBC.reference_default(len(config.size)) \
-            .with_periodic(config.periodic_dims())
+        bc = DirichletBC.reference_default(len(config.size))
+        if config.periodic:
+            bc = bc.with_periodic(config.periodic_dims())
+        if config.neumann:
+            bc = bc.with_neumann(config.neumann_dims())
     return HaloGrid.create(
         config.size, halo=spec.radius, dtype=config.dtype, bc=bc
     )
@@ -241,10 +245,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     config.apply_platform()
     try:
         config.resolved_spec()
+        overlap = set(config.periodic_dims()) & set(config.neumann_dims())
+        if overlap:
+            raise ValueError(
+                f"dim(s) {sorted(overlap)} listed as both --periodic and "
+                "--neumann; a dim may be periodic or Neumann, not both"
+            )
     except (ValueError, KeyError) as e:
         # config-level contradictions (spec/size rank mismatch, unknown
-        # spec) are user errors, not tracebacks — same contract as the
-        # per-method 'unavailable' reporting
+        # spec, conflicting BC modes) are user errors, not tracebacks —
+        # same contract as the per-method 'unavailable' reporting
         print(f"error: {e}", file=sys.stderr)
         return 2
     timer = TinyTimer().start()

@@ -59,10 +59,12 @@ class RunConfig:
     # last tile per dim (enables slide on ragged d1)
     embed: bool = False
 
-    # boundary conditions: dims that wrap around instead of holding the
-    # Dirichlet face values ("all" = every dim). Capability extension —
-    # the reference is Dirichlet-only (stencil.cpp:190-207).
+    # boundary conditions: dims that wrap around (periodic) or mirror
+    # (Neumann zero-flux) instead of holding the Dirichlet face values
+    # ("all" = every dim). Capability extensions — the reference is
+    # Dirichlet-only (stencil.cpp:190-207).
     periodic: Tuple[object, ...] = ()
+    neumann: Tuple[object, ...] = ()
 
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
@@ -99,6 +101,12 @@ class RunConfig:
         if any(str(d) == "all" for d in self.periodic):
             return tuple(range(len(self.size)))
         return tuple(int(d) for d in self.periodic)
+
+    def neumann_dims(self) -> Tuple[int, ...]:
+        """``neumann`` normalized to a tuple of dim indices."""
+        if any(str(d) == "all" for d in self.neumann):
+            return tuple(range(len(self.size)))
+        return tuple(int(d) for d in self.neumann)
 
     def resolved_spec(self):
         from stencil_tpu.core.spec import get_spec, star
@@ -171,6 +179,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dims with periodic (wrap-around) boundaries "
                         "instead of Dirichlet faces, e.g. --periodic 0 1 "
                         "or --periodic all (reference: Dirichlet-only)")
+    p.add_argument("--neumann", type=str, nargs="*", default=[],
+                   help="dims with Neumann (zero-flux mirror) boundaries "
+                        "instead of Dirichlet faces, e.g. --neumann 0 or "
+                        "--neumann all; combinable with --periodic on "
+                        "OTHER dims (reference: Dirichlet-only)")
     p.add_argument("--tap-mode", type=str, default=None,
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
@@ -227,6 +240,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         cores=ns.cores,
         embed=ns.embed,
         periodic=tuple(ns.periodic),
+        neumann=tuple(ns.neumann),
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

@@ -31,25 +31,33 @@ class DirichletBC:
     rank n as: last dim faces 1.0, all other faces 0.0.
 
     ``periodic[d] = True`` makes dimension ``d`` wrap-around instead
-    (its ``values`` entry is ignored). The reference is Dirichlet-only
-    (``stencil.cpp:190-207``); periodic dims are a capability extension,
-    and on TPU the lane dimension gets them nearly for free (circular
-    ``lane_roll`` taps, ``ops/rolls.py``). An empty ``periodic`` tuple
-    (the default) means all-Dirichlet, keeping every existing call site
-    and cache key unchanged. The class name is kept for API stability.
+    (its ``values`` entry is ignored). ``neumann[d] = True`` makes it
+    zero-flux: ghost layer ``j`` mirrors interior layer ``j-1`` across
+    the face plane (NumPy's ``mode='symmetric'``), the cell-centered
+    reflection under which the normal derivative vanishes at the face.
+    The reference is Dirichlet-only (``stencil.cpp:190-207``); periodic
+    and Neumann dims are capability extensions, and on TPU the lane
+    dimension gets periodic nearly for free (circular ``lane_roll``
+    taps, ``ops/rolls.py``). Empty ``periodic``/``neumann`` tuples (the
+    default) mean all-Dirichlet, keeping every existing call site and
+    cache key unchanged. The class name is kept for API stability. A
+    dim may be periodic or Neumann, not both.
 
     Corner/edge regions of the halo where two faces meet: Dirichlet faces
     are filled in *increasing dimension order*, so the highest Dirichlet
-    dimension's value wins in Dirichlet/Dirichlet corners; periodic wraps
-    run after (and re-run every sweep), copying the full extent of the
-    other dims, so periodic/periodic corners hold the exactly-wrapped
-    value and Dirichlet/periodic corners carry the Dirichlet value
-    through the wrap. Deterministic, and only observable through box
-    stencils (star stencils never read halo corners).
+    dimension's value wins in Dirichlet/Dirichlet corners; the dynamic
+    dims (periodic wraps and Neumann mirrors) run after, in increasing
+    dimension order (and re-run every sweep), copying the full extent of
+    the other dims — so dynamic/dynamic corners hold the transitively
+    wrapped/mirrored value and Dirichlet/dynamic corners carry the
+    Dirichlet value through the wrap/mirror. Deterministic, and only
+    observable through box stencils (star stencils never read halo
+    corners).
     """
 
     values: Tuple[Tuple[float, float], ...]
     periodic: Tuple[bool, ...] = ()
+    neumann: Tuple[bool, ...] = ()
 
     @staticmethod
     def reference_default(ndim: int) -> "DirichletBC":
@@ -69,10 +77,15 @@ class DirichletBC:
         """This BC with the given dims made periodic."""
         ndim = len(self.values)
         per = list(self.periodic_mask(ndim))
+        neu = self.neumann_mask(ndim)
         for d in dims:
             if not -ndim <= d < ndim:
                 raise ValueError(f"periodic dim {d} out of range for "
                                  f"rank {ndim}")
+            if neu[d % ndim]:
+                raise ValueError(
+                    f"dim {d % ndim} is already Neumann; a dim may be "
+                    "periodic or Neumann, not both")
             per[d % ndim] = True
         # normalize the all-Dirichlet mask to () so BCs that are
         # semantically equal compare (and hash) equal
@@ -80,17 +93,55 @@ class DirichletBC:
             self, periodic=tuple(per) if any(per) else ()
         )
 
+    def with_neumann(self, dims) -> "DirichletBC":
+        """This BC with the given dims made zero-flux (mirror) Neumann."""
+        ndim = len(self.values)
+        neu = list(self.neumann_mask(ndim))
+        per = self.periodic_mask(ndim)
+        for d in dims:
+            if not -ndim <= d < ndim:
+                raise ValueError(f"Neumann dim {d} out of range for "
+                                 f"rank {ndim}")
+            if per[d % ndim]:
+                raise ValueError(
+                    f"dim {d % ndim} is already periodic; a dim may be "
+                    "periodic or Neumann, not both")
+            neu[d % ndim] = True
+        return dataclasses.replace(
+            self, neumann=tuple(neu) if any(neu) else ()
+        )
+
     def periodic_mask(self, ndim: int) -> Tuple[bool, ...]:
         """``periodic`` normalized to length ``ndim``."""
         per = tuple(self.periodic)
         return per + (False,) * (ndim - len(per))
 
+    def neumann_mask(self, ndim: int) -> Tuple[bool, ...]:
+        """``neumann`` normalized to length ``ndim``."""
+        neu = tuple(self.neumann)
+        return neu + (False,) * (ndim - len(neu))
+
+    def dynamic_mask(self, ndim: int) -> Tuple[bool, ...]:
+        """Dims whose ghosts hold *current-iterate* data (periodic wrap
+        or Neumann mirror) rather than Dirichlet constants."""
+        per = self.periodic_mask(ndim)
+        neu = self.neumann_mask(ndim)
+        return tuple(p or n for p, n in zip(per, neu))
+
     @property
     def any_periodic(self) -> bool:
         return any(self.periodic)
 
+    @property
+    def any_neumann(self) -> bool:
+        return any(self.neumann)
+
+    @property
+    def any_dynamic(self) -> bool:
+        return any(self.periodic) or any(self.neumann)
+
     def __hash__(self):
-        return hash((self.values, self.periodic))
+        return hash((self.values, self.periodic, self.neumann))
 
 
 def _face_slices(shape, halo: int, d: int):
@@ -108,13 +159,26 @@ def _face_slices(shape, halo: int, d: int):
             at(slice(s - 2 * halo, s - halo)), at(slice(halo, 2 * halo)))
 
 
-def _check_periodic_depth(shape, halo: int, d: int):
+def _check_dynamic_depth(shape, halo: int, d: int, kind: str):
     n = shape[d] - 2 * halo
     if n < halo:
         raise ValueError(
-            f"periodic dim {d} needs interior extent >= halo depth "
+            f"{kind} dim {d} needs interior extent >= halo depth "
             f"({n} < {halo}); shrink the temporal depth or grow the grid"
         )
+
+
+def _mirror_slices(shape, halo: int, d: int):
+    """(lo_src, hi_src) bands whose dim-``d`` FLIP fills the lo/hi ghost
+    slabs of a Neumann (zero-flux) dim: ghost layer ``j`` mirrors
+    interior layer ``j-1`` across the face plane (``mode='symmetric'``)."""
+    ndim = len(shape)
+    s = shape[d]
+
+    def at(d_slice):
+        return tuple(d_slice if i == d else slice(None) for i in range(ndim))
+
+    return at(slice(halo, 2 * halo)), at(slice(s - 2 * halo, s - halo))
 
 
 def fill_halo(padded: jax.Array, halo: int, bc: DirichletBC) -> jax.Array:
@@ -124,70 +188,88 @@ def fill_halo(padded: jax.Array, halo: int, bc: DirichletBC) -> jax.Array:
     (``boundary_matrix.hpp:129-170``) applied to all four (2D) / six (3D)
     faces. Dirichlet faces are constant slabs spanning the full extent of
     the other dims, later dims overwriting earlier ones in corner regions;
-    periodic dims are then wrap-filled (see :func:`refresh_periodic`).
+    dynamic dims (periodic wraps, Neumann mirrors) are then filled from
+    the interior (see :func:`refresh_dynamic`).
     """
     ndim = padded.ndim
-    per = bc.periodic_mask(ndim)
+    dyn = bc.dynamic_mask(ndim)
     for d in range(ndim):
-        if per[d]:
+        if dyn[d]:
             continue
         lo, hi = bc.values[d]
         idx_lo, idx_hi, _, _ = _face_slices(padded.shape, halo, d)
         padded = padded.at[idx_lo].set(lo)
         padded = padded.at[idx_hi].set(hi)
-    return refresh_periodic(padded, halo, bc)
+    return refresh_dynamic(padded, halo, bc)
 
 
-def refresh_periodic(padded: jax.Array, halo: int,
-                     bc: DirichletBC) -> jax.Array:
-    """Re-fill the ghost slabs of periodic dims by wrap-around copy.
+def refresh_dynamic(padded: jax.Array, halo: int,
+                    bc: DirichletBC) -> jax.Array:
+    """Re-fill the ghost slabs of dynamic dims: periodic dims by
+    wrap-around copy, Neumann dims by mirror (symmetric) copy.
 
     Unlike Dirichlet ghosts (constants, re-pinned by the kernels),
-    periodic ghosts hold the *current iterate's* opposite-face rows, so
-    every sweep must refresh them before its taps read the halo. Dims are
+    dynamic ghosts hold data derived from the *current iterate* (the
+    opposite face's rows, or the face-adjacent rows reflected), so every
+    sweep must refresh them before its taps read the halo. Dims are
     processed in increasing order, each copying the full extent of the
-    other dims — corner regions become exactly the doubly-wrapped values
-    (the same transitivity as the sharded phase-ordered halo exchange,
-    ``parallel/pallas_sharded.py:exchange``). No-op for all-Dirichlet BCs.
+    other dims — corner regions become exactly the doubly-wrapped /
+    doubly-mirrored values (the same transitivity as the sharded
+    phase-ordered halo exchange, ``parallel/pallas_sharded.py:exchange``).
+    No-op for all-Dirichlet BCs.
     """
     ndim = padded.ndim
     per = bc.periodic_mask(ndim)
+    neu = bc.neumann_mask(ndim)
     for d in range(ndim):
-        if not per[d]:
-            continue
-        _check_periodic_depth(padded.shape, halo, d)
-        idx_lo, idx_hi, src_lo, src_hi = _face_slices(padded.shape, halo, d)
-        padded = padded.at[idx_lo].set(padded[src_lo])
-        padded = padded.at[idx_hi].set(padded[src_hi])
+        if per[d]:
+            _check_dynamic_depth(padded.shape, halo, d, "periodic")
+            idx_lo, idx_hi, src_lo, src_hi = _face_slices(
+                padded.shape, halo, d)
+            padded = padded.at[idx_lo].set(padded[src_lo])
+            padded = padded.at[idx_hi].set(padded[src_hi])
+        elif neu[d]:
+            _check_dynamic_depth(padded.shape, halo, d, "Neumann")
+            idx_lo, idx_hi, _, _ = _face_slices(padded.shape, halo, d)
+            src_lo, src_hi = _mirror_slices(padded.shape, halo, d)
+            padded = padded.at[idx_lo].set(jnp.flip(padded[src_lo], axis=d))
+            padded = padded.at[idx_hi].set(jnp.flip(padded[src_hi], axis=d))
     return padded
 
 
 def fill_halo_np(padded: np.ndarray, halo: int, bc: DirichletBC) -> np.ndarray:
     """NumPy twin of :func:`fill_halo` for the float64 golden model."""
     ndim = padded.ndim
-    per = bc.periodic_mask(ndim)
+    dyn = bc.dynamic_mask(ndim)
     for d in range(ndim):
-        if per[d]:
+        if dyn[d]:
             continue
         lo, hi = bc.values[d]
         idx_lo, idx_hi, _, _ = _face_slices(padded.shape, halo, d)
         padded[idx_lo] = lo
         padded[idx_hi] = hi
-    return refresh_periodic_np(padded, halo, bc)
+    return refresh_dynamic_np(padded, halo, bc)
 
 
-def refresh_periodic_np(padded: np.ndarray, halo: int,
-                        bc: DirichletBC) -> np.ndarray:
-    """NumPy twin of :func:`refresh_periodic` (golden model, per sweep)."""
+def refresh_dynamic_np(padded: np.ndarray, halo: int,
+                       bc: DirichletBC) -> np.ndarray:
+    """NumPy twin of :func:`refresh_dynamic` (golden model, per sweep)."""
     ndim = padded.ndim
     per = bc.periodic_mask(ndim)
+    neu = bc.neumann_mask(ndim)
     for d in range(ndim):
-        if not per[d]:
-            continue
-        _check_periodic_depth(padded.shape, halo, d)
-        idx_lo, idx_hi, src_lo, src_hi = _face_slices(padded.shape, halo, d)
-        padded[idx_lo] = padded[src_lo]
-        padded[idx_hi] = padded[src_hi]
+        if per[d]:
+            _check_dynamic_depth(padded.shape, halo, d, "periodic")
+            idx_lo, idx_hi, src_lo, src_hi = _face_slices(
+                padded.shape, halo, d)
+            padded[idx_lo] = padded[src_lo]
+            padded[idx_hi] = padded[src_hi]
+        elif neu[d]:
+            _check_dynamic_depth(padded.shape, halo, d, "Neumann")
+            idx_lo, idx_hi, _, _ = _face_slices(padded.shape, halo, d)
+            src_lo, src_hi = _mirror_slices(padded.shape, halo, d)
+            padded[idx_lo] = np.flip(padded[src_lo], axis=d)
+            padded[idx_hi] = np.flip(padded[src_hi], axis=d)
     return padded
 
 

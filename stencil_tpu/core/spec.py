@@ -83,6 +83,27 @@ class StencilSpec:
         (temporal blocking)."""
         return self.radius * steps
 
+    def symmetric_in(self, d: int) -> bool:
+        """True if the tap set is mirror-symmetric in dim ``d``: for
+        every tap, the offset with component ``d`` negated exists with
+        the same weight.
+
+        A mirror-symmetric stencil preserves reflection symmetry of the
+        field, which is what makes Neumann (zero-flux) faces compatible
+        with temporal blocking: evolving the mirror-extended field keeps
+        it mirror-extended, so ``k*r``-deep mirrored ghosts stay exact
+        for ``k`` in-kernel sweeps (the same deep-halo argument as the
+        sharded paths' mesh-internal faces). All named specs (star/box
+        Jacobi, high-order Laplacian) are symmetric in every dim."""
+        wmap = {}
+        for off, w in zip(self.offsets, self.weights):
+            wmap[off] = wmap.get(off, 0.0) + w
+        for off, w in wmap.items():
+            m = tuple(-c if i == d else c for i, c in enumerate(off))
+            if wmap.get(m) != w:
+                return False
+        return True
+
     def weight_groups(self) -> Tuple[Tuple[float, Tuple[Offset, ...]], ...]:
         """Taps grouped by weight value, preserving first-seen order.
 

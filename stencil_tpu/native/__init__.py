@@ -84,7 +84,8 @@ def _configure_golden(lib):
         ctypes.POINTER(ctypes.c_double),  # bc
         ctypes.c_int64,                   # iterations
         ctypes.c_int,                     # num_threads
-        ctypes.POINTER(ctypes.c_int32),   # periodic mask (ndim)
+        ctypes.POINTER(ctypes.c_int32),   # BC mode mask (ndim):
+                                          # 0=Dirichlet 1=periodic 2=Neumann
     ]
 
 
@@ -134,6 +135,8 @@ def golden_iterate_native(interior0, spec, iterations, bc=None,
     weights = np.asarray(spec.weights, dtype=np.float64)
     bcv = np.asarray(bc.values, dtype=np.float64).reshape(-1)
     per = np.asarray(bc.periodic_mask(ndim), dtype=np.int32)
+    neu = np.asarray(bc.neumann_mask(ndim), dtype=np.int32)
+    modes = per + 2 * neu  # 0=Dirichlet, 1=periodic, 2=Neumann
 
     def p64(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
@@ -144,7 +147,7 @@ def golden_iterate_native(interior0, spec, iterations, bc=None,
     rc = lib.stencil_golden_iterate(
         p64(x), p64(out), pi64(shape), ndim, pi64(offsets), p64(weights),
         len(spec.weights), spec.radius, p64(bcv), iterations, num_threads,
-        per.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         return None

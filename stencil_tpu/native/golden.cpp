@@ -14,10 +14,12 @@
 //   - ghost cells hold per-dimension Dirichlet face values; faces are
 //     filled in increasing dimension order, so the highest dimension wins
 //     in corner regions (core/grid.py fill order)
-//   - periodic dims (per-dim mask) wrap instead: their ghost slabs are
-//     re-copied from the opposite interior band after EVERY sweep, in
-//     increasing dim order spanning the full extent of the other dims
-//     (core/grid.py refresh_periodic / refresh_periodic_np)
+//   - dynamic dims (per-dim mode mask: 0=Dirichlet, 1=periodic,
+//     2=Neumann) refresh instead: periodic ghost slabs are re-copied
+//     from the opposite interior band, Neumann ghost slabs mirror the
+//     face-adjacent interior band (zero-flux reflection), after EVERY
+//     sweep, in increasing dim order spanning the full extent of the
+//     other dims (core/grid.py refresh_dynamic / refresh_dynamic_np)
 //   - each sweep: out[p] = sum_k w_k * in[p + off_k] over the interior,
 //     accumulated in tap order; uniform-weight specs accumulate the taps
 //     first and apply a single final multiply (reference arithmetic,
@@ -54,37 +56,47 @@ Geometry make_geometry(const int64_t* shape, int ndim, int radius) {
   return g;
 }
 
-// Wrap-copy the ghost slabs of periodic dims from the opposite interior
-// bands: increasing dim order, full extent of the other dims (so corner
-// regions become the doubly-wrapped values transitively). Runs after
-// every sweep — ghosts must hold the CURRENT iterate's wrapped rows.
-void wrap_fill(double* buf, const Geometry& g, const int32_t* periodic) {
-  if (!periodic) return;
+// Refresh the ghost slabs of dynamic dims: periodic (mode 1) wrap-copies
+// from the opposite interior bands, Neumann (mode 2) mirror-copies the
+// face-adjacent interior bands (ghost layer j = interior layer j-1,
+// symmetric reflection). Increasing dim order, full extent of the other
+// dims (so corner regions become the doubly-wrapped/mirrored values
+// transitively). Runs after every sweep — ghosts must hold data derived
+// from the CURRENT iterate.
+void dynamic_fill(double* buf, const Geometry& g, const int32_t* modes) {
+  if (!modes) return;
   const int r = g.radius;
   for (int d = 0; d < g.ndim; ++d) {
-    if (!periodic[d]) continue;
+    if (!modes[d]) continue;
     const int64_t n = g.interior[d];
     const int64_t inner = g.stride[d];           // contiguous run length
     const int64_t span = g.padded[d] * inner;    // dim-d block size
     const int64_t outer = g.padded_size / span;
+    const bool mirror = modes[d] == 2;
     for (int64_t o = 0; o < outer; ++o) {
       for (int64_t gd = 0; gd < r; ++gd) {
         double* lo_dst = buf + o * span + gd * inner;
-        std::memcpy(lo_dst, lo_dst + n * inner, inner * sizeof(double));
+        const double* lo_src = mirror
+            ? buf + o * span + (2 * r - 1 - gd) * inner
+            : lo_dst + n * inner;
+        std::memcpy(lo_dst, lo_src, inner * sizeof(double));
         double* hi_dst = buf + o * span + (n + r + gd) * inner;
-        std::memcpy(hi_dst, hi_dst - n * inner, inner * sizeof(double));
+        const double* hi_src = mirror
+            ? buf + o * span + (n + r - 1 - gd) * inner
+            : hi_dst - n * inner;
+        std::memcpy(hi_dst, hi_src, inner * sizeof(double));
       }
     }
   }
 }
 
-// Fill ghost faces of non-periodic dims: increasing dim order, later
+// Fill ghost faces of non-dynamic dims: increasing dim order, later
 // dims overwrite corners.
 void fill_bc(double* buf, const Geometry& g, const double* bc /* ndim*2 */,
-             const int32_t* periodic) {
+             const int32_t* modes) {
   const int r = g.radius;
   for (int d = 0; d < g.ndim; ++d) {
-    if (periodic && periodic[d]) continue;
+    if (modes && modes[d]) continue;
     const double lo = bc[2 * d], hi = bc[2 * d + 1];
     // iterate all padded indices with index[d] < r (lo) or >= padded-r (hi)
     std::vector<int64_t> idx(g.ndim, 0);
@@ -155,18 +167,19 @@ void sweep_range(const double* in, double* out, const Geometry& g,
 extern "C" {
 
 // Returns 0 on success. `input`/`output` are interior-shaped (C order,
-// float64). bc is ndim pairs (lo, hi). `periodic` is an ndim 0/1 mask
-// (NULL = all Dirichlet); periodic dims need interior extent >= radius.
+// float64). bc is ndim pairs (lo, hi). `modes` is an ndim per-dim BC
+// mode mask: 0 = Dirichlet, 1 = periodic (wrap), 2 = Neumann (mirror);
+// NULL = all Dirichlet. Dynamic dims need interior extent >= radius.
 int stencil_golden_iterate(const double* input, double* output,
                            const int64_t* shape, int ndim,
                            const int64_t* offsets /* num_taps * ndim */,
                            const double* weights, int num_taps,
                            int radius, const double* bc, int64_t iterations,
-                           int num_threads, const int32_t* periodic) {
+                           int num_threads, const int32_t* modes) {
   if (ndim != 2 && ndim != 3) return 1;
-  if (periodic)
+  if (modes)
     for (int d = 0; d < ndim; ++d)
-      if (periodic[d] && shape[d] < radius) return 2;
+      if (modes[d] && shape[d] < radius) return 2;
   Geometry g = make_geometry(shape, ndim, radius);
 
   // flat tap offsets in padded coordinates
@@ -182,8 +195,8 @@ int stencil_golden_iterate(const double* input, double* output,
   const double uw = weights[0];
 
   std::vector<double> a(g.padded_size, 0.0), b(g.padded_size, 0.0);
-  fill_bc(a.data(), g, bc, periodic);
-  fill_bc(b.data(), g, bc, periodic);
+  fill_bc(a.data(), g, bc, modes);
+  fill_bc(b.data(), g, bc, modes);
 
   // embed interior into a
   {
@@ -211,7 +224,7 @@ int stencil_golden_iterate(const double* input, double* output,
   num_threads = static_cast<int>(
       std::min<int64_t>(num_threads, lead));
 
-  wrap_fill(cur, g, periodic);  // seed the periodic ghosts of sweep 1
+  dynamic_fill(cur, g, modes);  // seed the dynamic ghosts of sweep 1
   for (int64_t it = 0; it < iterations; ++it) {
     if (num_threads == 1 || lead < 16) {
       sweep_range(cur, nxt, g, tap_flat.data(), weights, num_taps, uniform,
@@ -230,7 +243,7 @@ int stencil_golden_iterate(const double* input, double* output,
       for (auto& th : pool) th.join();
     }
     std::swap(cur, nxt);
-    wrap_fill(cur, g, periodic);  // ghosts now wrap the NEW iterate
+    dynamic_fill(cur, g, modes);  // ghosts now reflect the NEW iterate
   }
 
   // extract interior

@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from stencil_tpu.core.grid import (
-    DirichletBC, fill_halo_np, refresh_periodic_np,
+    DirichletBC, fill_halo_np, refresh_dynamic_np,
 )
 from stencil_tpu.core.spec import StencilSpec
 
@@ -68,9 +68,10 @@ def golden_iterate(
     idx = tuple(slice(r, s - r) for s in padded.shape)
     for _ in range(iterations):
         padded[idx] = golden_sweep(padded, spec)
-        if bc.any_periodic:
-            # periodic ghosts hold the *current* iterate's wrapped rows
-            refresh_periodic_np(padded, r, bc)
+        if bc.any_dynamic:
+            # dynamic ghosts (periodic wraps, Neumann mirrors) hold data
+            # derived from the *current* iterate
+            refresh_dynamic_np(padded, r, bc)
     return padded[idx]
 
 

@@ -125,30 +125,34 @@ class PaddedLayout:
         return self.pad(grid.interior(), grid.bc)
 
 
-def refresh_periodic_layout(padded: jax.Array, layout: PaddedLayout,
-                            bc: DirichletBC, radius: int) -> jax.Array:
-    """Wrap-refresh rings ``1..radius`` of the periodic dims of a
-    ``PaddedLayout`` buffer (pass ``radius = k*r`` to seed the full
-    temporal ghost depth for a ``sweeps_per_call=k`` kernel call).
+def refresh_dynamic_layout(padded: jax.Array, layout: PaddedLayout,
+                           bc: DirichletBC, radius: int) -> jax.Array:
+    """Refresh rings ``1..radius`` of the dynamic dims of a
+    ``PaddedLayout`` buffer — wrap-around copies for periodic dims,
+    mirror (symmetric) copies for Neumann dims (pass ``radius = k*r`` to
+    seed the full temporal ghost depth for a ``sweeps_per_call=k``
+    kernel call).
 
     The layout's pads are deeper than ``radius`` wherever alignment
     demands (sublane/lane rounding); the extra rings keep their face
     values — taps never read beyond the refreshed depth. Dims are
     processed in increasing order over the FULL extent of the other dims,
-    so corner ghosts become the doubly-wrapped values transitively and
-    Dirichlet-dim face values are carried through the wrap — the same
-    corner semantics as :func:`stencil_tpu.core.grid.refresh_periodic`
-    and both golden models.
+    so corner ghosts become the doubly-wrapped/mirrored values
+    transitively and Dirichlet-dim face values are carried through —
+    the same corner semantics as
+    :func:`stencil_tpu.core.grid.refresh_dynamic` and both golden models.
     """
     ndim = layout.ndim
     per = bc.periodic_mask(ndim)
+    neu = bc.neumann_mask(ndim)
     for d in range(ndim):
-        if not per[d]:
+        if not (per[d] or neu[d]):
             continue
+        kind = "periodic" if per[d] else "Neumann"
         n = layout.interior_shape[d]
         if n < radius:
             raise ValueError(
-                f"periodic dim {d} needs interior extent >= radius "
+                f"{kind} dim {d} needs interior extent >= radius "
                 f"({n} < {radius})"
             )
         lo = layout.pads[d][0]
@@ -158,10 +162,18 @@ def refresh_periodic_layout(padded: jax.Array, layout: PaddedLayout,
                 sl if i == d else slice(None) for i in range(ndim)
             )
 
-        ghost_lo, src_lo = at(slice(lo - radius, lo)), \
-            at(slice(lo + n - radius, lo + n))
-        ghost_hi, src_hi = at(slice(lo + n, lo + n + radius)), \
-            at(slice(lo, lo + radius))
-        padded = padded.at[ghost_lo].set(padded[src_lo])
-        padded = padded.at[ghost_hi].set(padded[src_hi])
+        ghost_lo = at(slice(lo - radius, lo))
+        ghost_hi = at(slice(lo + n, lo + n + radius))
+        if per[d]:
+            src_lo = at(slice(lo + n - radius, lo + n))
+            src_hi = at(slice(lo, lo + radius))
+            padded = padded.at[ghost_lo].set(padded[src_lo])
+            padded = padded.at[ghost_hi].set(padded[src_hi])
+        else:
+            src_lo = at(slice(lo, lo + radius))
+            src_hi = at(slice(lo + n - radius, lo + n))
+            padded = padded.at[ghost_lo].set(
+                jnp.flip(padded[src_lo], axis=d))
+            padded = padded.at[ghost_hi].set(
+                jnp.flip(padded[src_hi], axis=d))
     return padded

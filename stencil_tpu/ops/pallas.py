@@ -699,25 +699,26 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
     adds a ~0.3 s fixed cost per call that dwarfs the kernel itself.
     """
     from stencil_tpu.core.grid import fill_halo
-    from stencil_tpu.ops.layout import refresh_periodic_layout
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
 
     sweep = _cached_sweep(plan, bc, interpret)
     depth = plan.layout.halo  # k*r: seed the full temporal ghost depth
-    per = bc.periodic_mask(2)
-    # lead-dim pins off on a periodic d0: the deep wrap refresh between
-    # kernel calls seeds k*r ghost rows, so the kernel treats the faces
-    # like mesh-internal ones (same mechanism as the sharded path)
-    pins = np.asarray([0 if per[0] else 1] * 2, np.int32)
+    dyn = bc.dynamic_mask(2)
+    # lead-dim pins off on a dynamic (periodic/Neumann) d0: the deep
+    # refresh between kernel calls seeds k*r ghost rows, so the kernel
+    # treats the faces like mesh-internal ones (same mechanism as the
+    # sharded path)
+    pins = np.asarray([0 if dyn[0] else 1] * 2, np.int32)
 
     @jax.jit
     def run(data, n_outer):
         h = grid_halo
         idx = tuple(slice(h, s - h) for s in data.shape)
         cur = plan.layout.pad(data[idx], bc)
-        if bc.any_periodic:
-            # periodic ghosts must hold the current iterate's wrapped
-            # rows (re-refreshed after every kernel call below)
-            cur = refresh_periodic_layout(cur, plan.layout, bc, depth)
+        if bc.any_dynamic:
+            # dynamic ghosts must hold the current iterate's wrapped /
+            # mirrored rows (re-refreshed after every kernel call below)
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
         # distinct output buffer for the aliased kernel write; XLA's
         # copy-removal is aliasing-aware and must keep this copy because
         # cur is still read by the first sweep
@@ -725,9 +726,9 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
 
         def body(_, carry):
             c, n = carry
-            if bc.any_periodic:
+            if bc.any_dynamic:
                 out = sweep(c, n, jnp.asarray(pins))
-                out = refresh_periodic_layout(out, plan.layout, bc, depth)
+                out = refresh_dynamic_layout(out, plan.layout, bc, depth)
             else:
                 out = sweep(c, n)
             return (out, c)
@@ -789,26 +790,35 @@ class PallasStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype "
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "PallasStencil")
-        if grid.bc.any_periodic:
-            # a periodic LEAD dim runs at any temporal depth (deep wrap
-            # refresh between kernel calls + lead pins off); a periodic
-            # LANE dim needs k=1 + the ghost-reading slice mode
-            # (synth/rotacc synthesize the lane boundary in-register,
-            # and the in-VMEM virtual sweeps cannot see the opposite
-            # lane face mid-call)
-            per = grid.bc.periodic_mask(2)
+        if grid.bc.any_dynamic:
+            # a dynamic (periodic/Neumann) LEAD dim runs at any temporal
+            # depth (deep refresh between kernel calls + lead pins off;
+            # Neumann additionally needs the spec mirror-symmetric in
+            # d0 at k>1, so the sweep preserves the mirror extension);
+            # a dynamic LANE dim needs k=1 + the ghost-reading slice
+            # mode (synth/rotacc synthesize the lane boundary
+            # in-register, and the in-VMEM virtual sweeps cannot see
+            # the lane face mid-call)
+            dyn = grid.bc.dynamic_mask(2)
+            neu = grid.bc.neumann_mask(2)
             problems = []
-            if per[1] and self.plan.sweeps_per_call != 1:
+            if dyn[1] and self.plan.sweeps_per_call != 1:
                 problems.append(
-                    "a periodic lane (last) dim needs sweeps_per_call=1 "
-                    "(use -k 1)")
-            if per[1] and self.plan.tap_mode != "slice":
+                    "a periodic/Neumann lane (last) dim needs "
+                    "sweeps_per_call=1 (use -k 1)")
+            if dyn[1] and self.plan.tap_mode != "slice":
                 problems.append(
-                    f"a periodic lane (last) dim needs the slice tap "
-                    f"mode, not {self.plan.tap_mode!r}")
+                    f"a periodic/Neumann lane (last) dim needs the "
+                    f"slice tap mode, not {self.plan.tap_mode!r}")
+            if (neu[0] and self.plan.sweeps_per_call > 1
+                    and not self.spec.symmetric_in(0)):
+                problems.append(
+                    "a Neumann dim 0 at sweeps_per_call>1 needs the "
+                    "stencil mirror-symmetric in dim 0 (use -k 1 for "
+                    "asymmetric taps)")
             if problems:
                 raise ValueError(
-                    "periodic BCs on the 2D slab Pallas kernel: "
+                    "periodic/Neumann BCs on the 2D slab Pallas kernel: "
                     + "; ".join(problems)
                 )
         k = self.plan.sweeps_per_call

@@ -1275,18 +1275,20 @@ def _cached_tiled_runner(plan: TiledPlan, bc: DirichletBC, interpret: bool):
     return run
 
 
-def _periodic_pins(bc: DirichletBC, ndim: int = 3):
-    """The kernel ``pins`` vector for a BC: 0 on periodic d0/d1 faces.
+def _dynamic_pins(bc: DirichletBC, ndim: int = 3):
+    """The kernel ``pins`` vector for a BC: 0 on dynamic (periodic or
+    Neumann) d0/d1 faces.
 
     The pins mechanism exists for faces whose deep ghosts hold VALID
-    remote data (the sharded paths' mesh-internal faces) — a periodic
-    face is exactly that, with "remote" = the grid's own opposite face:
-    the deep wrap refresh between kernel calls seeds ``k*r`` ghost
+    remote data (the sharded paths' mesh-internal faces) — a dynamic
+    face is exactly that, with "remote" = the grid's own opposite face
+    (periodic wrap) or the face-adjacent interior reflected (Neumann
+    mirror): the deep refresh between kernel calls seeds ``k*r`` ghost
     layers, and the kernel's shrinking-window recompute then treats the
     face like a mesh-internal one (no Dirichlet re-pinning)."""
-    per = bc.periodic_mask(ndim)
-    p0 = 0 if per[0] else 1
-    p1 = 0 if (ndim > 2 and per[1]) else 1
+    dyn = bc.dynamic_mask(ndim)
+    p0 = 0 if dyn[0] else 1
+    p1 = 0 if (ndim > 2 and dyn[1]) else 1
     return np.asarray([p0, p0, p1, p1], np.int32)
 
 
@@ -1296,36 +1298,38 @@ def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
     """End-to-end jitted iterate (single dispatch per call) — see
     ops.pallas._cached_iterate for why the pad/unpad must live inside.
 
-    Periodic dims (``bc.periodic``): their ghost layers must hold the
-    CURRENT iterate's wrapped rows, so the loop body wrap-refreshes the
-    padded buffer to the full temporal depth ``k*r`` after every kernel
-    call, and the kernel runs with Dirichlet pinning disabled on the
-    periodic d0/d1 faces (``_periodic_pins``) — the same treatment the
-    sharded paths give mesh-internal faces. A periodic LANE dim is the
-    one case that needs ``k=1`` + a ghost-reading tap mode (the in-VMEM
-    virtual sweeps cannot see the opposite lane face mid-call) — gated
-    in ``TiledPallasStencil.iterate``."""
+    Dynamic dims (``bc.periodic``/``bc.neumann``): their ghost layers
+    must hold data derived from the CURRENT iterate (wrapped rows /
+    mirrored rows), so the loop body refreshes the padded buffer to the
+    full temporal depth ``k*r`` after every kernel call, and the kernel
+    runs with Dirichlet pinning disabled on the dynamic d0/d1 faces
+    (``_dynamic_pins``) — the same treatment the sharded paths give
+    mesh-internal faces. A dynamic LANE dim is the one case that needs
+    ``k=1`` + a ghost-reading tap mode (the in-VMEM virtual sweeps
+    cannot see the lane face mid-call); Neumann dims additionally need
+    the spec mirror-symmetric in that dim at ``k>1`` — both gated in
+    ``TiledPallasStencil.iterate``."""
     from stencil_tpu.core.grid import fill_halo
-    from stencil_tpu.ops.layout import refresh_periodic_layout
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
 
     sweep = _cached_tiled_sweep(plan, bc, interpret)
     depth = plan.layout.halo  # k*r: seed the full temporal ghost depth
-    pins = _periodic_pins(bc) if bc.any_periodic else None
+    pins = _dynamic_pins(bc) if bc.any_dynamic else None
 
     @jax.jit
     def run(data, n_outer):
         h = grid_halo
         idx = tuple(slice(h, s - h) for s in data.shape)
         cur = plan.layout.pad(data[idx], bc)
-        if bc.any_periodic:
-            cur = refresh_periodic_layout(cur, plan.layout, bc, depth)
+        if bc.any_dynamic:
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
         nxt = jnp.copy(cur)
 
         def body(_, carry):
             c, n = carry
-            if bc.any_periodic:
+            if bc.any_dynamic:
                 out = sweep(c, n, jnp.asarray(pins))
-                out = refresh_periodic_layout(out, plan.layout, bc, depth)
+                out = refresh_dynamic_layout(out, plan.layout, bc, depth)
             else:
                 out = sweep(c, n)
             return (out, c)
@@ -1371,33 +1375,45 @@ class TiledPallasStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype "
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "TiledPallasStencil")
-        if grid.bc.any_periodic:
-            # periodic d0/d1 run at ANY temporal depth and tap mode: the
-            # deep wrap refresh between kernel calls seeds k*r ghost
-            # layers and _periodic_pins disables Dirichlet re-pinning on
-            # those faces (synth/rotacc only synthesize the d2 LANE
-            # boundary, so they stay legal). A periodic LANE dim is the
-            # one case needing k=1 + a ghost-reading tap mode: the
-            # in-VMEM virtual sweeps cannot see the opposite lane face
+        if grid.bc.any_dynamic:
+            # dynamic (periodic/Neumann) d0/d1 run at ANY temporal depth
+            # and tap mode: the deep refresh between kernel calls seeds
+            # k*r ghost layers and _dynamic_pins disables Dirichlet
+            # re-pinning on those faces (synth/rotacc only synthesize
+            # the d2 LANE boundary, so they stay legal). A dynamic LANE
+            # dim is the one case needing k=1 + a ghost-reading tap
+            # mode: the in-VMEM virtual sweeps cannot see the lane face
             # mid-call, and synth modes carry no lane ghosts at all.
-            per = grid.bc.periodic_mask(3)
+            # Neumann leading dims additionally need the spec
+            # mirror-symmetric in that dim at k>1: only then does the
+            # sweep preserve the mirror extension the deep ghosts seed.
+            dyn = grid.bc.dynamic_mask(3)
+            neu = grid.bc.neumann_mask(3)
             problems = []
-            if per[2] and self.plan.sweeps_per_call != 1:
+            if dyn[2] and self.plan.sweeps_per_call != 1:
                 problems.append(
-                    "a periodic lane (last) dim needs sweeps_per_call=1 "
-                    "(use -k 1)")
-            if per[2] and self.plan.tap_mode not in ("slice", "roll"):
+                    "a periodic/Neumann lane (last) dim needs "
+                    "sweeps_per_call=1 (use -k 1)")
+            if dyn[2] and self.plan.tap_mode not in ("slice", "roll"):
                 problems.append(
-                    f"a periodic lane (last) dim needs a ghost-reading "
-                    f"tap mode, not {self.plan.tap_mode!r} (use slice "
-                    "or roll)")
+                    f"a periodic/Neumann lane (last) dim needs a "
+                    f"ghost-reading tap mode, not {self.plan.tap_mode!r} "
+                    "(use slice or roll)")
+            if self.plan.sweeps_per_call > 1:
+                for d in (0, 1):
+                    if neu[d] and not self.spec.symmetric_in(d):
+                        problems.append(
+                            f"a Neumann dim {d} at sweeps_per_call>1 "
+                            f"needs the stencil mirror-symmetric in dim "
+                            f"{d} (use -k 1 for asymmetric taps)")
             if self.plan.embed:
                 problems.append("embed-and-pin is Dirichlet-only")
             if self.plan.slide:
-                problems.append("slide is not supported with periodic")
+                problems.append(
+                    "slide is not supported with periodic/Neumann")
             if problems:
                 raise ValueError(
-                    "periodic BCs on the tiled Pallas kernel: "
+                    "periodic/Neumann BCs on the tiled Pallas kernel: "
                     + "; ".join(problems)
                 )
         k = self.plan.sweeps_per_call

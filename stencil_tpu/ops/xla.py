@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from stencil_tpu.core.grid import HaloGrid, refresh_periodic
+from stencil_tpu.core.grid import HaloGrid, refresh_dynamic
 from stencil_tpu.core.spec import StencilSpec
 
 
@@ -54,13 +54,14 @@ def sweep(grid: HaloGrid, spec: StencilSpec) -> HaloGrid:
     """One full sweep: new interior computed, BC ring preserved.
 
     Dirichlet ghosts are constants and survive ``with_interior``
-    untouched; periodic ghosts must be wrap-refreshed from the new
-    interior (XLA fuses the small edge copies into the sweep)."""
+    untouched; dynamic ghosts (periodic wraps, Neumann mirrors) must be
+    refreshed from the new interior (XLA fuses the small edge copies
+    into the sweep)."""
     new_interior = apply_spec(grid.data, spec, halo=grid.halo)
     out = grid.with_interior(new_interior)
-    if grid.bc.any_periodic:
+    if grid.bc.any_dynamic:
         out = HaloGrid(
-            data=refresh_periodic(out.data, out.halo, out.bc),
+            data=refresh_dynamic(out.data, out.halo, out.bc),
             halo=out.halo, bc=out.bc,
         )
     return out

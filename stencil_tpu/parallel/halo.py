@@ -32,7 +32,11 @@ of the same machinery: a periodic SHARDED dim replaces the open
 permutation chain with the circular one (``(i, (i±1) % n)``) — the ring
 topology ``ppermute`` natively expresses and ICI torus links physically
 provide — and drops the mesh-edge BC synthesis; a periodic unsharded dim
-uses the block's own opposite-edge strips as ghosts.
+uses the block's own opposite-edge strips as ghosts. Neumann dims
+(``bc.neumann``, zero-flux mirror) keep the OPEN chain: mesh-edge
+devices synthesize their ghosts by mirroring their own edge strips — a
+purely local operation, exactly like Dirichlet synthesis but
+data-dependent; unsharded Neumann dims mirror in place.
 
 ``overlap=True`` splits each sweep into an interior region that depends only
 on local data and a boundary band that waits on the received halos, giving
@@ -105,15 +109,19 @@ def _dim_halos(
     bc_lo: float,
     bc_hi: float,
     periodic: bool = False,
+    neumann: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ghost layers (lo_halo, hi_halo), each r thick along ``dim``.
 
     If ``axis_name`` is None the dim is not sharded: ghosts are the BC
-    faces — or, for a periodic dim, the block's own opposite-edge strips.
-    Otherwise edge strips are pushed to mesh neighbors with ppermute (push
-    model, like the reference's rma_iput): Dirichlet dims use an open
-    permutation chain and mesh-edge devices synthesize the BC locally
-    (``generate_boundary`` analog); periodic dims use the CIRCULAR
+    faces — or, for a periodic dim, the block's own opposite-edge
+    strips; for a Neumann dim, the block's own edge strips MIRRORED
+    (zero-flux reflection). Otherwise edge strips are pushed to mesh
+    neighbors with ppermute (push model, like the reference's rma_iput):
+    Dirichlet dims use an open permutation chain and mesh-edge devices
+    synthesize the BC locally (``generate_boundary`` analog) — Neumann
+    mesh-edge devices mirror their OWN edge strips, a purely local
+    synthesis like Dirichlet's; periodic dims use the CIRCULAR
     permutation — the wrap-around IS the ring topology ppermute natively
     expresses (and ICI torus links physically provide), so the periodic
     capability costs nothing extra on the wire.
@@ -129,6 +137,8 @@ def _dim_halos(
     if axis_name is None:
         if periodic:
             return hi_strip, lo_strip
+        if neumann:
+            return jnp.flip(lo_strip, axis=dim), jnp.flip(hi_strip, axis=dim)
         return face(bc_lo), face(bc_hi)
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -148,8 +158,13 @@ def _dim_halos(
     lo_halo = lax.ppermute(
         hi_strip, axis_name, [(i, i + 1) for i in range(n - 1)]
     )
-    lo_halo = jnp.where(idx == 0, face(bc_lo), lo_halo)
-    hi_halo = jnp.where(idx == n - 1, face(bc_hi), hi_halo)
+    if neumann:
+        lo_halo = jnp.where(idx == 0, jnp.flip(lo_strip, axis=dim), lo_halo)
+        hi_halo = jnp.where(idx == n - 1, jnp.flip(hi_strip, axis=dim),
+                            hi_halo)
+    else:
+        lo_halo = jnp.where(idx == 0, face(bc_lo), lo_halo)
+        hi_halo = jnp.where(idx == n - 1, face(bc_hi), hi_halo)
     return lo_halo, hi_halo
 
 
@@ -161,10 +176,11 @@ def _exchange_dim(
     bc_lo: float,
     bc_hi: float,
     periodic: bool = False,
+    neumann: bool = False,
 ) -> jax.Array:
     """Extend ``x`` by r ghost layers on both sides of ``dim``."""
     lo_halo, hi_halo = _dim_halos(x, dim, axis_name, r, bc_lo, bc_hi,
-                                  periodic)
+                                  periodic, neumann)
     return jnp.concatenate([lo_halo, x, hi_halo], axis=dim)
 
 
@@ -190,12 +206,13 @@ class ShardedStencil:
         r = self.spec.radius
         n0 = block.shape[0]
         per = bc.periodic_mask(self.spec.ndim)
+        neu = bc.neumann_mask(self.spec.ndim)
         if not self.overlap or self.axis_names[0] is None or n0 < 4 * r:
             ext = block
             for d in range(self.spec.ndim):
                 lo, hi = bc.values[d]
                 ext = _exchange_dim(ext, d, self.axis_names[d], r, lo, hi,
-                                    per[d])
+                                    per[d], neu[d])
             return apply_spec(ext, self.spec)
 
         # Overlapped variant (interior-first, like stencil_rma.cpp:338-360):
@@ -206,10 +223,10 @@ class ShardedStencil:
         for d in range(1, self.spec.ndim):
             lo, hi = bc.values[d]
             ext1 = _exchange_dim(ext1, d, self.axis_names[d], r, lo, hi,
-                                 per[d])
+                                 per[d], neu[d])
         lo0, hi0 = bc.values[0]
         lo_halo, hi_halo = _dim_halos(
-            ext1, 0, self.axis_names[0], r, lo0, hi0, per[0]
+            ext1, 0, self.axis_names[0], r, lo0, hi0, per[0], neu[0]
         )
         # Corner fix: where THIS device sits on a physical minor boundary,
         # the minor-ghost cells of the dim-0 halos must hold the minor-dim
@@ -218,12 +235,13 @@ class ShardedStencil:
         # interior received correct diagonal data via ppermute and are left
         # untouched.
         for d in range(1, self.spec.ndim):
-            if per[d]:
-                # periodic minor dims need NO corner fix: the dim-0 strips
-                # were cut from ext1 AFTER its periodic minor extension, so
-                # the halos already carry the neighbor's wrapped minor
-                # ghosts — exactly the values the exchange-in-dim-order
-                # (non-overlap) path produces transitively.
+            if per[d] or neu[d]:
+                # dynamic (periodic/Neumann) minor dims need NO corner
+                # fix: the dim-0 strips were cut from ext1 AFTER its
+                # wrapped/mirrored minor extension, so the halos already
+                # carry the neighbor's dynamic minor ghosts — exactly
+                # the values the exchange-in-dim-order (non-overlap)
+                # path produces transitively.
                 continue
             lo_d, hi_d = bc.values[d]
             name = self.axis_names[d]

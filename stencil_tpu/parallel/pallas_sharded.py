@@ -269,6 +269,26 @@ class ShardedPallasStencil:
         ndim = len(plan.interior_shape)
         pad_lo = [plan.layout.pads[d][0] for d in range(nsh)]
         loc = [plan.interior_shape[d] for d in range(nsh)]
+        per = bc.periodic_mask(ndim)
+        neu = bc.neumann_mask(ndim)
+        dyn = bc.dynamic_mask(ndim)
+        # dynamic (periodic/Neumann) dims: SHARDED ones ride the exchange
+        # below (circular permutation / mesh-edge mirror synthesis);
+        # UNSHARDED leading ones are refreshed locally at full temporal
+        # depth from the block's own rows, in increasing-dim order after
+        # the exchange — corners then carry the freshly exchanged ghosts
+        # through the wrap/mirror, matching the golden models' order.
+        # (The lane dim is gated in iterate().)
+        bc_local = None
+        if any(dyn[nsh:ndim - 1]):
+            keep = [d >= nsh for d in range(ndim)]
+            per_l = tuple(p and k_ for p, k_ in zip(per, keep))
+            neu_l = tuple(n_ and k_ for n_, k_ in zip(neu, keep))
+            bc_local = dataclasses.replace(
+                bc,
+                periodic=per_l if any(per_l) else (),
+                neumann=neu_l if any(neu_l) else (),
+            )
 
         def _strip_bounds(d, start_d):
             """(starts, limits) of the kr-deep phase-``d`` strip at
@@ -296,7 +316,11 @@ class ShardedPallasStencil:
             """Refresh the kr-deep sharded-dim ghosts from mesh neighbors
             (push model, ``stencil_rma.cpp:198-255`` analog), one phase
             per sharded dim; mesh-edge devices synthesize the physical BC
-            faces locally."""
+            faces locally — Dirichlet keeps the pad-time constant rows,
+            periodic closes the permutation into the CIRCULAR one the ICI
+            torus natively provides, Neumann mirrors the device's own
+            edge strips (a purely local synthesis, like Dirichlet's but
+            data-dependent)."""
             for d, ax in enumerate(axes):
                 n = lax.axis_size(ax)
                 idx = lax.axis_index(ax)
@@ -311,29 +335,55 @@ class ShardedPallasStencil:
 
                 lo_strip = strip(lo)                 # my low edge rows
                 hi_strip = strip(lo + nd - kr)       # my high edge rows
-                # my low rows -> previous device's high ghosts; my high
-                # rows -> next device's low ghosts
-                hi_ghost = lax.ppermute(
-                    lo_strip, ax, [(i, i - 1) for i in range(1, n)]
-                )
-                lo_ghost = lax.ppermute(
-                    hi_strip, ax, [(i, i + 1) for i in range(n - 1)]
-                )
-                # Mesh-edge devices keep their own ghost rows, which were
-                # BC-filled by PaddedLayout.pad at scatter time and are
-                # never written by the kernel: this preserves the
-                # later-dims-win corner convention (a uniform face fill
-                # would clobber the minor-dim face values in corner
-                # columns, which box stencils read — cf. core.grid
-                # DirichletBC docstring).
-                lo_ghost = jnp.where(idx == 0, strip(lo - kr), lo_ghost)
-                hi_ghost = jnp.where(idx == n - 1, strip(lo + nd), hi_ghost)
+                if per[d]:
+                    # periodic sharded dim: the wrap IS the ring topology
+                    hi_ghost = lax.ppermute(
+                        lo_strip, ax, [(i, (i - 1) % n) for i in range(n)]
+                    )
+                    lo_ghost = lax.ppermute(
+                        hi_strip, ax, [(i, (i + 1) % n) for i in range(n)]
+                    )
+                else:
+                    # my low rows -> previous device's high ghosts; my
+                    # high rows -> next device's low ghosts
+                    hi_ghost = lax.ppermute(
+                        lo_strip, ax, [(i, i - 1) for i in range(1, n)]
+                    )
+                    lo_ghost = lax.ppermute(
+                        hi_strip, ax, [(i, i + 1) for i in range(n - 1)]
+                    )
+                    if neu[d]:
+                        # zero-flux: mesh-edge devices mirror their own
+                        # edge strips (ghost layer j = local layer j-1)
+                        lo_ghost = jnp.where(
+                            idx == 0, jnp.flip(lo_strip, axis=d), lo_ghost)
+                        hi_ghost = jnp.where(
+                            idx == n - 1, jnp.flip(hi_strip, axis=d),
+                            hi_ghost)
+                    else:
+                        # Mesh-edge devices keep their own ghost rows,
+                        # which were BC-filled by PaddedLayout.pad at
+                        # scatter time and are never written by the
+                        # kernel: this preserves the later-dims-win
+                        # corner convention (a uniform face fill would
+                        # clobber the minor-dim face values in corner
+                        # columns, which box stencils read — cf.
+                        # core.grid DirichletBC docstring).
+                        lo_ghost = jnp.where(idx == 0, strip(lo - kr),
+                                             lo_ghost)
+                        hi_ghost = jnp.where(idx == n - 1, strip(lo + nd),
+                                             hi_ghost)
                 st_lo, _ = _strip_bounds(d, lo - kr)
                 st_hi, _ = _strip_bounds(d, lo + nd)
                 padded = lax.dynamic_update_slice(padded, lo_ghost,
                                                   tuple(st_lo))
                 padded = lax.dynamic_update_slice(padded, hi_ghost,
                                                   tuple(st_hi))
+            if bc_local is not None:
+                from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+                padded = refresh_dynamic_layout(padded, plan.layout,
+                                                bc_local, kr)
             return padded
 
         def device_fn(padded, scratch, n_outer):
@@ -341,15 +391,22 @@ class ShardedPallasStencil:
             # layout — the kernel writes into it in place (ping-pong WAR
             # hazard if it aliased ``padded``, cf. PallasStencil.prepare).
             pin_list = []
-            for ax in axes:
+            for d, ax in enumerate(axes):
+                if dyn[d]:
+                    # a dynamic sharded dim has NO physical faces: every
+                    # device's ghosts hold live wrap/mirror data
+                    pin_list += [jnp.int32(0), jnp.int32(0)]
+                    continue
                 n = lax.axis_size(ax)
                 idx = lax.axis_index(ax)
                 pin_list += [(idx == 0).astype(jnp.int32),
                              (idx == n - 1).astype(jnp.int32)]
             if isinstance(plan, TiledPlan) and nsh == 1:
                 # the tiled kernel takes 4 pins (d0lo, d0hi, d1lo, d1hi);
-                # unsharded d1 faces are always physical
-                pin_list += [jnp.int32(1), jnp.int32(1)]
+                # unsharded d1 faces are physical unless d1 is dynamic
+                # (then the local refresh in exchange() feeds them)
+                d1 = jnp.int32(0 if dyn[1] else 1)
+                pin_list += [d1, d1]
             pins = jnp.stack(pin_list)
 
             def body(_, carry):
@@ -435,11 +492,32 @@ class ShardedPallasStencil:
             raise ValueError(
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing ShardedPallasStencil")
-        if grid.bc.any_periodic:
-            raise ValueError(
-                "periodic BCs are not yet supported by the 'sharded_pallas' "
-                "method; use the 'xla' method"
-            )
+        if grid.bc.any_dynamic:
+            # dynamic leading dims are supported: sharded ones ride the
+            # exchange (circular ppermute / mesh-edge mirror), unsharded
+            # ones get a local deep refresh. The LANE dim is the one
+            # unsupported case (its ghosts live in the lane-synthesizing
+            # kernel layout, not the exchange).
+            ndim = grid.ndim
+            dyn = grid.bc.dynamic_mask(ndim)
+            neu = grid.bc.neumann_mask(ndim)
+            problems = []
+            if dyn[-1]:
+                problems.append(
+                    "a periodic/Neumann lane (last) dim is unsupported "
+                    "(use the 'sharded' or 'xla' method)")
+            if self.sweeps_per_call > 1:
+                for d in range(ndim - 1):
+                    if neu[d] and not self.spec.symmetric_in(d):
+                        problems.append(
+                            f"a Neumann dim {d} at temporal depth k>1 "
+                            f"needs the stencil mirror-symmetric in dim "
+                            f"{d} (use sweeps_per_call=1)")
+            if problems:
+                raise ValueError(
+                    "periodic/Neumann BCs on the 'sharded_pallas' "
+                    "method: " + "; ".join(problems)
+                )
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

@@ -682,10 +682,10 @@ class RmaStencil:
             raise ValueError(
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing RmaStencil")
-        if grid.bc.any_periodic:
+        if grid.bc.any_dynamic:
             raise ValueError(
-                "periodic BCs are not yet supported by the 'rma' method; "
-                "use the 'xla' method"
+                "periodic/Neumann BCs are not yet supported by the 'rma' "
+                "method; use the 'sharded' or 'xla' method"
             )
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)

@@ -69,35 +69,49 @@ def make_xla(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
     )
 
 
-def _periodic_kernel_constraints(grid, k, tap_mode, allowed,
-                                 kernel: str):
-    """Validate + default the tap mode for periodic-BC grids on the
-    Pallas kernels.
+def _dynamic_kernel_constraints(grid, spec, k, tap_mode, allowed,
+                                kernel: str):
+    """Validate + default the tap mode for dynamic-BC (periodic/Neumann)
+    grids on the Pallas kernels.
 
-    Periodic LEAD dims (d0, and d1 on the tiled kernel) run at any
-    temporal depth with any tap mode: the kernels seed k*r wrapped ghost
-    layers between calls and disable Dirichlet pinning on those faces
-    (their ``pins`` mechanism). A periodic LANE (last) dim is the one
-    constrained case — the in-VMEM virtual sweeps cannot see the
-    opposite lane face mid-call, and synth/rotacc synthesize the lane
-    boundary — so it needs ``k=1`` plus a ghost-reading tap mode
-    (defaulted to 'slice' when unset). Returns the tap mode to use."""
-    per = grid.bc.periodic_mask(grid.ndim)
-    if not per[-1]:
+    Dynamic LEAD dims (d0, and d1 on the tiled kernel) run at any
+    temporal depth with any tap mode: the kernels seed k*r
+    wrapped/mirrored ghost layers between calls and disable Dirichlet
+    pinning on those faces (their ``pins`` mechanism) — for Neumann dims
+    this needs the stencil mirror-symmetric in that dim at ``k>1`` (only
+    then does a sweep preserve the mirror extension). A dynamic LANE
+    (last) dim is the other constrained case — the in-VMEM virtual
+    sweeps cannot see the lane face mid-call, and synth/rotacc
+    synthesize the lane boundary — so it needs ``k=1`` plus a
+    ghost-reading tap mode (defaulted to 'slice' when unset). Returns
+    the tap mode to use."""
+    neu = grid.bc.neumann_mask(grid.ndim)
+    if k > 1:
+        for d in range(grid.ndim - 1):
+            if neu[d] and not spec.symmetric_in(d):
+                raise ValueError(
+                    f"a Neumann dim {d} on the {kernel} kernel at "
+                    f"temporal depth k={k} needs the stencil "
+                    f"mirror-symmetric in dim {d} (pass -k 1 for "
+                    "asymmetric taps)"
+                )
+    dyn = grid.bc.dynamic_mask(grid.ndim)
+    if not dyn[-1]:
         return tap_mode
     if k != 1:
         raise ValueError(
-            f"a periodic lane (last) dim on the {kernel} kernel needs "
-            "sweeps_per_call=1 (pass -k 1); periodic leading dims run "
-            "at any temporal depth"
+            f"a periodic/Neumann lane (last) dim on the {kernel} kernel "
+            "needs sweeps_per_call=1 (pass -k 1); dynamic leading dims "
+            "run at any temporal depth"
         )
     if tap_mode is None:
         return "slice"
     if tap_mode not in allowed:
         raise ValueError(
-            f"a periodic lane (last) dim on the {kernel} kernel needs a "
-            f"ghost-reading tap mode {sorted(allowed)}, not {tap_mode!r} "
-            "(boundary-synthesizing modes assume Dirichlet faces)"
+            f"a periodic/Neumann lane (last) dim on the {kernel} kernel "
+            f"needs a ghost-reading tap mode {sorted(allowed)}, not "
+            f"{tap_mode!r} (boundary-synthesizing modes assume "
+            "Dirichlet faces)"
         )
     return tap_mode
 
@@ -121,8 +135,9 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
 
         print("# autotune/slide/slots/cores/embed apply to the 3D tiled "
               "kernel; 2D slab path uses pinned defaults", file=sys.stderr)
-    tap_mode = _periodic_kernel_constraints(
-        grid, k, getattr(config, "tap_mode", None), ("slice",), "2D slab"
+    tap_mode = _dynamic_kernel_constraints(
+        grid, spec, k, getattr(config, "tap_mode", None), ("slice",),
+        "2D slab"
     )
     method = PallasStencil(
         spec,
@@ -148,15 +163,15 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
     from stencil_tpu.ops.pallas_tiled import TiledPallasStencil, choose_tiles
 
     tiles = None
-    tap_mode = _periodic_kernel_constraints(
-        grid, k, getattr(config, "tap_mode", None), ("slice", "roll"),
-        "tiled 3D"
+    tap_mode = _dynamic_kernel_constraints(
+        grid, spec, k, getattr(config, "tap_mode", None),
+        ("slice", "roll"), "tiled 3D"
     )
-    if grid.bc.any_periodic:
+    if grid.bc.any_dynamic:
         if config is not None and (config.embed or config.slide):
             raise ValueError(
-                "periodic BCs: --embed pins Dirichlet thick ghosts and "
-                "--slide is unsupported; drop the flag"
+                "periodic/Neumann BCs: --embed pins Dirichlet thick "
+                "ghosts and --slide is unsupported; drop the flag"
             )
     if config is not None and config.block:
         # -b/--block pins the d0 tile size; t1 is chosen within budget
@@ -296,6 +311,24 @@ def make_sharded_pallas(config, spec, grid) -> Runner:
     axes = ("x", "y")[: len(mesh_sizes)]
     mesh = make_mesh(mesh_sizes, axes)
     k = config.temporal if config is not None and config.temporal > 1 else 1
+    if grid.bc.any_dynamic:
+        # same constraints ShardedPallasStencil.iterate enforces, raised
+        # eagerly so the CLI reports 'unavailable' instead of a mid-run
+        # traceback (dynamic LEADING dims are fully supported: sharded
+        # ones ride the exchange, unsharded ones refresh locally)
+        dyn = grid.bc.dynamic_mask(grid.ndim)
+        neu = grid.bc.neumann_mask(grid.ndim)
+        if dyn[-1]:
+            raise ValueError(
+                "a periodic/Neumann lane (last) dim is unsupported by "
+                "'sharded_pallas'; use the 'sharded' or 'xla' method")
+        if k > 1:
+            for d in range(grid.ndim - 1):
+                if neu[d] and not spec.symmetric_in(d):
+                    raise ValueError(
+                        f"a Neumann dim {d} at temporal depth k>1 needs "
+                        f"the stencil mirror-symmetric in dim {d} "
+                        "(use -k 1)")
     method = ShardedPallasStencil(
         spec,
         grid.interior_shape,
@@ -372,18 +405,24 @@ REGISTRY: Dict[str, Callable] = {
     "rma": make_rma,
 }
 
-# methods that accept grids with periodic (wrap-around) BCs — a
-# capability extension beyond the Dirichlet-only reference
-# (stencil.cpp:190-207). The Pallas kernels run periodic LEADING dims at
-# any temporal depth (deep wrap refresh + pins, like the sharded paths'
-# mesh-internal faces); a periodic LANE dim needs k=1 + a ghost-reading
-# tap mode (see _periodic_kernel_constraints). The remaining methods
-# raise the same message from their own iterate() (defense for direct
-# API use); gating here too lets the CLI report '[name] unavailable:
-# ...' instead of a mid-run traceback.
-PERIODIC_METHODS = frozenset({"xla", "pallas", "pallas_temporal",
-                              "pallas_tiled", "sharded",
-                              "sharded_noverlap"})
+# methods that accept grids with dynamic BCs — periodic (wrap-around)
+# and Neumann (zero-flux mirror) dims, capability extensions beyond the
+# Dirichlet-only reference (stencil.cpp:190-207). The Pallas kernels run
+# dynamic LEADING dims at any temporal depth (deep wrap/mirror refresh +
+# pins, like the sharded paths' mesh-internal faces; Neumann needs the
+# spec mirror-symmetric in the dim at k>1); a dynamic LANE dim needs
+# k=1 + a ghost-reading tap mode (see _dynamic_kernel_constraints). The
+# sharded ppermute path and the sharded_pallas production path take
+# periodic as the CIRCULAR permutation and Neumann as local mirror
+# synthesis on mesh-edge devices (sharded_pallas refuses a dynamic LANE
+# dim from its own iterate()). The remaining methods raise the same
+# message from their own iterate() (defense for direct API use); gating
+# here too lets the CLI report '[name] unavailable: ...' instead of a
+# mid-run traceback.
+DYNAMIC_BC_METHODS = frozenset({"xla", "pallas", "pallas_temporal",
+                                "pallas_tiled", "sharded",
+                                "sharded_noverlap", "sharded_pallas"})
+PERIODIC_METHODS = DYNAMIC_BC_METHODS  # historical name
 
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
@@ -393,9 +432,9 @@ def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
         raise KeyError(
             f"unknown method {name!r}; available: {sorted(REGISTRY)}"
         ) from None
-    if grid.bc.any_periodic and name not in PERIODIC_METHODS:
+    if grid.bc.any_dynamic and name not in DYNAMIC_BC_METHODS:
         raise ValueError(
-            f"periodic BCs are not yet supported by the {name!r} method; "
-            f"supported: {sorted(PERIODIC_METHODS)}"
+            f"periodic/Neumann BCs are not yet supported by the {name!r} "
+            f"method; supported: {sorted(DYNAMIC_BC_METHODS)}"
         )
     return factory(config, spec, grid)

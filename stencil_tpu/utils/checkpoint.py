@@ -66,6 +66,7 @@ def save(path: str | Path, grid: HaloGrid, iteration: int,
         "halo": int(grid.halo),
         "bc": [list(v) for v in grid.bc.values],
         "bc_periodic": [bool(p) for p in grid.bc.periodic],
+        "bc_neumann": [bool(p) for p in grid.bc.neumann],
         "dtype": str(grid.dtype),
     }
     interior = np.asarray(grid.interior())
@@ -108,11 +109,14 @@ def load(path: str | Path) -> CheckpointState:
             spec_name=meta["spec_name"],
             bc=DirichletBC(
                 values=tuple(tuple(v) for v in meta["bc"]),
-                # absent in pre-periodic checkpoints -> all-Dirichlet;
+                # absent in older checkpoints -> all-Dirichlet;
                 # normalized to () so it compares equal to default BCs
                 periodic=tuple(
                     bool(p) for p in meta.get("bc_periodic", ())
                 ) if any(meta.get("bc_periodic", ())) else (),
+                neumann=tuple(
+                    bool(p) for p in meta.get("bc_neumann", ())
+                ) if any(meta.get("bc_neumann", ())) else (),
             ),
             halo=meta["halo"],
         )
@@ -168,9 +172,11 @@ class CheckpointedRun:
             if state.bc != grid.bc:
                 raise ValueError(
                     f"checkpoint at {ckpt} has boundary conditions "
-                    f"{state.bc.values} (periodic={state.bc.periodic}), "
+                    f"{state.bc.values} (periodic={state.bc.periodic}, "
+                    f"neumann={state.bc.neumann}), "
                     f"grid has {grid.bc.values} "
-                    f"(periodic={grid.bc.periodic}); "
+                    f"(periodic={grid.bc.periodic}, "
+                    f"neumann={grid.bc.neumann}); "
                     "refusing to resume (use a fresh directory)"
                 )
             grid = state.to_grid(dtype=grid.dtype)

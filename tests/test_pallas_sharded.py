@@ -289,3 +289,149 @@ def test_2d_mesh_bfloat16():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
     )
+
+
+# ---- dynamic (periodic/Neumann) BCs over the mesh -----------------------------
+#
+# Dynamic SHARDED dims ride the exchange: periodic closes the ppermute
+# chain into the circular permutation, Neumann mesh-edge devices mirror
+# their own edge strips. Dynamic UNSHARDED leading dims refresh locally
+# at full temporal depth (after the exchange, so corners carry the fresh
+# ghosts through the wrap/mirror — the golden models' increasing-dim
+# order). Pins are disabled on every dynamic face.
+
+
+def _run_dynamic(spec, shape, bc, iters, k, mesh_sizes, axes,
+                 dtype="float32", seed=31):
+    from stencil_tpu.core.grid import DirichletBC  # noqa: F401
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    mesh = make_mesh(mesh_sizes, axes)
+    x0 = rng.random(shape).astype(np.float32)
+    grid = HaloGrid.from_interior(jnp.asarray(x0).astype(dtype),
+                                  halo=spec.radius, bc=bc)
+    method = ShardedPallasStencil(
+        spec, shape, axis_names=tuple(axes), dtype=dtype,
+        sweeps_per_call=k, interpret=True,
+    )
+    out = method.iterate(grid, iters, mesh)
+    ref = golden.golden_iterate(x0, spec, iters, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), dtype=np.float64), ref,
+        atol=5e-6, rtol=5e-6,
+    )
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_periodic_sharded_dim_1d_mesh(k):
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 2 * k + 1, k,
+                 (4,), ("x",))
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_neumann_sharded_dim_1d_mesh(k):
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_neumann((0,))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 2 * k + 1, k,
+                 (4,), ("x",))
+
+
+def test_periodic_unsharded_d1_1d_mesh():
+    # periodic d1 on a 1D mesh: the LOCAL deep refresh path
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 5, 2,
+                 (4,), ("x",))
+
+
+def test_neumann_unsharded_d1_1d_mesh():
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_neumann((1,))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 5, 2,
+                 (4,), ("x",))
+
+
+def test_mixed_sharded_periodic_local_neumann():
+    # periodic sharded d0 (circular ring) + Neumann unsharded d1 (local
+    # mirror) on one grid, box taps through the corner transitivity
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = (DirichletBC.reference_default(3)
+          .with_periodic((0,)).with_neumann((1,)))
+    _run_dynamic(get_spec("jacobi27"), (16, 12, 20), bc, 4, 2,
+                 (4,), ("x",))
+
+
+def test_periodic_2d_mesh_both_sharded():
+    # both sharded dims periodic over a 4x2 mesh: doubly-circular rings
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 5, 2,
+                 (4, 2), ("x", "y"))
+
+
+def test_neumann_2d_mesh_both_sharded_box():
+    # box stencil: mesh-edge mirror corners through both phases
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(3).with_neumann((0, 1))
+    _run_dynamic(get_spec("jacobi27"), (16, 12, 20), bc, 4, 2,
+                 (4, 2), ("x", "y"))
+
+
+def test_mixed_periodic_neumann_2d_mesh():
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = (DirichletBC.reference_default(3)
+          .with_periodic((0,)).with_neumann((1,)))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 5, 2,
+                 (4, 2), ("x", "y"))
+
+
+def test_periodic_2d_grid_sharded_slab():
+    # the 2D slab kernel under a periodic sharded d0
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(2).with_periodic((0,))
+    _run_dynamic(get_spec("jacobi5"), (64, 40), bc, 6, 2, (4,), ("x",))
+
+
+def test_neumann_2d_grid_sharded_slab():
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = DirichletBC.reference_default(2).with_neumann((0,))
+    _run_dynamic(get_spec("jacobi5"), (64, 40), bc, 6, 2, (4,), ("x",))
+
+
+def test_dynamic_matches_single_device_tiled():
+    # cross-method: sharded periodic result == single-device tiled result
+    from stencil_tpu.core.grid import DirichletBC
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    import jax.numpy as jnp
+
+    spec = get_spec("jacobi7")
+    shape = (16, 12, 20)
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    rng = np.random.default_rng(37)
+    x0 = jnp.asarray(rng.random(shape).astype(np.float32))
+    grid = HaloGrid.from_interior(x0, halo=1, bc=bc)
+    mesh = make_mesh((2, 2), ("x", "y"))
+    sharded = ShardedPallasStencil(
+        spec, shape, axis_names=("x", "y"), sweeps_per_call=2,
+        interpret=True,
+    )
+    single = TiledPallasStencil(spec, shape, sweeps_per_call=2,
+                                interpret=True)
+    a = np.asarray(sharded.iterate(grid, 6, mesh).interior())
+    b = np.asarray(single.iterate(grid, 6).interior())
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-6)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from stencil_tpu.config import RunConfig
 from stencil_tpu.core import spec as S
 from stencil_tpu.core.grid import (
-    DirichletBC, HaloGrid, fill_halo, refresh_periodic,
+    DirichletBC, HaloGrid, fill_halo, refresh_dynamic,
 )
 from stencil_tpu.ops import golden, xla
 from stencil_tpu import registry
@@ -95,9 +95,9 @@ def test_periodic_depth_check():
         fill_halo(jnp.zeros((5, 10)), 2, bc)
 
 
-def test_refresh_periodic_noop_for_dirichlet():
+def test_refresh_dynamic_noop_for_dirichlet():
     padded = fill_halo(jnp.zeros((6, 6)), 1, DirichletBC.reference_default(2))
-    out = refresh_periodic(padded, 1, DirichletBC.reference_default(2))
+    out = refresh_dynamic(padded, 1, DirichletBC.reference_default(2))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(padded))
 
 
@@ -237,16 +237,16 @@ def test_unsupported_methods_gate_cleanly(method):
         registry.get_runner(method, cfg, sp, g)
 
 
-@pytest.mark.parametrize("method", ["sharded_pallas", "rma"])
-def test_mesh_methods_gate_on_lead_periodic_too(method):
-    # the mesh methods' halo exchange assumes Dirichlet outer faces in
-    # every dim — they refuse lead-dim periodic grids as well
+def test_rma_gates_on_lead_periodic_too():
+    # the in-kernel RMA path's halo push assumes Dirichlet outer faces
+    # in every dim — it refuses lead-dim periodic grids as well
+    # (sharded_pallas supports them: circular ppermute, tested below)
     sp = S.jacobi5()
     bc = DirichletBC.reference_default(2).with_periodic((0,))
     g = HaloGrid.create((16, 16), halo=1, bc=bc)
-    cfg = RunConfig(size=(16, 16), iterations=2, methods=(method,))
+    cfg = RunConfig(size=(16, 16), iterations=2, methods=("rma",))
     with pytest.raises(ValueError, match="periodic"):
-        registry.get_runner(method, cfg, sp, g)
+        registry.get_runner("rma", cfg, sp, g)
 
 
 def test_direct_iterate_gates_too():
