@@ -270,6 +270,12 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
     nsh = len(sharded)
     axes = AXIS_NAMES[:nsh]
     pd = tuple(layout.pads[d][0] if d in sharded else 0 for d in range(ndim))
+    # periodic SHARDED dims close the push topology into a ring (the
+    # reference's open 8x8 CPE mesh has no such mode; on TPU the ICI
+    # torus physically provides the wraparound links). has_lo/has_hi
+    # become all-true, which also disables pin()'s physical-face
+    # branches on those dims — periodic dims have no physical faces.
+    per_sh = tuple(bool(bc.periodic_mask(ndim)[d]) for d in sharded)
 
     def region_idx(starts, sizes):
         return tuple(slice(starts[d], starts[d] + sizes[d])
@@ -318,8 +324,21 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
 
         my = [lax.axis_index(a) for a in axes]
         sizes_sh = [lax.axis_size(a) for a in axes]
-        has_lo = [my[i] > 0 for i in range(nsh)]
-        has_hi = [my[i] < sizes_sh[i] - 1 for i in range(nsh)]
+        has_lo = [jnp.bool_(True) if per_sh[i] else my[i] > 0
+                  for i in range(nsh)]
+        has_hi = [jnp.bool_(True) if per_sh[i] else my[i] < sizes_sh[i] - 1
+                  for i in range(nsh)]
+
+        def lo_nbr(i):
+            """Ring-wrapped low neighbor index for periodic dims."""
+            if per_sh[i]:
+                return lax.rem(my[i] - 1 + sizes_sh[i], sizes_sh[i])
+            return my[i] - 1
+
+        def hi_nbr(i):
+            if per_sh[i]:
+                return lax.rem(my[i] + 1, sizes_sh[i])
+            return my[i] + 1
 
         # initial load: the full padded block into every buffer. Ghost
         # cells hold BC face values from HBM (later-dims-win corners);
@@ -341,12 +360,12 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
             @pl.when(has_lo[i])
             def _(i=i):
                 pltpu.semaphore_signal(bsem, inc=1,
-                                       device_id={axes[i]: my[i] - 1})
+                                       device_id={axes[i]: lo_nbr(i)})
 
             @pl.when(has_hi[i])
             def _(i=i):
                 pltpu.semaphore_signal(bsem, inc=1,
-                                       device_id={axes[i]: my[i] + 1})
+                                       device_id={axes[i]: hi_nbr(i)})
 
         pltpu.semaphore_wait(bsem, expected)
 
@@ -376,11 +395,11 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
             if hi_side:
                 src_d = (pp[sd] + nn[sd] - depth, depth)
                 dst_d = (0, depth)
-                nbr = {axes[si]: my[si] + 1}
+                nbr = {axes[si]: hi_nbr(si)}
             else:
                 src_d = (pp[sd], depth)
                 dst_d = (pp[sd] + nn[sd], depth)
-                nbr = {axes[si]: my[si] - 1}
+                nbr = {axes[si]: lo_nbr(si)}
             src_idx = []
             dst_idx = []
             for d in range(ndim):
@@ -683,10 +702,31 @@ class RmaStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing RmaStencil")
         if grid.bc.any_dynamic:
-            raise ValueError(
-                "periodic/Neumann BCs are not yet supported by the 'rma' "
-                "method; use the 'sharded' or 'xla' method"
-            )
+            # periodic SHARDED dims are supported: the push topology
+            # closes into the ring the ICI torus physically provides
+            # (circular neighbor ids; pin() skips those faces since
+            # has_lo/has_hi are all-true). Unsharded dynamic dims would
+            # need per-sweep local ghost refreshes inside the
+            # VMEM-resident kernel, and Neumann would need in-kernel
+            # mirror synthesis — both gated.
+            nsh = len(mesh.axis_names)
+            per = grid.bc.periodic_mask(grid.ndim)
+            neu = grid.bc.neumann_mask(grid.ndim)
+            problems = []
+            if any(neu):
+                problems.append(
+                    "Neumann dims are unsupported (use 'sharded_pallas', "
+                    "'sharded' or 'xla')")
+            bad = [d for d in range(grid.ndim) if per[d] and d >= nsh]
+            if bad:
+                problems.append(
+                    f"periodic dim(s) {bad} are not sharded by the "
+                    f"{nsh}D mesh; 'rma' supports periodic on SHARDED "
+                    "dims only (shard them or use 'sharded_pallas')")
+            if problems:
+                raise ValueError(
+                    "periodic/Neumann BCs on the 'rma' method: "
+                    + "; ".join(problems))
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data

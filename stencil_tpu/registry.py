@@ -375,6 +375,22 @@ def make_rma(config, spec, grid) -> Runner:
     axes = ("x", "y")[: len(mesh_sizes)]
     mesh = make_mesh(mesh_sizes, axes)
     k = config.temporal if config is not None and config.temporal > 1 else 1
+    if grid.bc.any_dynamic:
+        # same constraints RmaStencil.iterate enforces, raised eagerly so
+        # the CLI reports 'unavailable' instead of a mid-run traceback:
+        # periodic is supported on SHARDED dims only (ring push topology)
+        per = grid.bc.periodic_mask(grid.ndim)
+        if grid.bc.any_neumann:
+            raise ValueError(
+                "Neumann dims are unsupported by 'rma' (use "
+                "'sharded_pallas', 'sharded' or 'xla')")
+        bad = [d for d in range(grid.ndim)
+               if per[d] and d >= len(mesh_sizes)]
+        if bad:
+            raise ValueError(
+                f"periodic dim(s) {bad} are not sharded by the "
+                f"{len(mesh_sizes)}D mesh; 'rma' supports periodic on "
+                "SHARDED dims only (shard them or use 'sharded_pallas')")
     method = RmaStencil(
         spec,
         grid.interior_shape,
@@ -421,7 +437,8 @@ REGISTRY: Dict[str, Callable] = {
 # mid-run traceback.
 DYNAMIC_BC_METHODS = frozenset({"xla", "pallas", "pallas_temporal",
                                 "pallas_tiled", "sharded",
-                                "sharded_noverlap", "sharded_pallas"})
+                                "sharded_noverlap", "sharded_pallas",
+                                "rma"})
 PERIODIC_METHODS = DYNAMIC_BC_METHODS  # historical name
 
 

@@ -237,15 +237,16 @@ def test_unsupported_methods_gate_cleanly(method):
         registry.get_runner(method, cfg, sp, g)
 
 
-def test_rma_gates_on_lead_periodic_too():
-    # the in-kernel RMA path's halo push assumes Dirichlet outer faces
-    # in every dim — it refuses lead-dim periodic grids as well
-    # (sharded_pallas supports them: circular ppermute, tested below)
-    sp = S.jacobi5()
-    bc = DirichletBC.reference_default(2).with_periodic((0,))
-    g = HaloGrid.create((16, 16), halo=1, bc=bc)
-    cfg = RunConfig(size=(16, 16), iterations=2, methods=("rma",))
-    with pytest.raises(ValueError, match="periodic"):
+def test_rma_gates_on_unsharded_periodic():
+    # the in-kernel RMA path supports periodic on SHARDED dims only (the
+    # ring push topology, tests/test_rma.py); an unsharded periodic dim
+    # must be refused eagerly with guidance
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    g = HaloGrid.create((16, 16, 16), halo=1, bc=bc)
+    cfg = RunConfig(size=(16, 16, 16), spec="jacobi7", iterations=2,
+                    methods=("rma",), mesh=(2,))
+    with pytest.raises(ValueError, match="SHARDED dims only"):
         registry.get_runner("rma", cfg, sp, g)
 
 

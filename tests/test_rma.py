@@ -241,3 +241,75 @@ def test_bf16_rma():
     np.testing.assert_allclose(
         np.asarray(out.interior(), np.float64), ref, atol=3e-2, rtol=3e-2
     )
+
+
+# ---- periodic sharded dims (ring push topology) -------------------------
+#
+# Periodic SHARDED dims close the remote-DMA push topology into the ring
+# the ICI torus physically provides: circular neighbor ids, all-true
+# has_lo/has_hi (which also disables the physical-face re-pinning on
+# those dims). Unsharded periodic dims and Neumann gate cleanly.
+
+
+def _run_periodic(spec, shape, dims, iters, mesh_sizes, k=1,
+                  detect_races=False, seed=41):
+    import jax.numpy as jnp
+    from stencil_tpu.core.grid import DirichletBC
+
+    axes = ("x", "y")[: len(mesh_sizes)]
+    mesh = make_mesh(mesh_sizes, axes)
+    bc = DirichletBC.reference_default(len(shape)).with_periodic(dims)
+    rng = np.random.default_rng(seed)
+    x0 = rng.random(shape).astype(np.float32)
+    grid = HaloGrid.from_interior(jnp.asarray(x0), halo=spec.radius, bc=bc)
+    m = RmaStencil(spec, shape, sweeps_per_call=k,
+                   interpret=True, detect_races=detect_races)
+    out = m.iterate(grid, iters, mesh)
+    ref = golden.golden_iterate(x0, spec, iters, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_periodic_ring_1d_mesh(k):
+    _run_periodic(get_spec("jacobi5"), (64, 40), (0,), 2 * k + 1, (4,), k=k)
+
+
+def test_periodic_ring_single_device():
+    # n=1 ring: both pushes target the device itself (self remote-DMA
+    # wrap) — the degenerate ring must still wrap correctly
+    _run_periodic(get_spec("jacobi5"), (32, 40), (0,), 5, (1,))
+
+
+def test_periodic_ring_3d_star():
+    _run_periodic(get_spec("jacobi7"), (16, 12, 20), (0,), 5, (4,), k=2)
+
+
+def test_periodic_2d_mesh_both_rings_box():
+    # doubly-circular: box corners ride the phase-ordered wrapped strips
+    _run_periodic(get_spec("jacobi27"), (16, 32, 20), (0, 1), 4, (2, 2),
+                  k=2)
+
+
+def test_periodic_mixed_ring_and_dirichlet_2d_mesh():
+    _run_periodic(get_spec("jacobi7"), (16, 32, 20), (0,), 5, (2, 2), k=2)
+
+
+def test_periodic_ring_race_detector():
+    # the vector-clock race detector over the circular pipeline: wrapped
+    # pushes + i%2 slot parity must stay race-free like the open chain
+    _run_periodic(get_spec("jacobi5"), (32, 40), (0,), 4, (4,), k=2,
+                  detect_races=True)
+
+
+def test_periodic_unsharded_dim_gates():
+    import jax.numpy as jnp
+    from stencil_tpu.core.grid import DirichletBC
+
+    mesh = make_mesh((4,), ("x",))
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    grid = HaloGrid.create((16, 12, 20), halo=1, bc=bc)
+    m = RmaStencil(get_spec("jacobi7"), (16, 12, 20), interpret=True)
+    with pytest.raises(ValueError, match="SHARDED dims only"):
+        m.iterate(grid, 2, mesh)
