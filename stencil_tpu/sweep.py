@@ -40,6 +40,8 @@ def sweep_configs(
     check: bool = False,
     dtypes: Sequence[str] = ("float32",),
     mesh: Sequence[int] = (),
+    periodic: Sequence[object] = (),
+    neumann: Sequence[object] = (),
 ) -> List[RunConfig]:
     spec = spec or ("jacobi5" if ndim == 2 else "jacobi7")
     out = []
@@ -53,6 +55,8 @@ def sweep_configs(
             check=check,
             dtype=dt,
             mesh=tuple(mesh),
+            periodic=tuple(periodic),
+            neumann=tuple(neumann),
         ))
     return out
 
@@ -103,6 +107,12 @@ def main(argv=None) -> int:
     p.add_argument("--temporal", type=int, default=8)
     p.add_argument("--check", action="store_true")
     p.add_argument("--dtypes", type=str, nargs="+", default=["float32"])
+    p.add_argument("--periodic", type=str, nargs="*", default=[],
+                   help="dims with periodic boundaries for every config "
+                        "(e.g. --periodic 0 or --periodic all)")
+    p.add_argument("--neumann", type=str, nargs="*", default=[],
+                   help="dims with Neumann (zero-flux mirror) boundaries "
+                        "for every config")
     p.add_argument("--mesh", type=int, nargs="*", default=[],
                    help="device-mesh axis sizes for sharded methods")
     p.add_argument("--csv", type=str, default="sweep.csv")
@@ -117,7 +127,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", ns.platform)
     cfgs = sweep_configs(ns.sizes, ns.iterations, ns.methods, ns.ndim,
                          ns.spec, ns.temporal, ns.check, ns.dtypes,
-                         ns.mesh)
+                         ns.mesh, ns.periodic, ns.neumann)
     run_sweep(cfgs, ns.csv, ns.json)
     return 0
 

@@ -118,6 +118,15 @@ def measure_hbm_bandwidth(nbytes: int = None, loops: int = None) -> float:
     lo, hi = loops, 3 * loops
     t_lo, t_hi = timed(lo), timed(hi)
     dt = (t_hi - t_lo) / (hi - lo)
+    if dt <= 0:
+        # scheduler noise can make the marginal negative on tiny CPU
+        # problems; one retry, then give up (callers print no roofline
+        # clause for a None bandwidth rather than a nonsense negative)
+        t_lo, t_hi = timed(lo), timed(hi)
+        dt = (t_hi - t_lo) / (hi - lo)
+        if dt <= 0:
+            _measured_bw_cache[key] = None
+            return None
     bw = x.size * 4 * 2 / dt / 1e9
     _measured_bw_cache[key] = bw
     return bw
