@@ -303,8 +303,6 @@ def test_2d_mesh_bfloat16():
 
 def _run_dynamic(spec, shape, bc, iters, k, mesh_sizes, axes,
                  dtype="float32", seed=31):
-    from stencil_tpu.core.grid import DirichletBC  # noqa: F401
-
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
