@@ -655,3 +655,40 @@ def test_checkpoint_preserves_neumann(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="neumann"):
         run.run(g2, 10)
+
+
+# ---- seeded fuzz: random BC-mode assignments ------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_random_bc_modes_tiled(seed):
+    """Random per-dim BC modes (Dirichlet/periodic/Neumann) x random
+    ragged shapes x random temporal depth through the auto-planned tiled
+    kernel, differential vs golden — the dynamic-BC analog of the
+    round-3 ragged-shape fuzz."""
+    from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+    rng = np.random.default_rng(1000 + seed)
+    shape = tuple(int(rng.integers(10, 28)) for _ in range(3))
+    modes = [int(rng.integers(0, 3)) for _ in range(3)]
+    per = tuple(d for d in range(3) if modes[d] == 1)
+    neu = tuple(d for d in range(3) if modes[d] == 2)
+    bc = DirichletBC.reference_default(3)
+    if per:
+        bc = bc.with_periodic(per)
+    if neu:
+        bc = bc.with_neumann(neu)
+    lane_dynamic = modes[2] != 0
+    k = 1 if lane_dynamic else int(rng.choice([1, 2, 4]))
+    tap_mode = "slice" if lane_dynamic else None
+    iters = int(rng.integers(1, 3)) * k + int(rng.integers(0, k))
+    iters = max(iters, 1)
+
+    x0 = rng.random(shape).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = TiledPallasStencil(S.get_spec("jacobi7"), shape, sweeps_per_call=k,
+                           interpret=True, tap_mode=tap_mode)
+    out = m.iterate(g, iters)
+    ref = golden.golden_iterate(x0, S.get_spec("jacobi7"), iters, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, (shape, modes, k, iters, chk.message())
