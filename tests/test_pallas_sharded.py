@@ -433,3 +433,15 @@ def test_dynamic_matches_single_device_tiled():
     a = np.asarray(sharded.iterate(grid, 6, mesh).interior())
     b = np.asarray(single.iterate(grid, 6).interior())
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-6)
+
+
+def test_dynamic_degenerate_mesh1():
+    # n=1 mesh axis: the periodic ring closes onto the device itself
+    # (self ppermute pair (0,0)) and the fused (no-split) step runs the
+    # local mirror refresh — the degenerate case batch H also runs on
+    # silicon
+    from stencil_tpu.core.grid import DirichletBC
+
+    bc = (DirichletBC.reference_default(3)
+          .with_periodic((0,)).with_neumann((1,)))
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), bc, 4, 2, (1,), ("x",))
