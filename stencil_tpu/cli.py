@@ -34,8 +34,17 @@ from stencil_tpu.utils.timing import (
 def make_grid(config: RunConfig, spec) -> HaloGrid:
     """Reference initial conditions: interior 0, Dirichlet halo
     (``stencil.cpp:190-207``); ``--periodic`` dims wrap and ``--neumann``
-    dims mirror (zero-flux) instead."""
+    dims mirror (zero-flux) instead.
+
+    When EVERY dim is dynamic there is no Dirichlet face left to inject
+    signal: a zero interior is then a fixed point of wrap/mirror + any
+    linear stencil, which would make ``-c`` compare zero with zero (a
+    vacuous pass for any kernel, however broken). Seed a deterministic
+    nonzero interior in that one case so the differential check
+    exercises the BC machinery; partial-dynamic and all-Dirichlet grids
+    keep the reference's zero interior."""
     bc = None
+    interior_seed = None
     if config.periodic or config.neumann:
         from stencil_tpu.core.grid import DirichletBC
 
@@ -44,6 +53,17 @@ def make_grid(config: RunConfig, spec) -> HaloGrid:
             bc = bc.with_periodic(config.periodic_dims())
         if config.neumann:
             bc = bc.with_neumann(config.neumann_dims())
+        if all(bc.dynamic_mask(len(config.size))):
+            import numpy as np
+
+            interior_seed = np.random.default_rng(0).random(
+                config.size).astype(config.dtype)
+    if interior_seed is not None:
+        import jax.numpy as jnp
+
+        return HaloGrid.from_interior(
+            jnp.asarray(interior_seed), halo=spec.radius, bc=bc
+        )
     return HaloGrid.create(
         config.size, halo=spec.radius, dtype=config.dtype, bc=bc
     )
@@ -63,16 +83,15 @@ def check_method(config: RunConfig, spec, runner):
     grid = make_grid(config, spec)
     from stencil_tpu import native
 
+    # the golden run starts from the grid's ACTUAL interior (zero for
+    # reference ICs; the seeded nonzero field for all-dynamic BCs —
+    # hardcoding zeros here would make that check vacuous again)
+    x0 = np.asarray(grid.interior(), dtype=np.float64)
     iters = config.iterations
-    ref = native.golden_iterate_native(
-        np.zeros(config.size, dtype=np.float64), spec, iters, bc=grid.bc
-    )
+    ref = native.golden_iterate_native(x0, spec, iters, bc=grid.bc)
     if ref is None:
         iters = min(config.iterations, 50)
-        ref = golden.golden_iterate(
-            np.zeros(config.size, dtype=np.float64), spec, iters,
-            bc=grid.bc,
-        )
+        ref = golden.golden_iterate(x0, spec, iters, bc=grid.bc)
     out = runner.iterate(grid, iters)
     tol = config.check_tolerance
     if tol is None:

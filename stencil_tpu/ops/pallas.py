@@ -799,23 +799,39 @@ class PallasStencil:
             # mode (synth/rotacc synthesize the lane boundary
             # in-register, and the in-VMEM virtual sweeps cannot see
             # the lane face mid-call)
-            dyn = grid.bc.dynamic_mask(2)
-            neu = grid.bc.neumann_mask(2)
+            # rank-general (make_plan accepts 3D slabs too): the LANE
+            # dim is always the LAST dim, whatever the rank
+            ndim = grid.ndim
+            dyn = grid.bc.dynamic_mask(ndim)
+            neu = grid.bc.neumann_mask(ndim)
             problems = []
-            if dyn[1] and self.plan.sweeps_per_call != 1:
+            if dyn[-1] and self.plan.sweeps_per_call != 1:
                 problems.append(
                     "a periodic/Neumann lane (last) dim needs "
                     "sweeps_per_call=1 (use -k 1)")
-            if dyn[1] and self.plan.tap_mode != "slice":
+            if dyn[-1] and self.plan.tap_mode != "slice":
                 problems.append(
                     f"a periodic/Neumann lane (last) dim needs the "
                     f"slice tap mode, not {self.plan.tap_mode!r}")
-            if (neu[0] and self.plan.sweeps_per_call > 1
-                    and not self.spec.symmetric_in(0)):
-                problems.append(
-                    "a Neumann dim 0 at sweeps_per_call>1 needs the "
-                    "stencil mirror-symmetric in dim 0 (use -k 1 for "
-                    "asymmetric taps)")
+            for d in range(1, ndim - 1):
+                # the slab kernel's pins cover d0 only: a dynamic MIDDLE
+                # dim (3D slabs) has no pin-disable hook, so its deep
+                # ghosts are not advanced by the in-VMEM virtual sweeps
+                # (measured wrong at k=2: err 0.19) — k=1 refreshes
+                # between calls and is exact
+                if dyn[d] and self.plan.sweeps_per_call != 1:
+                    problems.append(
+                        f"a periodic/Neumann middle dim {d} on the slab "
+                        "kernel needs sweeps_per_call=1 (use -k 1, or "
+                        "the tiled 3D kernel, which runs dynamic d0/d1 "
+                        "at any temporal depth)")
+            if self.plan.sweeps_per_call > 1:
+                for d in range(ndim - 1):
+                    if neu[d] and not self.spec.symmetric_in(d):
+                        problems.append(
+                            f"a Neumann dim {d} at sweeps_per_call>1 "
+                            f"needs the stencil mirror-symmetric in dim "
+                            f"{d} (use -k 1 for asymmetric taps)")
             if problems:
                 raise ValueError(
                     "periodic/Neumann BCs on the 2D slab Pallas kernel: "

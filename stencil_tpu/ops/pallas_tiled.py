@@ -1375,6 +1375,20 @@ class TiledPallasStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype "
                 f"{self.plan.dtype}; pass dtype= when constructing "
                 "TiledPallasStencil")
+        sublane = sublane_for_dtype(self.plan.dtype)
+        if not self.interpret and self.plan.t1 % sublane:
+            # Mosaic hard-crashes (HTTP-500, no diagnostic) on the
+            # non-sublane-multiple working window a whole-dim unaligned
+            # t1 produces ("slice shape along dimension 2 must be
+            # aligned to tiling", round-4 silicon) — only reachable via
+            # an explicit tiles= or a d1 extent below the sublane size
+            # (AUTO otherwise offers aligned candidates); interpret mode
+            # has no such constraint and keeps tiny-grid tests runnable
+            raise ValueError(
+                f"t1={self.plan.t1} is not a multiple of the sublane "
+                f"size {sublane}: Mosaic rejects the unaligned working "
+                "window on hardware (pad the grid's d1 to a sublane "
+                "multiple, or pick an aligned t1)")
         if grid.bc.any_dynamic:
             # dynamic (periodic/Neumann) d0/d1 run at ANY temporal depth
             # and tap mode: the deep refresh between kernel calls seeds

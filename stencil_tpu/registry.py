@@ -186,12 +186,29 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
     slots = getattr(config, "slots", 2) or 2
     cores = getattr(config, "cores", 1) or 1
     embed = bool(getattr(config, "embed", False))
-    source = "flag" if (tiles is not None or tap_mode is not None) \
-        else "pinned"
+    # 'source' reports who picked the plan: a tap mode forced by the
+    # dynamic-lane constraint is NOT a user flag (the user passed no
+    # --tap-mode), so record it as its own source rather than "flag"
+    user_tap = getattr(config, "tap_mode", None) is not None
+    if tiles is not None or user_tap:
+        source = "flag"
+    elif tap_mode is not None:
+        source = "bc-constraint"
+    else:
+        source = "pinned"
     tuned_glups = None
     if config is not None and config.autotune and tiles is None \
-            and tap_mode is None:
-        if _on_tpu():
+            and not user_tap:
+        if tap_mode is not None:
+            # the dynamic-lane constraint pinned the tap mode; the
+            # autotune cache/search covers the free tap modes only —
+            # skip loudly instead of silently dropping the flag
+            import sys
+
+            print("# --autotune skipped: the periodic/Neumann lane dim "
+                  f"pins tap_mode={tap_mode!r} (constraint-chosen plan)",
+                  file=sys.stderr)
+        elif _on_tpu():
             from stencil_tpu import autotune
 
             win = autotune.autotune(spec, grid.interior_shape,
@@ -201,6 +218,17 @@ def _make_pallas_tiled(config, spec, grid, k: int) -> Runner:
                 tiles = tuple(win["tiles"])
                 tap_mode = win["tap_mode"]
                 slide = bool(win.get("slide", False))
+                if slide and grid.bc.any_dynamic:
+                    # the cache key carries no BC: a winner tuned under
+                    # Dirichlet may use slide, which dynamic BCs cannot
+                    # run — keep its tiles/tap, drop the slide bit
+                    # (measured ~1% on cfg4; the eager gate above only
+                    # covers the user flag)
+                    import sys
+
+                    print("# autotuned slide dropped: unsupported with "
+                          "periodic/Neumann BCs", file=sys.stderr)
+                    slide = False
                 source = "autotune"
                 tuned_glups = win.get("glups")
         # off-TPU: pinned defaults (the cache is keyed by device kind)
@@ -421,25 +449,19 @@ REGISTRY: Dict[str, Callable] = {
     "rma": make_rma,
 }
 
-# methods that accept grids with dynamic BCs — periodic (wrap-around)
-# and Neumann (zero-flux mirror) dims, capability extensions beyond the
-# Dirichlet-only reference (stencil.cpp:190-207). The Pallas kernels run
-# dynamic LEADING dims at any temporal depth (deep wrap/mirror refresh +
-# pins, like the sharded paths' mesh-internal faces; Neumann needs the
-# spec mirror-symmetric in the dim at k>1); a dynamic LANE dim needs
-# k=1 + a ghost-reading tap mode (see _dynamic_kernel_constraints). The
-# sharded ppermute path and the sharded_pallas production path take
-# periodic as the CIRCULAR permutation and Neumann as local mirror
-# synthesis on mesh-edge devices (sharded_pallas refuses a dynamic LANE
-# dim from its own iterate()). The remaining methods raise the same
-# message from their own iterate() (defense for direct API use); gating
-# here too lets the CLI report '[name] unavailable: ...' instead of a
-# mid-run traceback.
-DYNAMIC_BC_METHODS = frozenset({"xla", "pallas", "pallas_temporal",
-                                "pallas_tiled", "sharded",
-                                "sharded_noverlap", "sharded_pallas",
-                                "rma"})
-PERIODIC_METHODS = DYNAMIC_BC_METHODS  # historical name
+# Dynamic BCs — periodic (wrap-around) and Neumann (zero-flux mirror)
+# dims, capability extensions beyond the Dirichlet-only reference
+# (stencil.cpp:190-207) — are accepted by EVERY method, each with its
+# own per-factory constraints raised eagerly (so the CLI reports
+# '[name] unavailable: ...' instead of a mid-run traceback): the Pallas
+# kernels run dynamic LEADING dims at any temporal depth (deep
+# wrap/mirror refresh + pins, like the sharded paths' mesh-internal
+# faces; Neumann needs the spec mirror-symmetric in the dim at k>1)
+# while a dynamic LANE dim needs k=1 + a ghost-reading tap mode
+# (_dynamic_kernel_constraints); sharded/sharded_pallas take periodic
+# as the CIRCULAR permutation and Neumann as local mirror synthesis on
+# mesh-edge devices (sharded_pallas refuses a dynamic lane dim); rma
+# takes periodic on SHARDED dims only (ring push topology).
 
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
@@ -449,9 +471,4 @@ def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:
         raise KeyError(
             f"unknown method {name!r}; available: {sorted(REGISTRY)}"
         ) from None
-    if grid.bc.any_dynamic and name not in DYNAMIC_BC_METHODS:
-        raise ValueError(
-            f"periodic/Neumann BCs are not yet supported by the {name!r} "
-            f"method; supported: {sorted(DYNAMIC_BC_METHODS)}"
-        )
     return factory(config, spec, grid)

@@ -650,3 +650,89 @@ def test_checkpoint_dirichlet_roundtrip_unchanged(tmp_path, rng):
     state = checkpoint.load(p)
     assert state.bc == DirichletBC.reference_default(2)
     assert not state.bc.any_periodic
+
+
+# ---- 3D slabs on the 2D slab kernel (direct API; round-4 review fixes) --------
+
+
+def test_slab_3d_lane_periodic_gates(rng):
+    # the lane dim of a 3D slab is dim 2 — the gate must track the RANK
+    # (a hardcoded rank-2 mask let this through and produced silently
+    # wrong results, round-4 review finding)
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((2,))
+    g = HaloGrid.create((8, 8, 128), halo=1, bc=bc)
+    m = PallasStencil(sp, (8, 8, 128), sweeps_per_call=2, interpret=True)
+    with pytest.raises(ValueError, match="lane"):
+        m.iterate(g, 4)
+
+
+def test_slab_3d_middle_dim_periodic_gates_at_temporal(rng):
+    # the slab kernel's pins cover d0 only: a dynamic MIDDLE dim has no
+    # pin-disable hook (measured wrong at k=2) — must gate to k=1
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    g = HaloGrid.create((16, 16, 128), halo=1, bc=bc)
+    m = PallasStencil(sp, (16, 16, 128), sweeps_per_call=2, interpret=True)
+    with pytest.raises(ValueError, match="middle"):
+        m.iterate(g, 4)
+
+
+@pytest.mark.parametrize("dims", [(1,), (0,), (2,)])
+def test_slab_3d_periodic_k1_matches_golden(rng, dims):
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic(dims)
+    x0 = rng.random((16, 16, 128)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = PallasStencil(sp, (16, 16, 128), interpret=True,
+                      tap_mode="slice" if dims == (2,) else None)
+    out = m.iterate(g, 3)
+    ref = golden.golden_iterate(x0, sp, 3, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_slab_3d_periodic_d0_temporal_ok(rng):
+    # dynamic d0 keeps the full temporal path on 3D slabs (pins cover d0)
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    x0 = rng.random((16, 16, 128)).astype(np.float32)
+    g = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    m = PallasStencil(sp, (16, 16, 128), sweeps_per_call=2, interpret=True)
+    out = m.iterate(g, 4)
+    ref = golden.golden_iterate(x0, sp, 4, bc=bc)
+    chk = golden.check_against_golden(np.asarray(out.interior()), ref)
+    assert chk.ok, chk.message()
+
+
+def test_cli_check_all_dynamic_bcs_is_not_vacuous(tmp_path):
+    # --periodic all on the reference's zero interior would compare
+    # 0 with 0 (a zero field is a fixed point of wrap + any linear
+    # stencil) — make_grid seeds a nonzero interior when EVERY dim is
+    # dynamic so -c actually exercises the BC machinery
+    from stencil_tpu.cli import make_grid
+    from stencil_tpu.config import RunConfig as RC
+
+    cfg = RC(size=(12, 16), iterations=4, methods=("xla",), check=True,
+             periodic=("all",))
+    sp = S.get_spec("jacobi5")
+    g = make_grid(cfg, sp)
+    assert float(np.abs(np.asarray(g.interior())).max()) > 0
+    # partial-dynamic grids keep the reference's zero interior
+    cfg2 = RC(size=(12, 16), iterations=4, methods=("xla",),
+              periodic=("0",))
+    g2 = make_grid(cfg2, sp)
+    assert float(np.abs(np.asarray(g2.interior())).max()) == 0
+    # and the checked run passes end-to-end
+    from stencil_tpu.cli import run_all
+
+    results = run_all(cfg, out=open("/dev/null", "w"))
+    assert results[0]["check"]["ok"]
