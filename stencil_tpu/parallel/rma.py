@@ -275,7 +275,11 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
     # torus physically provides the wraparound links). has_lo/has_hi
     # become all-true, which also disables pin()'s physical-face
     # branches on those dims — periodic dims have no physical faces.
+    # Neumann SHARDED dims keep the open chain: mesh-edge devices
+    # synthesize their own k*r-deep mirror ghosts in-kernel each outer
+    # step (``mirror_dim``), phase-ordered with the pushes.
     per_sh = tuple(bool(bc.periodic_mask(ndim)[d]) for d in sharded)
+    neu_sh = tuple(bool(bc.neumann_mask(ndim)[d]) for d in sharded)
 
     def region_idx(starts, sizes):
         return tuple(slice(starts[d], starts[d] + sizes[d])
@@ -449,6 +453,51 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                 def _(si=si):
                     push_desc(it, si, True).wait_send()
 
+        def mirror_dim(buf, si):
+            """Neumann mesh-edge faces synthesize their own ``k*r``-deep
+            mirror ghosts (ghost layer j = interior layer j-1, the golden
+            ``mode='symmetric'`` reflection) in the same per-dim phase as
+            the remote pushes, with exactly the strip footprint
+            (``strip_extent``): full padded extent of earlier sharded
+            dims — whose ghosts are already fresh, recv'd or mirrored —
+            and of unsharded dims (whose Dirichlet constants mirror to
+            themselves, carrying the golden corner semantics), interior
+            only in later sharded dims. Corners therefore transit to the
+            later phase exactly as with remote strips, and no ghost cell
+            is ever written by two phases (the incoming dim-``sj`` push
+            spanning my dim-``si`` ghost zone would race a full-extent
+            local mirror). The deeper DMA-granule pad rows beyond ``kr``
+            keep their load values — taps never read past ``kr``.
+            """
+            if not neu_sh[si]:
+                return
+            sd = sharded[si]
+
+            def face_idx(dst_row, src_row):
+                dst, src = [], []
+                for d in range(ndim):
+                    if d == sd:
+                        dst.append(pl.ds(dst_row, 1))
+                        src.append(pl.ds(src_row, 1))
+                    else:
+                        st, sz = strip_extent(d, sd)
+                        dst.append(pl.ds(st, sz))
+                        src.append(pl.ds(st, sz))
+                return tuple(dst), tuple(src)
+
+            @pl.when(jnp.logical_not(has_lo[si]))
+            def _():
+                for j in range(1, kr + 1):
+                    di, si_ = face_idx(pp[sd] - j, pp[sd] + j - 1)
+                    buf[di] = buf[si_]
+
+            @pl.when(jnp.logical_not(has_hi[si]))
+            def _():
+                for j in range(1, kr + 1):
+                    di, si_ = face_idx(pp[sd] + nn[sd] + j - 1,
+                                       pp[sd] + nn[sd] - j)
+                    buf[di] = buf[si_]
+
         def write_buf(t, dst_block):
             """Buffer written by sweep t (1-indexed): the output block for
             the final sweep, dedicated compute buffers otherwise — the
@@ -470,6 +519,12 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                 return
             starts, sizes = rect(ext)
             for si in range(nsh):
+                if per_sh[si] or neu_sh[si]:
+                    # dynamic faces have no Dirichlet constants to
+                    # re-pin: periodic faces are ring-pushed, Neumann
+                    # bands carry the mirror extension forward by the
+                    # spec's symmetry (gated in iterate())
+                    continue
                 d = sharded[si]
                 lo_v, hi_v = bc.values[d]
 
@@ -571,6 +626,11 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
             # ghosts while the next phase is in flight
             for si in range(nsh):
                 wait_recv_dim(it, si)
+                # Neumann physical faces refresh now — after this dim's
+                # recvs (program order puts the mirror writes before the
+                # next phase's sends, whose strips span this ghost zone,
+                # and before this dim's band reads)
+                mirror_dim(src, si)
                 if si + 1 < nsh:
                     send_dim(it, si + 1)
                 for starts, sizes in bands[si]:
@@ -702,27 +762,35 @@ class RmaStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing RmaStencil")
         if grid.bc.any_dynamic:
-            # periodic SHARDED dims are supported: the push topology
-            # closes into the ring the ICI torus physically provides
-            # (circular neighbor ids; pin() skips those faces since
-            # has_lo/has_hi are all-true). Unsharded dynamic dims would
-            # need per-sweep local ghost refreshes inside the
-            # VMEM-resident kernel, and Neumann would need in-kernel
-            # mirror synthesis — both gated.
+            # dynamic SHARDED dims are supported: periodic closes the
+            # push topology into the ring the ICI torus physically
+            # provides (circular neighbor ids), Neumann mesh-edge
+            # devices synthesize their own k*r-deep mirror ghosts
+            # in-kernel (``mirror_dim``; at k>1 the mirror extension
+            # only survives a sweep if the spec is mirror-symmetric in
+            # that dim — same gate as the single-chip kernels).
+            # Unsharded dynamic dims would need per-sweep local ghost
+            # refreshes inside the VMEM-resident kernel — gated.
             nsh = len(mesh.axis_names)
             per = grid.bc.periodic_mask(grid.ndim)
             neu = grid.bc.neumann_mask(grid.ndim)
             problems = []
-            if any(neu):
-                problems.append(
-                    "Neumann dims are unsupported (use 'sharded_pallas', "
-                    "'sharded' or 'xla')")
-            bad = [d for d in range(grid.ndim) if per[d] and d >= nsh]
+            bad = [d for d in range(grid.ndim)
+                   if (per[d] or neu[d]) and d >= nsh]
             if bad:
                 problems.append(
-                    f"periodic dim(s) {bad} are not sharded by the "
-                    f"{nsh}D mesh; 'rma' supports periodic on SHARDED "
-                    "dims only (shard them or use 'sharded_pallas')")
+                    f"dynamic dim(s) {bad} are not sharded by the "
+                    f"{nsh}D mesh; 'rma' supports periodic/Neumann on "
+                    "SHARDED dims only (shard them or use "
+                    "'sharded_pallas')")
+            if self.sweeps_per_call > 1:
+                asym = [d for d in range(min(nsh, grid.ndim))
+                        if neu[d] and not self.spec.symmetric_in(d)]
+                if asym:
+                    problems.append(
+                        f"Neumann dim(s) {asym} at sweeps_per_call>1 "
+                        "need the stencil mirror-symmetric in those "
+                        "dims (use -k 1 for asymmetric taps)")
             if problems:
                 raise ValueError(
                     "periodic/Neumann BCs on the 'rma' method: "

@@ -406,19 +406,27 @@ def make_rma(config, spec, grid) -> Runner:
     if grid.bc.any_dynamic:
         # same constraints RmaStencil.iterate enforces, raised eagerly so
         # the CLI reports 'unavailable' instead of a mid-run traceback:
-        # periodic is supported on SHARDED dims only (ring push topology)
+        # dynamic BCs are supported on SHARDED dims only (periodic =
+        # circular ring push topology, Neumann = in-kernel mirror
+        # synthesis on mesh-edge devices, mirror-symmetric spec at k>1)
         per = grid.bc.periodic_mask(grid.ndim)
-        if grid.bc.any_neumann:
-            raise ValueError(
-                "Neumann dims are unsupported by 'rma' (use "
-                "'sharded_pallas', 'sharded' or 'xla')")
+        neu = grid.bc.neumann_mask(grid.ndim)
         bad = [d for d in range(grid.ndim)
-               if per[d] and d >= len(mesh_sizes)]
+               if (per[d] or neu[d]) and d >= len(mesh_sizes)]
         if bad:
             raise ValueError(
-                f"periodic dim(s) {bad} are not sharded by the "
-                f"{len(mesh_sizes)}D mesh; 'rma' supports periodic on "
-                "SHARDED dims only (shard them or use 'sharded_pallas')")
+                f"dynamic dim(s) {bad} are not sharded by the "
+                f"{len(mesh_sizes)}D mesh; 'rma' supports "
+                "periodic/Neumann on SHARDED dims only (shard them or "
+                "use 'sharded_pallas')")
+        if k > 1:
+            asym = [d for d in range(min(len(mesh_sizes), grid.ndim))
+                    if neu[d] and not spec.symmetric_in(d)]
+            if asym:
+                raise ValueError(
+                    f"Neumann dim(s) {asym} at -k {k} need the stencil "
+                    "mirror-symmetric in those dims (use -k 1 for "
+                    "asymmetric taps)")
     method = RmaStencil(
         spec,
         grid.interior_shape,
@@ -461,7 +469,9 @@ REGISTRY: Dict[str, Callable] = {
 # (_dynamic_kernel_constraints); sharded/sharded_pallas take periodic
 # as the CIRCULAR permutation and Neumann as local mirror synthesis on
 # mesh-edge devices (sharded_pallas refuses a dynamic lane dim); rma
-# takes periodic on SHARDED dims only (ring push topology).
+# takes dynamic BCs on SHARDED dims only — periodic as the circular
+# remote-DMA ring, Neumann as in-kernel mirror synthesis on mesh-edge
+# devices (mirror-symmetric spec required at k>1).
 
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:

@@ -313,3 +313,112 @@ def test_periodic_unsharded_dim_gates():
     m = RmaStencil(get_spec("jacobi7"), (16, 12, 20), interpret=True)
     with pytest.raises(ValueError, match="SHARDED dims only"):
         m.iterate(grid, 2, mesh)
+
+
+# ---- Neumann sharded dims (in-kernel mirror synthesis) -------------------
+#
+# Neumann SHARDED dims keep the open push chain: mesh-edge devices
+# synthesize their own k*r-deep mirror ghosts in-kernel each outer step
+# (``mirror_dim``), phase-ordered with the strip footprint so corners
+# transit to the later phase exactly like remote strips. At k>1 the
+# mirror extension only survives a sweep when the spec is
+# mirror-symmetric in the dim (same gate as the single-chip kernels).
+
+
+def _run_dynamic(spec, shape, iters, mesh_sizes, periodic=(), neumann=(),
+                 k=1, detect_races=False, seed=43):
+    import jax.numpy as jnp
+    from stencil_tpu.core.grid import DirichletBC
+
+    axes = ("x", "y")[: len(mesh_sizes)]
+    mesh = make_mesh(mesh_sizes, axes)
+    bc = DirichletBC.reference_default(len(shape))
+    if periodic:
+        bc = bc.with_periodic(periodic)
+    if neumann:
+        bc = bc.with_neumann(neumann)
+    rng = np.random.default_rng(seed)
+    x0 = rng.random(shape).astype(np.float32)
+    grid = HaloGrid.from_interior(jnp.asarray(x0), halo=spec.radius, bc=bc)
+    m = RmaStencil(spec, shape, sweeps_per_call=k,
+                   interpret=True, detect_races=detect_races)
+    out = m.iterate(grid, iters, mesh)
+    ref = golden.golden_iterate(x0, spec, iters, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_neumann_1d_mesh(k):
+    _run_dynamic(get_spec("jacobi5"), (64, 40), 2 * k + 1, (4,),
+                 neumann=(0,), k=k)
+
+
+def test_neumann_single_device_mesh():
+    # n=1 mesh: the device is edge on BOTH faces — both mirrors are
+    # local (disjoint read/write bands since local size >= 2*k*r)
+    _run_dynamic(get_spec("jacobi5"), (32, 40), 5, (1,), neumann=(0,), k=2)
+
+
+def test_neumann_3d_star_temporal():
+    _run_dynamic(get_spec("jacobi7"), (16, 12, 20), 5, (4,),
+                 neumann=(0,), k=2)
+
+
+def test_neumann_2d_mesh_both_dims_box():
+    # doubly-mirrored box corners through the phase-ordered mirror +
+    # strip footprints
+    _run_dynamic(get_spec("jacobi27"), (16, 32, 20), 4, (2, 2),
+                 neumann=(0, 1), k=2)
+
+
+def test_neumann_mixed_with_periodic_and_dirichlet():
+    # periodic ring on d0, mirror on d1, Dirichlet lane — all three BC
+    # modes in one 2D-mesh kernel
+    _run_dynamic(get_spec("jacobi7"), (16, 32, 20), 5, (2, 2),
+                 periodic=(0,), neumann=(1,), k=2)
+
+
+def test_neumann_race_detector_clean():
+    # local mirror writes must not race incoming pushes or the i%2
+    # pipeline (mirror footprint = strip footprint: interior-only in
+    # later sharded dims)
+    _run_dynamic(get_spec("jacobi7"), (16, 32, 20), 4, (2, 2),
+                 neumann=(0, 1), k=2, detect_races=True)
+
+
+def test_neumann_asymmetric_spec_gates_at_temporal():
+    import jax.numpy as jnp
+    from stencil_tpu.core.grid import DirichletBC
+    from stencil_tpu.core import spec as S
+
+    sp = S.weighted(2, [((-1, 0), 0.5), ((1, 0), 0.1), ((0, -1), 0.2),
+                        ((0, 1), 0.2)], name="asym2d")
+    mesh = make_mesh((4,), ("x",))
+    bc = DirichletBC.reference_default(2).with_neumann((0,))
+    grid = HaloGrid.create((64, 40), halo=1, bc=bc)
+    m = RmaStencil(sp, (64, 40), sweeps_per_call=2, interpret=True)
+    with pytest.raises(ValueError, match="mirror-symmetric"):
+        m.iterate(grid, 4, mesh)
+    # k=1 needs no symmetry: the mirror ghosts feed interior-only taps
+    m1 = RmaStencil(sp, (64, 40), sweeps_per_call=1, interpret=True)
+    rng = np.random.default_rng(7)
+    x0 = rng.random((64, 40)).astype(np.float32)
+    g1 = HaloGrid.from_interior(jnp.asarray(x0), halo=1, bc=bc)
+    out = m1.iterate(g1, 3, mesh)
+    ref = golden.golden_iterate(x0, sp, 3, bc=bc)
+    np.testing.assert_allclose(
+        np.asarray(out.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
+
+
+def test_neumann_unsharded_dim_gates():
+    from stencil_tpu.core.grid import DirichletBC
+
+    mesh = make_mesh((4,), ("x",))
+    bc = DirichletBC.reference_default(3).with_neumann((1,))
+    grid = HaloGrid.create((16, 12, 20), halo=1, bc=bc)
+    m = RmaStencil(get_spec("jacobi7"), (16, 12, 20), interpret=True)
+    with pytest.raises(ValueError, match="SHARDED dims only"):
+        m.iterate(grid, 2, mesh)
