@@ -280,6 +280,14 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
     # step (``mirror_dim``), phase-ordered with the pushes.
     per_sh = tuple(bool(bc.periodic_mask(ndim)[d]) for d in sharded)
     neu_sh = tuple(bool(bc.neumann_mask(ndim)[d]) for d in sharded)
+    # unsharded dynamic LEADING dims refresh their own k*r-deep ghosts
+    # locally at iteration start (``refresh_unsharded``) and join the
+    # temporal recompute trapezoid; the lane dim is gated in iterate()
+    per_all = bc.periodic_mask(ndim)
+    neu_all = bc.neumann_mask(ndim)
+    dyn_uns = tuple(d for d in range(ndim - 1)
+                    if d not in sharded and (per_all[d] or neu_all[d]))
+    ext_dims = frozenset(sharded) | frozenset(dyn_uns)
 
     def region_idx(starts, sizes):
         return tuple(slice(starts[d], starts[d] + sizes[d])
@@ -312,13 +320,14 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
         return acc
 
     # region helpers (all static): ext = how far the compute region extends
-    # beyond the interior into the ghost zone of each SHARDED dim (the
-    # overlapping-recompute zone of temporal blocking); unsharded dims are
-    # always exactly interior.
+    # beyond the interior into the ghost zone of each SHARDED or dynamic
+    # unsharded leading dim (the overlapping-recompute zone of temporal
+    # blocking); Dirichlet unsharded dims are always exactly interior
+    # (their ghosts are time-independent constants).
     def rect(ext):
-        starts = tuple(pp[d] - (ext if d in sharded else 0)
+        starts = tuple(pp[d] - (ext if d in ext_dims else 0)
                        for d in range(ndim))
-        sizes = tuple(nn[d] + (2 * ext if d in sharded else 0)
+        sizes = tuple(nn[d] + (2 * ext if d in ext_dims else 0)
                       for d in range(ndim))
         return starts, sizes
 
@@ -498,6 +507,49 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                                        pp[sd] + nn[sd] - j)
                     buf[di] = buf[si_]
 
+        def refresh_unsharded(buf):
+            """Refresh the ``k*r``-deep ghosts of dynamic UNSHARDED
+            leading dims from the block's own rows (wrap for periodic,
+            golden ``symmetric`` mirror for Neumann) at iteration start —
+            before the sends, whose strips span these ghost zones and
+            carry the fresh values into neighbor corners.
+
+            Footprint: INTERIOR on sharded dims (their ghost zones are
+            in-flight remote-DMA targets — writing them here would race
+            incoming pushes; the sharded-ghost x unsharded-ghost corners
+            arrive transitively instead, because pushes and ``mirror_dim``
+            span the full padded unsharded extent and per-dim refreshes
+            commute: they remap indices in orthogonal dims), full padded
+            extent on unsharded dims in increasing-dim order (golden
+            later-dims-win corners between two dynamic unsharded dims).
+            """
+            for d in dyn_uns:
+                def span(e):
+                    if e in sharded:
+                        return pp[e], nn[e]
+                    return 0, B[e]
+
+                def row_idx(which_d, row):
+                    return tuple(
+                        pl.ds(row, 1) if e == which_d
+                        else pl.ds(*span(e))
+                        for e in range(ndim)
+                    )
+
+                for j in range(1, kr + 1):
+                    if per_all[d]:
+                        # wrap: lo ghost layer j <- far interior row,
+                        # hi ghost layer j <- near interior row
+                        lo_src = pp[d] + nn[d] - j
+                        hi_src = pp[d] + j - 1
+                    else:
+                        # mirror: ghost layer j <- interior layer j-1
+                        lo_src = pp[d] + j - 1
+                        hi_src = pp[d] + nn[d] - j
+                    buf[row_idx(d, pp[d] - j)] = buf[row_idx(d, lo_src)]
+                    buf[row_idx(d, pp[d] + nn[d] + j - 1)] = \
+                        buf[row_idx(d, hi_src)]
+
         def write_buf(t, dst_block):
             """Buffer written by sweep t (1-indexed): the output block for
             the final sweep, dedicated compute buffers otherwise — the
@@ -549,13 +601,18 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                                                             dtype)
 
         def sweep1_regions(ext):
-            """Partition of the sweep-1 region (interior +- ext on sharded
-            dims) into a ghost-free core plus per-dim edge bands, ordered
-            by the dim whose fresh ghosts they read."""
+            """Partition of the sweep-1 region (interior +- ext on the
+            ``ext_dims``) into a remote-ghost-free core plus per-sharded-dim
+            edge bands, ordered by the dim whose fresh ghosts they read.
+            Dynamic UNSHARDED dims extend BOTH core and bands by ``ext``:
+            their ghosts are refreshed locally before the core computes
+            (``refresh_unsharded``), so they add no recv dependence."""
             core = []
             for d in range(ndim):
                 if d in sharded:
                     core.append((pp[d] + kr, nn[d] - 2 * kr))
+                elif d in dyn_uns:
+                    core.append((pp[d] - ext, nn[d] + 2 * ext))
                 else:
                     core.append((pp[d], nn[d]))
             bands = []  # bands[si] = [(starts, sizes), ...]
@@ -583,6 +640,10 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
                             # cover the rest)
                             st.append(pp[e] + kr)
                             sz.append(nn[e] - 2 * kr)
+                        elif e in dyn_uns:
+                            # locally-refreshed ghosts: full extended span
+                            st.append(pp[e] - ext)
+                            sz.append(nn[e] + 2 * ext)
                         else:
                             st.append(pp[e])
                             sz.append(nn[e])
@@ -603,6 +664,11 @@ def build_rma_iterate(plan: RmaPlan, bc: DirichletBC,
             @pl.when(it >= 1)
             def _():
                 wait_sends(it - 1)
+
+            # dynamic unsharded leading dims: local wrap/mirror refresh
+            # BEFORE the sends (strips span these ghost zones — neighbors'
+            # corners need this iteration's values)
+            refresh_unsharded(src)
 
             # phase 0: push strips along the first sharded dim
             send_dim(it, 0)
@@ -762,35 +828,43 @@ class RmaStencil:
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing RmaStencil")
         if grid.bc.any_dynamic:
-            # dynamic SHARDED dims are supported: periodic closes the
-            # push topology into the ring the ICI torus physically
-            # provides (circular neighbor ids), Neumann mesh-edge
-            # devices synthesize their own k*r-deep mirror ghosts
-            # in-kernel (``mirror_dim``; at k>1 the mirror extension
-            # only survives a sweep if the spec is mirror-symmetric in
-            # that dim — same gate as the single-chip kernels).
-            # Unsharded dynamic dims would need per-sweep local ghost
-            # refreshes inside the VMEM-resident kernel — gated.
-            nsh = len(mesh.axis_names)
-            per = grid.bc.periodic_mask(grid.ndim)
-            neu = grid.bc.neumann_mask(grid.ndim)
+            # dynamic LEADING dims are supported: SHARDED periodic
+            # closes the push topology into the ring the ICI torus
+            # physically provides (circular neighbor ids), SHARDED
+            # Neumann mesh-edge devices synthesize their own k*r-deep
+            # mirror ghosts in-kernel (``mirror_dim``), and UNSHARDED
+            # dynamic leading dims wrap/mirror-refresh locally at
+            # iteration start and join the temporal recompute trapezoid
+            # (``refresh_unsharded``). At k>1 a Neumann extension only
+            # survives a sweep if the spec is mirror-symmetric in the
+            # dim — same gate as the single-chip kernels. The LANE dim
+            # gates: its ghost ring is lane-alignment-padded and the
+            # in-VMEM sweeps cannot see the opposite lane face mid-call.
+            ndim = grid.ndim
+            per = grid.bc.periodic_mask(ndim)
+            neu = grid.bc.neumann_mask(ndim)
+            kr = self.sweeps_per_call * self.spec.radius
             problems = []
-            bad = [d for d in range(grid.ndim)
-                   if (per[d] or neu[d]) and d >= nsh]
-            if bad:
+            if per[ndim - 1] or neu[ndim - 1]:
                 problems.append(
-                    f"dynamic dim(s) {bad} are not sharded by the "
-                    f"{nsh}D mesh; 'rma' supports periodic/Neumann on "
-                    "SHARDED dims only (shard them or use "
-                    "'sharded_pallas')")
+                    "a periodic/Neumann LANE (last) dim is unsupported "
+                    "(use 'xla', or 'pallas_tiled' at -k 1)")
             if self.sweeps_per_call > 1:
-                asym = [d for d in range(min(nsh, grid.ndim))
+                asym = [d for d in range(ndim - 1)
                         if neu[d] and not self.spec.symmetric_in(d)]
                 if asym:
                     problems.append(
                         f"Neumann dim(s) {asym} at sweeps_per_call>1 "
                         "need the stencil mirror-symmetric in those "
                         "dims (use -k 1 for asymmetric taps)")
+            nsh = len(mesh.axis_names)
+            shallow = [d for d in range(nsh, ndim - 1)
+                       if (per[d] or neu[d])
+                       and grid.interior_shape[d] < kr]
+            if shallow:
+                problems.append(
+                    f"dynamic unsharded dim(s) {shallow} are shallower "
+                    f"than the temporal ghost depth k*r = {kr}")
             if problems:
                 raise ValueError(
                     "periodic/Neumann BCs on the 'rma' method: "

@@ -406,21 +406,19 @@ def make_rma(config, spec, grid) -> Runner:
     if grid.bc.any_dynamic:
         # same constraints RmaStencil.iterate enforces, raised eagerly so
         # the CLI reports 'unavailable' instead of a mid-run traceback:
-        # dynamic BCs are supported on SHARDED dims only (periodic =
-        # circular ring push topology, Neumann = in-kernel mirror
-        # synthesis on mesh-edge devices, mirror-symmetric spec at k>1)
+        # dynamic LEADING dims are supported (sharded periodic = circular
+        # ring push topology, sharded Neumann = in-kernel mirror synthesis
+        # on mesh-edge devices, unsharded = local refresh at iteration
+        # start; mirror-symmetric spec required at k>1); the lane dim
+        # gates
         per = grid.bc.periodic_mask(grid.ndim)
         neu = grid.bc.neumann_mask(grid.ndim)
-        bad = [d for d in range(grid.ndim)
-               if (per[d] or neu[d]) and d >= len(mesh_sizes)]
-        if bad:
+        if per[grid.ndim - 1] or neu[grid.ndim - 1]:
             raise ValueError(
-                f"dynamic dim(s) {bad} are not sharded by the "
-                f"{len(mesh_sizes)}D mesh; 'rma' supports "
-                "periodic/Neumann on SHARDED dims only (shard them or "
-                "use 'sharded_pallas')")
+                "a periodic/Neumann LANE (last) dim is unsupported by "
+                "'rma' (use 'xla', or 'pallas_tiled' at -k 1)")
         if k > 1:
-            asym = [d for d in range(min(len(mesh_sizes), grid.ndim))
+            asym = [d for d in range(grid.ndim - 1)
                     if neu[d] and not spec.symmetric_in(d)]
             if asym:
                 raise ValueError(
@@ -469,9 +467,11 @@ REGISTRY: Dict[str, Callable] = {
 # (_dynamic_kernel_constraints); sharded/sharded_pallas take periodic
 # as the CIRCULAR permutation and Neumann as local mirror synthesis on
 # mesh-edge devices (sharded_pallas refuses a dynamic lane dim); rma
-# takes dynamic BCs on SHARDED dims only — periodic as the circular
-# remote-DMA ring, Neumann as in-kernel mirror synthesis on mesh-edge
-# devices (mirror-symmetric spec required at k>1).
+# takes dynamic BCs on any LEADING dim — sharded periodic as the
+# circular remote-DMA ring, sharded Neumann as in-kernel mirror
+# synthesis on mesh-edge devices, unsharded dims as a local
+# wrap/mirror refresh at iteration start (mirror-symmetric spec
+# required at k>1; the lane dim gates).
 
 
 def get_runner(name: str, config, spec: StencilSpec, grid: HaloGrid) -> Runner:

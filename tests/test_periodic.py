@@ -237,16 +237,17 @@ def test_unsupported_methods_gate_cleanly(method):
         registry.get_runner(method, cfg, sp, g)
 
 
-def test_rma_gates_on_unsharded_periodic():
-    # the in-kernel RMA path supports periodic on SHARDED dims only (the
-    # ring push topology, tests/test_rma.py); an unsharded periodic dim
+def test_rma_gates_on_lane_periodic():
+    # the in-kernel RMA path supports periodic on any LEADING dim
+    # (sharded: circular ring push topology; unsharded: local wrap
+    # refresh at iteration start — tests/test_rma.py); only the LANE dim
     # must be refused eagerly with guidance
     sp = S.get_spec("jacobi7")
-    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    bc = DirichletBC.reference_default(3).with_periodic((2,))
     g = HaloGrid.create((16, 16, 16), halo=1, bc=bc)
     cfg = RunConfig(size=(16, 16, 16), spec="jacobi7", iterations=2,
                     methods=("rma",), mesh=(2,))
-    with pytest.raises(ValueError, match="SHARDED dims only"):
+    with pytest.raises(ValueError, match="LANE"):
         registry.get_runner("rma", cfg, sp, g)
 
 

@@ -248,7 +248,7 @@ def test_bf16_rma():
 # Periodic SHARDED dims close the remote-DMA push topology into the ring
 # the ICI torus physically provides: circular neighbor ids, all-true
 # has_lo/has_hi (which also disables the physical-face re-pinning on
-# those dims). Unsharded periodic dims and Neumann gate cleanly.
+# those dims). A dynamic LANE dim gates cleanly.
 
 
 def _run_periodic(spec, shape, dims, iters, mesh_sizes, k=1,
@@ -303,15 +303,14 @@ def test_periodic_ring_race_detector():
                   detect_races=True)
 
 
-def test_periodic_unsharded_dim_gates():
-    import jax.numpy as jnp
+def test_periodic_lane_dim_gates():
     from stencil_tpu.core.grid import DirichletBC
 
     mesh = make_mesh((4,), ("x",))
-    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    bc = DirichletBC.reference_default(3).with_periodic((2,))
     grid = HaloGrid.create((16, 12, 20), halo=1, bc=bc)
     m = RmaStencil(get_spec("jacobi7"), (16, 12, 20), interpret=True)
-    with pytest.raises(ValueError, match="SHARDED dims only"):
+    with pytest.raises(ValueError, match="LANE"):
         m.iterate(grid, 2, mesh)
 
 
@@ -413,12 +412,74 @@ def test_neumann_asymmetric_spec_gates_at_temporal():
     )
 
 
-def test_neumann_unsharded_dim_gates():
+def test_neumann_lane_dim_gates():
     from stencil_tpu.core.grid import DirichletBC
 
     mesh = make_mesh((4,), ("x",))
-    bc = DirichletBC.reference_default(3).with_neumann((1,))
+    bc = DirichletBC.reference_default(3).with_neumann((2,))
     grid = HaloGrid.create((16, 12, 20), halo=1, bc=bc)
     m = RmaStencil(get_spec("jacobi7"), (16, 12, 20), interpret=True)
-    with pytest.raises(ValueError, match="SHARDED dims only"):
+    with pytest.raises(ValueError, match="LANE"):
         m.iterate(grid, 2, mesh)
+
+
+# ---- dynamic UNSHARDED leading dims (local in-kernel refresh) -------------
+#
+# Unsharded dynamic leading dims wrap/mirror-refresh their own k*r-deep
+# ghosts at iteration start (``refresh_unsharded``, interior footprint
+# on sharded dims — their ghost zones are in-flight DMA targets) and
+# join the temporal recompute trapezoid. Corners with sharded-dim ghosts
+# arrive transitively: pushes and mirror_dim span the full padded
+# unsharded extent, and per-dim refreshes commute.
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_periodic_unsharded_middle_dim(k):
+    _run_dynamic(get_spec("jacobi7"), (16, 16, 20), 2 * k + 1, (4,),
+                 periodic=(1,), k=k)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_neumann_unsharded_middle_dim(k):
+    _run_dynamic(get_spec("jacobi7"), (16, 16, 20), 2 * k + 1, (4,),
+                 neumann=(1,), k=k)
+
+
+def test_dynamic_sharded_and_unsharded_mixed():
+    # sharded periodic ring (d0) + unsharded Neumann mirror (d1) +
+    # Dirichlet lane, through a box spec so every corner class is read
+    _run_dynamic(get_spec("jacobi27"), (16, 16, 20), 4, (2,),
+                 periodic=(0,), neumann=(1,), k=2)
+
+
+def test_dynamic_unsharded_both_modes_2d_mesh():
+    # 2D mesh ships d0/d1; nothing left unsharded but the lane — so use
+    # a 1D mesh with BOTH leading dims dynamic, one sharded one not
+    _run_dynamic(get_spec("jacobi7"), (16, 16, 20), 5, (2,),
+                 periodic=(0, 1), k=2)
+
+
+def test_dynamic_unsharded_deep_temporal():
+    # k=4 trapezoid: the unsharded dynamic dim's recompute extension
+    # reaches 3*r into the refreshed ghosts
+    _run_dynamic(get_spec("jacobi7"), (16, 16, 20), 9, (2,),
+                 neumann=(1,), k=4, seed=11)
+
+
+def test_dynamic_unsharded_race_detector_clean():
+    # the local refresh writes unsharded ghost zones while pushes fly
+    # into sharded ghost zones — footprints must stay disjoint
+    _run_dynamic(get_spec("jacobi7"), (16, 16, 20), 4, (2,),
+                 periodic=(0,), neumann=(1,), k=2, detect_races=True)
+
+
+def test_dynamic_unsharded_shallow_dim_gates():
+    from stencil_tpu.core.grid import DirichletBC
+
+    mesh = make_mesh((2,), ("x",))
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    grid = HaloGrid.create((16, 3, 20), halo=1, bc=bc)
+    m = RmaStencil(get_spec("jacobi7"), (16, 3, 20), sweeps_per_call=4,
+                   interpret=True)
+    with pytest.raises(ValueError, match="shallower"):
+        m.iterate(grid, 4, mesh)
