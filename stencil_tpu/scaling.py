@@ -44,11 +44,13 @@ def run_weak_scaling(
     temporal: int = 4,
     mesh_sizes: Optional[Sequence[int]] = None,
     dtype: str = "float32",
+    periodic: Sequence[int] = (),
+    neumann: Sequence[int] = (),
     progress=print,
 ) -> List[ScalePoint]:
     import jax
 
-    from stencil_tpu.core.grid import HaloGrid
+    from stencil_tpu.core.grid import DirichletBC, HaloGrid
     from stencil_tpu.core.spec import get_spec
     from stencil_tpu.parallel.halo import make_mesh
     from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
@@ -56,6 +58,14 @@ def run_weak_scaling(
 
     warm = warmup_fetch_async()
     spec = get_spec(spec_name)
+    # dynamic BCs ride the same sharded machinery (a periodic sharded d0
+    # is the torus-wrapped domain classic weak scaling assumes: the
+    # ppermute chain closes into the circular permutation ICI provides)
+    bc = DirichletBC.reference_default(len(local_shape))
+    if periodic:
+        bc = bc.with_periodic(tuple(periodic))
+    if neumann:
+        bc = bc.with_neumann(tuple(neumann))
     n_avail = len(jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_avail]
@@ -67,7 +77,8 @@ def run_weak_scaling(
     for n in mesh_sizes:
         gshape = (local_shape[0] * n,) + tuple(local_shape[1:])
         mesh = make_mesh((n,), ("x",))
-        grid = HaloGrid.create(gshape, halo=spec.radius, dtype=dtype)
+        grid = HaloGrid.create(gshape, halo=spec.radius, dtype=dtype,
+                               bc=bc)
         method = ShardedPallasStencil(
             spec, gshape, axis_name="x", dtype=dtype,
             sweeps_per_call=temporal, interpret=not on_tpu,
@@ -145,6 +156,11 @@ def main(argv=None) -> int:
     p.add_argument("-k", "--temporal", type=int, default=4)
     p.add_argument("--mesh-sizes", type=int, nargs="*", default=None)
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--periodic", type=int, nargs="*", default=[],
+                   help="dims with wrap-around BCs (a periodic sharded "
+                        "d0 = the torus-wrapped weak-scaling domain)")
+    p.add_argument("--neumann", type=int, nargs="*", default=[],
+                   help="dims with zero-flux mirror BCs")
     p.add_argument("--json-out", type=str, default=None)
     p.add_argument("--platform", type=str, default="")
     ns = p.parse_args(argv)
@@ -153,7 +169,8 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", ns.platform)
     pts = run_weak_scaling(tuple(ns.local), ns.spec, ns.temporal,
-                           ns.mesh_sizes, ns.dtype)
+                           ns.mesh_sizes, ns.dtype,
+                           periodic=ns.periodic, neumann=ns.neumann)
     if ns.json_out:
         with open(ns.json_out, "w") as f:
             for pt in pts:

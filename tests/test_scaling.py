@@ -54,3 +54,42 @@ def test_weak_scaling_8dev_matches_golden():
     np.testing.assert_allclose(
         np.asarray(result.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
     )
+
+def test_weak_scaling_periodic_torus():
+    """Torus-wrapped weak scaling: periodic sharded d0 (the circular
+    ppermute ring) + Neumann d1, through the harness's measured path,
+    cross-checked against the golden model at the widest mesh."""
+    import jax.numpy as jnp
+
+    from stencil_tpu.core.grid import DirichletBC
+
+    msgs = []
+    pts = run_weak_scaling(
+        local_shape=(8, 16, 24), spec_name="jacobi7", temporal=2,
+        mesh_sizes=[1, 4], periodic=(0,), neumann=(1,),
+        progress=msgs.append,
+    )
+    assert [p.n_devices for p in pts] == [1, 4]
+    assert all(p.glups > 0 for p in pts)
+
+    spec = get_spec("jacobi7")
+    n, k, iters = 4, 2, 6
+    gshape = (8 * n, 16, 24)
+    bc = (DirichletBC.reference_default(3)
+          .with_periodic((0,)).with_neumann((1,)))
+    mesh = make_mesh((n,), ("x",))
+    grid = HaloGrid.create(gshape, halo=spec.radius, bc=bc)
+    method = ShardedPallasStencil(
+        spec, gshape, axis_name="x", sweeps_per_call=k, interpret=True,
+    )
+    stacked = method.scatter(grid, mesh)
+    scratch = jnp.array(stacked, copy=True)
+    fn = method.iterate_fn(mesh, grid.bc)
+    out, _ = fn(stacked, scratch, jnp.int32(iters // k))
+    result = method.gather(out, mesh, grid)
+    ref = golden.golden_iterate(
+        np.zeros(gshape, np.float64), spec, iters, bc=grid.bc
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.interior(), np.float64), ref, atol=5e-6, rtol=5e-6
+    )
