@@ -425,6 +425,14 @@ def make_rma(config, spec, grid) -> Runner:
                     f"Neumann dim(s) {asym} at -k {k} need the stencil "
                     "mirror-symmetric in those dims (use -k 1 for "
                     "asymmetric taps)")
+        kr = k * spec.radius
+        shallow = [d for d in range(len(mesh_sizes), grid.ndim - 1)
+                   if (per[d] or neu[d])
+                   and grid.interior_shape[d] < kr]
+        if shallow:
+            raise ValueError(
+                f"dynamic unsharded dim(s) {shallow} are shallower than "
+                f"the temporal ghost depth k*r = {kr}")
     method = RmaStencil(
         spec,
         grid.interior_shape,

@@ -251,6 +251,19 @@ def test_rma_gates_on_lane_periodic():
         registry.get_runner("rma", cfg, sp, g)
 
 
+def test_rma_gates_eagerly_on_shallow_unsharded_dynamic_dim():
+    # an unsharded dynamic dim shallower than the k*r temporal ghost
+    # depth must be refused at runner construction (CLI 'unavailable'),
+    # not as a mid-run traceback
+    sp = S.get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3).with_periodic((1,))
+    g = HaloGrid.create((16, 3, 16), halo=1, bc=bc)
+    cfg = RunConfig(size=(16, 3, 16), spec="jacobi7", iterations=8,
+                    temporal=4, methods=("rma",), mesh=(2,))
+    with pytest.raises(ValueError, match="shallower"):
+        registry.get_runner("rma", cfg, sp, g)
+
+
 def test_direct_iterate_gates_too():
     # defense for direct API use (bypassing the registry): the default
     # tap mode (synth) synthesizes the LANE boundary as Dirichlet and
