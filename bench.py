@@ -36,9 +36,23 @@ def main() -> int:
     from stencil_tpu.utils.timing import measure_marginal, warmup_fetch_async
 
     t_start = time.perf_counter()
+
+    # If the TPU backend fails to initialize (the axon tunnel goes down
+    # between rounds), fall back to CPU so the driver still records a
+    # JSON line (flagged) instead of a backend traceback.
+    tpu_init_error = None
+    try:
+        devices = jax.devices()
+    except RuntimeError as e:
+        tpu_init_error = str(e).splitlines()[0][:160]
+        print(f"# TPU backend unavailable ({tpu_init_error}); "
+              "falling back to CPU", file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
+
     warm = warmup_fetch_async()  # overlap the one-time D2H cost
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = devices[0].platform == "tpu"
     shape = (256, 256, 256) if on_tpu else (32, 32, 32)
     spec = get_spec("jacobi7")
     dtype = "float32"
@@ -199,6 +213,8 @@ def main() -> int:
     }
     if configs_out:
         out["configs"] = configs_out
+    if tpu_init_error is not None:
+        out["tpu_unavailable"] = tpu_init_error
     print(json.dumps(out))
     return 0
 
