@@ -483,3 +483,34 @@ def test_dynamic_unsharded_shallow_dim_gates():
                    interpret=True)
     with pytest.raises(ValueError, match="shallower"):
         m.iterate(grid, 4, mesh)
+
+
+# ---- seeded fuzz: random BC modes on leading dims, random meshes ----------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_bc_modes_rma(seed):
+    """Random per-leading-dim BC modes (Dirichlet/periodic/Neumann) x
+    random 1D/2D meshes x random temporal depth through the in-kernel
+    RMA path — the rma analog of the tiled-kernel BC fuzz. Sharded dims
+    exercise rings/mirror_dim, unsharded leading dims the local refresh;
+    the lane dim stays Dirichlet (gated)."""
+    rng = np.random.default_rng(2000 + seed)
+    mesh_sizes = (2, 2) if rng.integers(0, 2) else (int(rng.choice([2, 4])),)
+    k = int(rng.choice([1, 2]))
+    kr = k * 1
+    # per-dim interior: divisible by the mesh, >= 2*k*r per device,
+    # unsharded dynamic dims deeper than k*r, and a SHARDED sublane dim
+    # needs its local size a multiple of the 8-row DMA granule
+    shape = [int(m * max(2 * kr, rng.integers(4, 8))) for m in mesh_sizes]
+    if len(mesh_sizes) == 2:
+        shape[1] = int(mesh_sizes[1] * 8 * rng.integers(1, 3))
+    shape = tuple(shape) + tuple(
+        int(rng.integers(max(2 * kr, 8), 24))
+        for _ in range(3 - len(mesh_sizes) - 1)) + (20,)
+    modes = [int(rng.integers(0, 3)) for _ in range(2)] + [0]
+    per = tuple(d for d in range(2) if modes[d] == 1)
+    neu = tuple(d for d in range(2) if modes[d] == 2)
+    iters = int(rng.integers(1, 3)) * k
+    _run_dynamic(get_spec("jacobi7"), shape, iters, mesh_sizes,
+                 periodic=per, neumann=neu, k=k, seed=3000 + seed)
