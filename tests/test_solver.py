@@ -70,3 +70,26 @@ def test_solver_with_temporal_pallas_kernel():
         np.asarray(res.grid.interior()), np.asarray(xres.grid.interior()),
         atol=1e-4,
     )
+
+
+def test_solver_with_periodic_dim():
+    """Convergence with a periodic d0 (a cylinder: wrap in d0, Dirichlet
+    walls in d1): the fixed point is invariant under the wrap, i.e.
+    constant along d0 — rows converge to the 1D harmonic profile set by
+    the lane walls."""
+    from stencil_tpu.core.grid import DirichletBC
+
+    spec = get_spec("jacobi5")
+    bc = DirichletBC.reference_default(2).with_periodic((0,))
+    grid = HaloGrid.create((24, 24), halo=1, dtype="float32", bc=bc)
+    runner = registry.get_runner("xla", None, spec, grid)
+    res = solver.solve(runner, grid, tolerance=1e-6, check_every=200,
+                       max_iterations=50_000)
+    assert res.converged, res.summary()
+    sol = np.asarray(res.grid.interior())
+    # translation invariance along the periodic dim
+    np.testing.assert_allclose(sol, np.roll(sol, 5, axis=0), atol=5e-5)
+    # steady state survives one more sweep
+    after = runner.iterate(res.grid, 1)
+    np.testing.assert_allclose(
+        np.asarray(after.interior()), sol, atol=5e-6)
