@@ -54,10 +54,23 @@ def make_grid(config: RunConfig, spec) -> HaloGrid:
         if config.neumann:
             bc = bc.with_neumann(config.neumann_dims())
         if all(bc.dynamic_mask(len(config.size))):
-            import numpy as np
-
             interior_seed = np.random.default_rng(0).random(
                 config.size).astype(config.dtype)
+    grid_bytes = int(np.prod(config.size)) * np.dtype(config.dtype).itemsize
+    try:
+        from stencil_tpu.device_model import hbm_bytes
+
+        too_big = 2 * grid_bytes > hbm_bytes()
+    except Exception:
+        too_big = False
+    if too_big:
+        # grids that cannot hold two device iterates live on the HOST:
+        # only the 'streamed' method can run them (other methods fail
+        # with a clean OOM when they try to materialize the grid)
+        from stencil_tpu.streaming import host_halo_grid
+
+        return host_halo_grid(config.size, halo=spec.radius, bc=bc,
+                              dtype=config.dtype, interior=interior_seed)
     if interior_seed is not None:
         import jax.numpy as jnp
 

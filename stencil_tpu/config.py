@@ -58,6 +58,9 @@ class RunConfig:
     # tile multiple with pinned thick ghosts instead of clamping the
     # last tile per dim (enables slide on ragged d1)
     embed: bool = False
+    # out-of-core 'streamed' method: host->device d0 chunk count
+    # (None = auto-sized from the attached device's HBM)
+    chunks: Optional[int] = None
 
     # boundary conditions: dims that wrap around (periodic) or mirror
     # (Neumann zero-flux) instead of holding the Dirichlet face values
@@ -175,6 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "interior in the next tile multiple with pinned "
                         "thick ghosts instead of clamping the last tile "
                         "(disjoint windows; makes ragged d1 slide-legal)")
+    p.add_argument("--chunks", type=int, default=None,
+                   help="out-of-core 'streamed' method: number of host->"
+                        "device d0 chunks (default: auto-sized from the "
+                        "attached device's HBM)")
     p.add_argument("--periodic", type=str, nargs="*", default=[],
                    help="dims with periodic (wrap-around) boundaries "
                         "instead of Dirichlet faces, e.g. --periodic 0 1 "
@@ -239,6 +246,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         slide=ns.slide,
         cores=ns.cores,
         embed=ns.embed,
+        chunks=ns.chunks,
         periodic=tuple(ns.periodic),
         neumann=tuple(ns.neumann),
         repeat=ns.repeat,

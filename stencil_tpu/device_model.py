@@ -92,6 +92,55 @@ class Budgets:
     limit_cap: Optional[int]  # None on the 128MiB reference capacity
 
 
+# Device (HBM) memory per chip by device-kind substring, used by the
+# out-of-core streaming method to auto-size host chunks. First match
+# wins, matched lowercase. Values are the public per-chip figures; the
+# runtime's own report (memory_stats) wins when available.
+HBM_BY_KIND = (
+    ("v2", 8 << 30),
+    ("v3", 16 << 30),
+    ("v4", 32 << 30),
+    ("v5p", 95 << 30),
+    ("v5 lite", 16 << 30),
+    ("v5e", 16 << 30),
+    ("v6 lite", 32 << 30),
+    ("v6e", 32 << 30),
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _detected_hbm_cached() -> int:
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        try:
+            stats = dev.memory_stats()
+            limit = int(stats.get("bytes_limit", 0))
+            if limit > 0:
+                return limit
+        except Exception:
+            pass
+        kind = str(getattr(dev, "device_kind", "")).lower()
+    except Exception:
+        return 16 << 30
+    for sub, cap in HBM_BY_KIND:
+        if sub in kind:
+            return cap
+    return 16 << 30
+
+
+def hbm_bytes() -> int:
+    """Device (HBM) memory of the attached chip: the runtime's reported
+    ``bytes_limit`` when available, else a per-kind table, else the v5e
+    16GiB (env override ``STENCIL_TPU_HBM_MB`` first — also what lets
+    CPU tests simulate a small device to exercise auto-chunking)."""
+    env = os.environ.get("STENCIL_TPU_HBM_MB")
+    if env:
+        return int(env) * MIB
+    return _detected_hbm_cached()
+
+
 def budgets(vmem: Optional[int] = None) -> Budgets:
     v = vmem_bytes() if vmem is None else vmem
 

@@ -127,14 +127,17 @@ def _make_pallas(config, spec, grid, k: int) -> Runner:
     if config is not None and (config.autotune or config.slide
                                or config.slots != 2
                                or config.cores != 1
-                               or config.embed) and _on_tpu():
-        # autotune/slide/slots/cores/embed are 3D tiled-kernel options;
-        # the 2D slab kernel has one lever (-b slab rows) with a
-        # measured-flat response — pinned defaults apply
+                               or config.embed
+                               or config.chunks is not None) and _on_tpu():
+        # autotune/slide/slots/cores/embed are 3D tiled-kernel options
+        # (chunks belongs to the 3D-only 'streamed' method); the 2D slab
+        # kernel has one lever (-b slab rows) with a measured-flat
+        # response — pinned defaults apply
         import sys
 
-        print("# autotune/slide/slots/cores/embed apply to the 3D tiled "
-              "kernel; 2D slab path uses pinned defaults", file=sys.stderr)
+        print("# autotune/slide/slots/cores/embed/chunks apply to 3D "
+              "methods; 2D slab path uses pinned defaults",
+              file=sys.stderr)
     tap_mode = _dynamic_kernel_constraints(
         grid, spec, k, getattr(config, "tap_mode", None), ("slice",),
         "2D slab"
@@ -452,6 +455,47 @@ def make_rma(config, spec, grid) -> Runner:
     )
 
 
+def make_streamed(config, spec, grid) -> Runner:
+    """Out-of-core host-streamed iteration: grids larger than device
+    HBM, swept one d0 chunk at a time through the tiled kernel with
+    k*r-deep host-seeded ghosts (the reference documents this as
+    "multiple rounds" and never implements it,
+    ``program_options.hpp:11-14``). ``--chunks`` forces the chunk
+    count; the default auto-sizes from the attached device's HBM."""
+    from stencil_tpu.streaming import StreamedStencil
+
+    k = config.temporal if config is not None and config.temporal > 1 else 1
+    tap_mode = _dynamic_kernel_constraints(
+        grid, spec, k, getattr(config, "tap_mode", None),
+        ("slice", "roll"), "streamed (tiled 3D)"
+    )
+    method = StreamedStencil(
+        spec,
+        grid.interior_shape,
+        dtype=str(grid.dtype),
+        sweeps_per_call=k,
+        chunks=getattr(config, "chunks", None),
+        tap_mode=tap_mode,
+        interpret=not _on_tpu(),
+    )
+    plan = method.plan
+    return Runner(
+        name=f"streamed(C={method.num_chunks},k={k})",
+        iterate=method.iterate,
+        description=(
+            "out-of-core host-resident grid streamed through the tiled "
+            "kernel one d0 chunk at a time (k*r-deep host-seeded ghosts)"
+        ),
+        granularity=k,
+        plan_info={
+            "kernel": "streamed", "chunks": method.num_chunks,
+            "chunk_planes": [b - a for a, b in method.bounds],
+            "tiles": [plan.s0, plan.t1], "tap_mode": plan.tap_mode,
+            "k": k, "vmem_limit": plan.vmem_limit,
+        },
+    )
+
+
 REGISTRY: Dict[str, Callable] = {
     "xla": make_xla,
     "pallas": make_pallas,
@@ -461,6 +505,7 @@ REGISTRY: Dict[str, Callable] = {
     "sharded_noverlap": make_sharded_noverlap,
     "sharded_pallas": make_sharded_pallas,
     "rma": make_rma,
+    "streamed": make_streamed,
 }
 
 # Dynamic BCs — periodic (wrap-around) and Neumann (zero-flux mirror)
