@@ -88,6 +88,11 @@ def main() -> int:
             # tiles; round-3 capability, previously driver-invisible)
             ("cfg6_ragged_257_k8", "jacobi7", (257, 257, 257),
              "float32", "pallas_temporal", 8, None, {}),
+            # the REAL config-5 per-device block (weak-scaling compute
+            # term, measured 86.6 GLUPS round 4 — the driver artifact
+            # should catch a regression of the fat-lane tile widening)
+            ("cfg5_local_256x256x1024_k8", "jacobi7", (256, 256, 1024),
+             "float32", "pallas_temporal", 8, None, {}),
             # rma keeps the whole block VMEM-resident: 64x64x128 fp32 is
             # the validated k=2 on-silicon geometry (128.2 GLUPS round
             # 2); 128^3 k=2 correctly refuses (3 buffers exceed the
