@@ -43,14 +43,24 @@ class CheckpointState:
     bc: DirichletBC
     halo: int
 
-    def to_grid(self, dtype=None) -> HaloGrid:
+    def to_grid(self, dtype=None, host: bool = False) -> HaloGrid:
+        """Rebuild the HaloGrid. ``host=True`` keeps the iterate a host
+        NumPy array (the streamed method's residency — a grid exceeding
+        device HBM must never be materialized on device; the resume
+        path would otherwise OOM exactly on the grids long enough to
+        need checkpointing)."""
+        interior = (self.interior if dtype is None
+                    else self.interior.astype(np.dtype(str(dtype))))
+        if host:
+            from stencil_tpu.core.grid import fill_halo_np
+
+            padded = np.pad(interior, self.halo)
+            padded = fill_halo_np(padded, self.halo, self.bc)
+            return HaloGrid(data=padded, halo=self.halo, bc=self.bc)
         import jax.numpy as jnp
 
-        arr = jnp.asarray(
-            self.interior if dtype is None
-            else self.interior.astype(dtype)
-        )
-        return HaloGrid.from_interior(arr, halo=self.halo, bc=self.bc)
+        return HaloGrid.from_interior(jnp.asarray(interior),
+                                      halo=self.halo, bc=self.bc)
 
 
 def save(path: str | Path, grid: HaloGrid, iteration: int,
@@ -179,7 +189,11 @@ class CheckpointedRun:
                     f"neumann={grid.bc.neumann}); "
                     "refusing to resume (use a fresh directory)"
                 )
-            grid = state.to_grid(dtype=grid.dtype)
+            # preserve the incoming grid's residency: a host NumPy
+            # iterate (the streamed out-of-core method) must resume
+            # host-side — it may not fit device HBM at all
+            grid = state.to_grid(dtype=grid.dtype,
+                                 host=isinstance(grid.data, np.ndarray))
             start = state.iteration
             if progress:
                 progress(f"resumed from {ckpt} at iteration {start}")

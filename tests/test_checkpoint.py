@@ -121,6 +121,49 @@ def test_bc_mismatch_rejected(tmp_path, setup):
         ).run(other, 10)
 
 
+def test_resume_stays_host_resident_for_streamed(tmp_path, monkeypatch):
+    """The streamed (out-of-core) method's iterate lives in host RAM; a
+    grid needing streaming may exceed device HBM, so resume must rebuild
+    it HOST-side (``to_grid(host=True)``) — the device path would OOM on
+    exactly the runs long enough to need checkpointing."""
+    from stencil_tpu.streaming import host_halo_grid
+
+    spec = get_spec("jacobi7")
+    shape = (18, 16, 20)
+    cfg = RunConfig(size=shape, spec="jacobi7", methods=("streamed",),
+                    chunks=3, temporal=2)
+    grid = host_halo_grid(shape, halo=spec.radius)
+    runner = registry.get_runner("streamed", cfg, spec, grid)
+    ref = runner.iterate(grid, 12)
+
+    host_flags = []
+    orig = checkpoint.CheckpointState.to_grid
+
+    def spy(self, dtype=None, host=False):
+        host_flags.append(host)
+        return orig(self, dtype=dtype, host=host)
+
+    monkeypatch.setattr(checkpoint.CheckpointState, "to_grid", spy)
+    d = tmp_path / "streamed"
+    checkpoint.CheckpointedRun(runner, d, every=4,
+                               spec_name="jacobi7").run(grid, 8)
+    out, done = checkpoint.CheckpointedRun(
+        runner, d, every=4, spec_name="jacobi7"
+    ).run(grid, 12)
+    assert done == 12
+    assert host_flags == [True]        # the resume rebuilt host-side
+    assert isinstance(out.data, np.ndarray)
+    np.testing.assert_allclose(
+        np.asarray(out.interior()), np.asarray(ref.interior()), atol=1e-6)
+    # and the host rebuild carries the same halo content the streamed
+    # entry point (host_halo_grid) would give a fresh grid
+    state = checkpoint.load(checkpoint.latest(d))
+    g = state.to_grid(host=True)
+    fresh = host_halo_grid(shape, halo=spec.radius,
+                           interior=state.interior)
+    np.testing.assert_array_equal(g.data, fresh.data)
+
+
 @pytest.mark.parametrize("method,cfg_kwargs", [
     ("pallas", {"temporal": 2}),
     ("sharded_pallas", {"temporal": 2, "mesh": (2,)}),
