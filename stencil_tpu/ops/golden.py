@@ -56,18 +56,32 @@ def golden_iterate(
     spec: StencilSpec,
     iterations: int,
     bc: Optional[DirichletBC] = None,
+    source: Optional[np.ndarray] = None,
+    source_scale: float = 1.0,
 ) -> np.ndarray:
     """Run ``iterations`` Jacobi sweeps at float64, returning the final
     interior. Ping-pong parity is handled functionally (the reference tracks
-    it with a ``swapped`` flag, ``stencil.cpp:88-134``)."""
+    it with a ``swapped`` flag, ``stencil.cpp:88-134``).
+
+    ``source`` (interior-shaped, optional) adds ``source_scale * source``
+    to every sweep — the affine update ``u' = S(u) + c*f`` behind Poisson
+    relaxation and forced diffusion (``models/poisson.py``). The reference
+    has no source-term capability."""
     if bc is None:
         bc = DirichletBC.reference_default(interior0.ndim)
     r = spec.radius
     padded = np.pad(np.asarray(interior0, dtype=np.float64), r)
     padded = fill_halo_np(padded, r, bc)
     idx = tuple(slice(r, s - r) for s in padded.shape)
+    src = None
+    if source is not None:
+        src = source_scale * np.asarray(source, dtype=np.float64)
+        if src.shape != padded[idx].shape:
+            raise ValueError(
+                f"source shape {src.shape} != interior {padded[idx].shape}")
     for _ in range(iterations):
-        padded[idx] = golden_sweep(padded, spec)
+        new = golden_sweep(padded, spec)
+        padded[idx] = new if src is None else new + src
         if bc.any_dynamic:
             # dynamic ghosts (periodic wraps, Neumann mirrors) hold data
             # derived from the *current* iterate

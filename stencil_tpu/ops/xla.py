@@ -88,3 +88,34 @@ def iterate_dynamic(grid: HaloGrid, spec: StencilSpec,
     return lax.fori_loop(
         0, iterations, lambda _, g: sweep(g, spec), grid
     )
+
+
+def sweep_source(grid: HaloGrid, spec: StencilSpec,
+                 scaled_source: jax.Array) -> HaloGrid:
+    """One affine sweep ``u' = S(u) + scaled_source`` (interior-shaped
+    ``scaled_source`` already carries its scale factor). XLA fuses the add
+    into the tap-accumulation pass — one extra read per point, no extra
+    HBM round trip. This is the update behind Poisson relaxation
+    (``models/poisson.py``); the reference has no source-term capability
+    (its update is purely homogeneous, ``stencil.cpp:85-125``)."""
+    new_interior = apply_spec(grid.data, spec, halo=grid.halo) + scaled_source
+    out = grid.with_interior(new_interior)
+    if grid.bc.any_dynamic:
+        out = HaloGrid(
+            data=refresh_dynamic(out.data, out.halo, out.bc),
+            halo=out.halo, bc=out.bc,
+        )
+    return out
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def iterate_source_dynamic(grid: HaloGrid, spec: StencilSpec,
+                           iterations: jax.Array,
+                           scaled_source: jax.Array) -> HaloGrid:
+    """``iterations`` affine sweeps ``u' = S(u) + scaled_source`` under one
+    jit with a traced iteration count (one executable serves every chunk
+    size of a convergence-driven solve, ``solver.solve``)."""
+    return lax.fori_loop(
+        0, iterations, lambda _, g: sweep_source(g, spec, scaled_source),
+        grid,
+    )
