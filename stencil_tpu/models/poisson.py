@@ -77,34 +77,73 @@ class PoissonProblem:
         return HaloGrid.from_interior(
             jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
 
-    def runner(self, f) -> Runner:
+    def runner(self, f, method: str = "xla", sweeps_per_call: int = 8,
+               interpret: bool = False, **plan_kw) -> Runner:
         """A registry-compatible Runner whose every sweep applies the
-        fused source: plugs straight into ``solver.solve``."""
-        import jax.numpy as jnp
+        fused source: plugs straight into ``solver.solve``.
 
-        from stencil_tpu.ops import xla
+        ``method='xla'`` is the always-available fused-slice path;
+        ``method='pallas_tiled'`` (3D only) runs the temporal-blocked
+        tiled kernel with the source streamed per tile window — the
+        full-speed path (the kernel sustains >100 GLUPS on v5e where
+        the XLA sweep reaches ~11; the extra source window amortizes
+        over ``sweeps_per_call`` sweeps). ``'auto'`` picks the tiled
+        kernel for 3D problems."""
+        if method == "auto":
+            method = "pallas_tiled" if self.ndim == 3 else "xla"
+        if method == "xla":
+            import jax.numpy as jnp
 
-        scaled = jnp.asarray(np.asarray(f) * self.source_scale,
-                             dtype=self.dtype)
-        if scaled.shape != tuple(self.shape):
-            raise ValueError(
-                f"source shape {scaled.shape} != interior {self.shape}")
-        return Runner(
-            name=f"poisson_xla({self.ndim}d)",
-            iterate=lambda g, n: xla.iterate_source_dynamic(
-                g, self.spec, jnp.int32(n), scaled),
-            description="Jacobi relaxation of laplacian(u)=f "
-                        "(fused source term)",
-        )
+            from stencil_tpu.ops import xla
+
+            scaled = jnp.asarray(np.asarray(f) * self.source_scale,
+                                 dtype=self.dtype)
+            if scaled.shape != tuple(self.shape):
+                raise ValueError(
+                    f"source shape {scaled.shape} != interior "
+                    f"{self.shape}")
+            return Runner(
+                name=f"poisson_xla({self.ndim}d)",
+                iterate=lambda g, n: xla.iterate_source_dynamic(
+                    g, self.spec, jnp.int32(n), scaled),
+                description="Jacobi relaxation of laplacian(u)=f "
+                            "(fused source term)",
+            )
+        if method == "pallas_tiled":
+            if self.ndim != 3:
+                raise ValueError(
+                    "the tiled source kernel is 3D-only; use "
+                    "method='xla' for 2D Poisson problems")
+            from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+            m = TiledPallasStencil(
+                self.spec, self.shape, dtype=self.dtype,
+                sweeps_per_call=sweeps_per_call, interpret=interpret,
+                source=f, source_scale=self.source_scale, **plan_kw)
+            return Runner(
+                name=f"poisson_tiled(k={sweeps_per_call})",
+                iterate=m.iterate,
+                granularity=sweeps_per_call,
+                description="Jacobi relaxation of laplacian(u)=f on the "
+                            "temporal-blocked tiled kernel (source "
+                            "streamed per tile window)",
+                plan_info={"kernel": "pallas_tiled",
+                           "tiles": (m.plan.s0, m.plan.t1),
+                           "tap_mode": m.plan.tap_mode,
+                           "has_source": True},
+            )
+        raise ValueError(f"unknown Poisson method {method!r} "
+                         "(xla | pallas_tiled | auto)")
 
     def solve(self, f, tolerance: float = 1e-6,
               max_iterations: int = 200_000, check_every: int = 200,
-              progress=None):
+              progress=None, method: str = "xla", **runner_kw):
         """Relax to the discrete solution of ``laplacian(u) = f``;
         returns ``solver.SolveResult``."""
         from stencil_tpu import solver
 
-        return solver.solve(self.runner(f), self.initial_grid(),
+        return solver.solve(self.runner(f, method=method, **runner_kw),
+                            self.initial_grid(),
                             tolerance=tolerance,
                             max_iterations=max_iterations,
                             check_every=check_every, progress=progress)

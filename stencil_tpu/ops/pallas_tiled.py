@@ -151,6 +151,14 @@ class TiledPlan:
     # slide-legal. Encoded purely in the layout pads: the kernel reads
     # extra0/extra1 off them, so clamp and embed share every code path.
     embed: bool = False
+    # Fused source term: every virtual sweep computes the AFFINE update
+    # u' = S(u) + src (src a static padded array with this layout, its
+    # scale pre-applied, streamed per tile through its own DMA slots and
+    # added before the ghost re-pinning). This is the Jacobi-Poisson /
+    # forced-diffusion update (models/poisson.py) at full tiled-kernel
+    # speed; the reference's update is purely homogeneous
+    # (stencil.cpp:85-125).
+    has_source: bool = False
 
     @property
     def halo(self) -> int:
@@ -168,7 +176,7 @@ class TiledPlan:
 
 
 def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
-                slots=2, slide=False) -> int:
+                slots=2, slide=False, has_source=False) -> int:
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
@@ -180,25 +188,29 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
     out = s0 * t1 * P2
     # `slots` input slots + compute ping-pong (x2 when sliding: the DMA
     # window must stay pristine) + 2 output slots + ~1 win of Mosaic tap
-    # temporaries
+    # temporaries; a fused source streams through its own `slots` window
+    # slots (plus sweep-slice temporaries, charged as one more window)
     cbuf = (2 * win if slide else win) if k > 1 else 0
-    return (slots * win + cbuf + 2 * out + win) * itemsize
+    src = (slots + 1) * win if has_source else 0
+    return (slots * win + cbuf + 2 * out + win + src) * itemsize
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                vmem_budget=None, tap_mode="synth",
-               s0_fixed=None):
+               s0_fixed=None, has_source=False):
     """All VMEM-feasible (s0, t1) candidates, best-ranked first, by the
     same fetched/useful ratio ``choose_tiles`` uses. The autotuner
     measures the head of this list on the attached device."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
-                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed)
+                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
+                           has_source)
     return [t for _, t in ranked]
 
 
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=None,
-                 tap_mode="synth", s0_fixed=None) -> Optional[Tuple[int, int]]:
+                 tap_mode="synth", s0_fixed=None,
+                 has_source=False) -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) minimizing the fetched-window/useful-points ratio
     ceil(n0/s0)*ceil(n1/t1)*(s0+2kr)(t1+2p1)/(n0*n1) within budget;
     t1 % sublane == 0 (or the whole dim). Tiles need NOT divide the grid
@@ -212,12 +224,13 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     at 129.5). ``s0_fixed`` pins the d0 tile size (the CLI's -b/--block
     flag) and only t1 is chosen."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
-                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed)
+                           sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
+                           has_source)
     return ranked[0][1] if ranked else None
 
 
 def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
-                  vmem_budget, tap_mode, s0_fixed):
+                  vmem_budget, tap_mode, s0_fixed, has_source=False):
     widened = False
     if vmem_budget is None \
             and _wants_wide_budget(interior_shape, dtype, tap_mode):
@@ -294,7 +307,8 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
         for t1 in t1_c:
             cap = base_budget if t1 == n1 else vmem_budget
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                           s0, t1, tap_mode) <= cap:
+                           s0, t1, tap_mode,
+                           has_source=has_source) <= cap:
                 nt0 = -(-n0 // s0)
                 nt1 = -(-n1 // t1)
                 vol = s0 * t1
@@ -312,7 +326,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_budget=None,
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
-                    cores=1, embed=False) -> TiledPlan:
+                    cores=1, embed=False, has_source=False) -> TiledPlan:
     # budget resolution is delegated to choose_tiles: a defaulted (None)
     # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
@@ -328,6 +342,10 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             "slide's sliding-window overlap chain crosses the whole tile "
             "walk and cannot be split across cores; use cores=1 or "
             "slide=False")
+    if slide and has_source:
+        raise ValueError(
+            "slide's partial-window fetch schedule is not implemented "
+            "for the source operand; use slide=False with a source")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -340,7 +358,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         tap_mode = {4: "rotacc", 2: "synth"}.get(itemsize, "slice")
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
-                             vmem_budget, tap_mode)
+                             vmem_budget, tap_mode, has_source=has_source)
         if tiles is None:
             sublane = sublane_for_dtype(dtype)
             raise ValueError(
@@ -455,7 +473,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
         # 80MB limit and hard-crashes at 61MB).
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                          s0, t1, tap_mode, slots, slide)
+                          s0, t1, tap_mode, slots, slide, has_source)
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
@@ -505,7 +523,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
                      tap_mode=tap_mode, pipeline=pipeline, slots=slots,
-                     slide=slide, cores=cores, embed=embed)
+                     slide=slide, cores=cores, embed=embed,
+                     has_source=has_source)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -581,8 +600,14 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
             )
 
-    def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, out_hbm, scratch,
-               cbuf, otile, isem, osem, cbuf2, csem):
+    def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, *rest):
+        if plan.has_source:
+            (src_hbm, out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
+             csem, sscratch, ssem) = rest
+        else:
+            (out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
+             csem) = rest
+            src_hbm = sscratch = ssem = None
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -612,6 +637,17 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 cur_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
                 scratch.at[sl],
                 isem.at[sl],
+            )
+
+        def src_copy(i, sl):
+            # source-window twin of in_copy (full windows only: slide's
+            # partial fetch is plan-gated off with a source)
+            r0, c1 = tile_coords(i)
+            c1 = pl.multiple_of(c1, sublane)
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
+                sscratch.at[sl],
+                ssem.at[sl],
             )
 
         def ov_copy(sl_src, sl_dst):
@@ -970,6 +1006,16 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 a1, m1 = p1 - need, t1 + 2 * need
                 src = scratch.at[sl] if t == 1 else wbuf(t - 1)
                 y = taps_into(src[...], a0, m0, a1, m1)
+                if plan.has_source:
+                    # affine update u' = S(u) + src: the source window
+                    # holds pre-scaled values with the SAME layout, its
+                    # dynamic ghosts carrying wrapped/mirrored images
+                    # (static — refreshed once at pad time), so extended
+                    # band cells add the f of the interior point they
+                    # represent; physical-ghost band rows are re-pinned
+                    # right after, so their src values never matter
+                    y = y + sscratch.at[sl][a0:a0 + m0, a1:a1 + m1,
+                                            d2_lo:d2_lo + n2]
                 if t < k:
                     dst = wbuf(t)
                     dst[pl.ds(a0, m0), pl.ds(a1, m1),
@@ -1055,6 +1101,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 osl = lax.rem(pos, 2)
                 in_copy(tid, sl).start()
                 in_copy(tid, sl).wait()
+                if plan.has_source:
+                    src_copy(tid, sl).start()
+                    src_copy(tid, sl).wait()
                 compute(sl, osl, tid)
                 out_copy(tid, osl).start()
                 out_copy(tid, osl).wait()
@@ -1078,9 +1127,13 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # position == tile id, so its row-start arithmetic stays on ids.
         if plan.cores == 1:
             in_copy(ids_ref[0], 0).start()
+            if plan.has_source:
+                src_copy(ids_ref[0], 0).start()
             for j in range(1, min(S, nt_run)):
                 in_copy(ids_ref[j], j,
                         partial=slide and not is_row_start(j)).start()
+                if plan.has_source:
+                    src_copy(ids_ref[j], j).start()
         else:
             # dynamic chunk bounds (slide impossible here, validated):
             # prime slots for the first S positions of THIS chunk
@@ -1089,6 +1142,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 def _(j=j):
                     in_copy(ids_ref[c_lo + j],
                             lax.rem(c_lo + j, S)).start()
+                    if plan.has_source:
+                        src_copy(ids_ref[c_lo + j],
+                                 lax.rem(c_lo + j, S)).start()
 
         def body(pos, _):
             tid = ids_ref[pos]
@@ -1107,6 +1163,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     in_copy(tid, sl).wait()
             else:
                 in_copy(tid, sl).wait()
+                if plan.has_source:
+                    src_copy(tid, sl).wait()
 
             @pl.when(pos >= c_lo + 2)
             def _():
@@ -1146,6 +1204,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 @pl.when(pos + S < c_hi)
                 def _():
                     in_copy(ids_ref[pos + S], sl).start()
+                    if plan.has_source:
+                        src_copy(ids_ref[pos + S], sl).start()
 
             out_copy(tid, osl).start()
             return 0
@@ -1187,35 +1247,55 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         grid_kwargs["grid"] = (plan.cores,)
         cparams["dimension_semantics"] = ("parallel",)
 
-    @jax.jit
-    def sweep(cur, nxt, pins=None):
-        if pins is None:
-            pins = jnp.ones((4,), jnp.int32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((S,) + win_shape, dtype),
+        pltpu.VMEM(win_shape if k > 1 else (1, 1, 1), dtype),
+        pltpu.VMEM((2,) + otile_shape, dtype),
+        pltpu.SemaphoreType.DMA((S,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM(win_shape if (k > 1 and plan.slide)
+                   else (1, 1, 1), dtype),
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    if plan.has_source:
+        # the source streams through its own S window slots + semaphores
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((S,) + win_shape, dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+        ]
+
+    def _call(pins, *arrays):
         return pl.pallas_call(
             kernel,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((P0, P1, P2), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((S,) + win_shape, dtype),
-                pltpu.VMEM(win_shape if k > 1 else (1, 1, 1), dtype),
-                pltpu.VMEM((2,) + otile_shape, dtype),
-                pltpu.SemaphoreType.DMA((S,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM(win_shape if (k > 1 and plan.slide)
-                           else (1, 1, 1), dtype),
-                pltpu.SemaphoreType.DMA((1,)),
-            ],
+            scratch_shapes=scratch_shapes,
             input_output_aliases={3: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(**cparams),
             **grid_kwargs,
-        )(pins, jnp.asarray(ids_arr), cur, nxt)
+        )(pins, jnp.asarray(ids_arr), *arrays)
+
+    if plan.has_source:
+        @jax.jit
+        def sweep(cur, nxt, src, pins=None):
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt, src)
+    else:
+        @jax.jit
+        def sweep(cur, nxt, pins=None):
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt)
 
     return sweep
 
@@ -1341,22 +1421,105 @@ def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
     return run
 
 
+def pad_source(plan: TiledPlan, source, source_scale, bc: DirichletBC):
+    """Build the padded source operand of a ``has_source`` plan.
+
+    Interior = ``source_scale * source``; Dirichlet ghost zones hold 0
+    (they are only ever read into band cells that the kernel re-pins, so
+    the value never survives); dynamic (periodic/Neumann) ghost zones
+    hold the wrapped/mirrored images of the interior source at full
+    temporal depth — static, because the source does not evolve, so ONE
+    refresh at pad time replaces the per-call refresh the iterate does
+    for ``u``."""
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    dt = jnp.dtype(plan.dtype)
+    src_bc = DirichletBC(values=tuple([(0.0, 0.0)] * 3),
+                         periodic=bc.periodic, neumann=bc.neumann)
+    scaled = jnp.asarray(source, dt) * jnp.asarray(source_scale, dt)
+    if scaled.shape != plan.interior_shape:
+        raise ValueError(
+            f"source shape {scaled.shape} != interior "
+            f"{plan.interior_shape}")
+    p = plan.layout.pad(scaled, src_bc)
+    if src_bc.any_dynamic:
+        p = refresh_dynamic_layout(p, plan.layout, src_bc,
+                                   plan.layout.halo)
+    return p
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tiled_source_iterate(plan: TiledPlan, bc: DirichletBC,
+                                 interpret: bool, grid_halo: int):
+    """Source-term twin of ``_cached_tiled_iterate``: the jitted runner
+    additionally threads the (static, pre-padded) source operand into
+    every kernel call."""
+    from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+    depth = plan.layout.halo
+    pins = _dynamic_pins(bc) if bc.any_dynamic else None
+
+    @jax.jit
+    def run(data, n_outer, src_padded):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        if bc.any_dynamic:
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
+        nxt = jnp.copy(cur)
+
+        def body(_, carry):
+            c, n = carry
+            if bc.any_dynamic:
+                out = sweep(c, n, src_padded, jnp.asarray(pins))
+                out = refresh_dynamic_layout(out, plan.layout, bc, depth)
+            else:
+                out = sweep(c, n, src_padded)
+            return (out, c)
+
+        cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
+        out = jnp.pad(plan.layout.unpad(cur), h)
+        return fill_halo(out, h, bc)
+
+    return run
+
+
 class TiledPallasStencil:
     """User-facing handle mirroring ``ops.pallas.PallasStencil`` for the
-    3D 2D-tiled kernel."""
+    3D 2D-tiled kernel. ``source`` (interior-shaped, static) makes every
+    virtual sweep the affine update ``u' = S(u) + source_scale*source``
+    (Jacobi-Poisson relaxation at full kernel speed)."""
 
     def __init__(self, spec, interior_shape, dtype="float32",
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False,
-                 cores=1, embed=False):
+                 cores=1, embed=False, source=None, source_scale=1.0):
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode, pipeline, slots,
-                                    slide, cores, embed)
+                                    slide, cores, embed,
+                                    has_source=source is not None)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
+        if source is not None \
+                and tuple(np.shape(source)) != self.plan.interior_shape:
+            raise ValueError(
+                f"source shape {tuple(np.shape(source))} != interior "
+                f"{self.plan.interior_shape}")
+        self.source = source
+        self.source_scale = source_scale
+        self._src_padded = {}  # bc -> padded source for self.plan
+
+    def _padded_source(self, plan: TiledPlan, bc: DirichletBC):
+        key = (plan, bc)
+        if key not in self._src_padded:
+            self._src_padded[key] = pad_source(plan, self.source,
+                                               self.source_scale, bc)
+        return self._src_padded[key]
 
     def prepare(self, grid: HaloGrid):
         padded = self.plan.layout.pad_grid(grid)
@@ -1433,10 +1596,17 @@ class TiledPallasStencil:
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data
+        has_src = self.plan.has_source
         if n_outer:
-            run = _cached_tiled_iterate(self.plan, grid.bc, self.interpret,
-                                        grid.halo)
-            data = run(data, n_outer)
+            if has_src:
+                run = _cached_tiled_source_iterate(
+                    self.plan, grid.bc, self.interpret, grid.halo)
+                data = run(data, n_outer,
+                           self._padded_source(self.plan, grid.bc))
+            else:
+                run = _cached_tiled_iterate(self.plan, grid.bc,
+                                            self.interpret, grid.halo)
+                data = run(data, n_outer)
         if rem:
             rem_method = TiledPallasStencil(
                 self.spec, self.plan.interior_shape, self.plan.dtype,
@@ -1450,8 +1620,16 @@ class TiledPallasStencil:
                 slide=self.plan.slide,
                 cores=self.plan.cores,
                 embed=self.plan.embed,
+                source=self.source,
+                source_scale=self.source_scale,
             )
-            run = _cached_tiled_iterate(rem_method.plan, grid.bc,
-                                        self.interpret, grid.halo)
-            data = run(data, 1)
+            if has_src:
+                run = _cached_tiled_source_iterate(
+                    rem_method.plan, grid.bc, self.interpret, grid.halo)
+                data = run(data, 1,
+                           self._padded_source(rem_method.plan, grid.bc))
+            else:
+                run = _cached_tiled_iterate(rem_method.plan, grid.bc,
+                                            self.interpret, grid.halo)
+                data = run(data, 1)
         return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)

@@ -1,0 +1,181 @@
+"""Fused source term on the tiled 3D Pallas kernel.
+
+Every virtual sweep computes the affine update ``u' = S(u) + c*f`` with
+the (static, pre-scaled, layout-padded) source streamed per tile window
+through its own DMA slots. Differential-tested against the float64
+golden model (``ops/golden.py:golden_iterate(source=...)``) across tap
+modes, temporal depths, ragged shapes, dynamic BCs, dtypes, and the
+schedule variants (serialized DMA, multi-core walk, tile subsets);
+the Poisson model rides this path via ``runner(method='pallas_tiled')``.
+"""
+
+import numpy as np
+import pytest
+
+from stencil_tpu.core.grid import DirichletBC, HaloGrid
+from stencil_tpu.core.spec import get_spec
+from stencil_tpu.models.poisson import PoissonProblem, manufactured_sine
+from stencil_tpu.ops.golden import golden_iterate
+from stencil_tpu.ops.pallas_tiled import (
+    TiledPallasStencil, make_tiled_plan, pad_source, _cached_tiled_sweep,
+)
+
+
+def _run_case(shape, k, iters, tap_mode=None, bc=None, dtype="float32",
+              tiles=None, atol=3e-5, spec_name="jacobi7", scale=-0.04,
+              **kw):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(hash((shape, k, iters, str(tap_mode),
+                                      dtype)) % 2**32)
+    spec = get_spec(spec_name)
+    if bc is None:
+        bc = DirichletBC.reference_default(3)
+    u0 = rng.normal(size=shape).astype(np.float32)
+    f = rng.normal(size=shape).astype(np.float32)
+    want = golden_iterate(u0, spec, iters, bc=bc, source=f,
+                          source_scale=scale)
+    m = TiledPallasStencil(spec, shape, dtype=dtype, sweeps_per_call=k,
+                           tap_mode=tap_mode, tiles=tiles, interpret=True,
+                           source=f, source_scale=scale, **kw)
+    g = HaloGrid.from_interior(jnp.asarray(u0, dtype), halo=spec.radius,
+                               bc=bc)
+    got = np.asarray(m.iterate(g, iters).interior(), np.float64)
+    err = float(np.max(np.abs(got - want)))
+    assert err < atol, (err, atol)
+
+
+@pytest.mark.parametrize("tap_mode", ["slice", "roll", "synth", "rotacc"])
+def test_source_matches_golden_all_tap_modes(tap_mode):
+    _run_case((16, 24, 20), 4, 8, tap_mode=tap_mode)
+
+
+@pytest.mark.parametrize("k,iters", [(1, 3), (2, 6), (8, 16)])
+def test_source_temporal_depths(k, iters):
+    _run_case((16, 16, 24), k, iters)
+
+
+def test_source_remainder_sweeps():
+    _run_case((16, 24, 20), 4, 10)  # 2 outer + rem 2
+
+
+def test_source_ragged_clamped_tiles():
+    _run_case((13, 17, 19), 3, 7, tap_mode="synth")
+
+
+def test_source_radius2():
+    _run_case((18, 20, 22), 2, 4, spec_name="laplace3d_ho", atol=1e-4)
+
+
+def test_source_box27_separable():
+    _run_case((14, 16, 18), 2, 4, spec_name="jacobi27")
+
+
+def test_source_dynamic_bcs():
+    bc = DirichletBC.reference_default(3).with_periodic((0,)) \
+        .with_neumann((1,))
+    _run_case((16, 24, 20), 4, 8, bc=bc)
+
+
+def test_source_periodic_all_leading():
+    bc = DirichletBC.reference_default(3).with_periodic((0, 1))
+    _run_case((16, 16, 24), 2, 4, bc=bc)
+
+
+def test_source_bf16():
+    # bf16 eps ~ 8e-3; errors accumulate over sweeps
+    _run_case((16, 16, 128), 2, 4, dtype="bfloat16", atol=0.15)
+
+
+def test_source_serialized_dma():
+    _run_case((16, 24, 20), 4, 8, pipeline=False)
+
+
+def test_source_cores2():
+    _run_case((16, 24, 20), 4, 8, cores=2)
+
+
+def test_source_subset_phase_split():
+    """Interior/edge subsets with a source compose to the full sweep
+    (the overlapped sharded path's phase split stays source-legal)."""
+    import jax.numpy as jnp
+
+    from stencil_tpu.ops.pallas_tiled import partition_tiles
+
+    shape = (16, 24, 20)
+    spec = get_spec("jacobi7")
+    bc = DirichletBC.reference_default(3)
+    plan = make_tiled_plan(spec, shape, "float32", 2, tiles=(8, 8),
+                           has_source=True)
+    rng = np.random.default_rng(3)
+    u0 = rng.normal(size=shape).astype(np.float32)
+    f = rng.normal(size=shape).astype(np.float32)
+    src = pad_source(plan, f, -0.05, bc)
+    cur = plan.layout.pad(jnp.asarray(u0), bc)
+    nxt = jnp.copy(cur)
+
+    full = _cached_tiled_sweep(plan, bc, True)(cur, nxt, src)
+    interior, edge = partition_tiles(plan)
+    out = jnp.copy(cur)
+    if interior:
+        out = _cached_tiled_sweep(plan, bc, True, tuple(interior))(
+            cur, out, src)
+    out = _cached_tiled_sweep(plan, bc, True, tuple(edge))(cur, out, src)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+
+
+def test_source_slide_gated():
+    spec = get_spec("jacobi7")
+    with pytest.raises(ValueError, match="slide"):
+        make_tiled_plan(spec, (32, 32, 32), "float32", 2, tiles=(16, 16),
+                        slide=True, has_source=True)
+
+
+def test_source_shape_mismatch():
+    spec = get_spec("jacobi7")
+    with pytest.raises(ValueError, match="source shape"):
+        TiledPallasStencil(spec, (16, 16, 16), sweeps_per_call=2,
+                           interpret=True,
+                           source=np.zeros((8, 8, 8), np.float32))
+
+
+def test_source_plan_vmem_accounting():
+    """A source plan charges the extra window slots: its estimate must
+    strictly exceed the sourceless twin's."""
+    from stencil_tpu.ops.pallas_tiled import _vmem_bytes
+
+    spec = get_spec("jacobi7")
+    a = _vmem_bytes(spec, (64, 64, 64), "float32", 4, 16, 16)
+    b = _vmem_bytes(spec, (64, 64, 64), "float32", 4, 16, 16,
+                    has_source=True)
+    assert b > a
+
+
+def test_poisson_tiled_runner_matches_xla():
+    """The 3D Poisson solve through the tiled source kernel equals the
+    XLA source path (same affine recursion, same BC handling)."""
+    shape = (12, 16, 20)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=shape)
+    r_xla = prob.runner(f, method="xla")
+    r_til = prob.runner(f, method="pallas_tiled", sweeps_per_call=4,
+                        interpret=True)
+    g = prob.initial_grid()
+    a = np.asarray(r_xla.iterate(g, 12).interior(), np.float64)
+    b = np.asarray(r_til.iterate(g, 12).interior(), np.float64)
+    assert float(np.max(np.abs(a - b))) < 2e-6
+
+
+def test_poisson_tiled_manufactured_solution():
+    """Full 3D Poisson solve on the tiled path converges to the analytic
+    manufactured solution within discretization error."""
+    shape = (12, 12, 12)
+    prob = PoissonProblem(shape=shape)
+    f, u_exact = manufactured_sine(shape)
+    res = prob.solve(f, tolerance=5e-7, max_iterations=20_000,
+                     check_every=500, method="pallas_tiled",
+                     sweeps_per_call=4, interpret=True)
+    assert res.converged, res.summary()
+    u = np.asarray(res.grid.interior(), np.float64)
+    assert np.max(np.abs(u - u_exact)) < 5.0 * prob.h ** 2
