@@ -135,6 +135,33 @@ class PoissonProblem:
         raise ValueError(f"unknown Poisson method {method!r} "
                          "(xla | pallas_tiled | auto)")
 
+    def sharded_runner(self, f, mesh, sweeps_per_call: int = 8,
+                       axis_names=("x",), interpret: bool = False,
+                       **kw) -> Runner:
+        """Distributed Poisson relaxation: per-device tiled source
+        kernel + ppermute halo exchange over a 1D/2D device mesh (3D
+        only). The static source's sharded-dim ghosts are exchanged once
+        per iterate call (``parallel/pallas_sharded.py``)."""
+        if self.ndim != 3:
+            raise ValueError("sharded Poisson is 3D-only")
+        from stencil_tpu.parallel.pallas_sharded import (
+            ShardedPallasStencil,
+        )
+
+        m = ShardedPallasStencil(
+            self.spec, self.shape, dtype=self.dtype,
+            sweeps_per_call=sweeps_per_call, axis_names=tuple(axis_names),
+            interpret=interpret, has_source=True, **kw)
+        return Runner(
+            name=f"poisson_sharded(k={sweeps_per_call})",
+            iterate=lambda g, n: m.iterate(
+                g, n, mesh, source=f, source_scale=self.source_scale),
+            granularity=sweeps_per_call,
+            description="distributed Jacobi relaxation of laplacian(u)=f "
+                        "(per-device tiled source kernel + ppermute "
+                        "exchange)",
+        )
+
     def solve(self, f, tolerance: float = 1e-6,
               max_iterations: int = 200_000, check_every: int = 200,
               progress=None, method: str = "xla", **runner_kw):

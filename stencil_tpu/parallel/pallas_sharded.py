@@ -71,12 +71,14 @@ def _sharded_pallas_iterate_fn(method: "ShardedPallasStencil", mesh: Mesh,
     pspec = P(*axes)
     device_fn = method._device_fn(
         plan, bc, split=any(mesh.shape[a] > 1 for a in axes))
+    in_specs = ((pspec, pspec, P(), pspec) if method.has_source
+                else (pspec, pspec, P()))
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's collective-safety check can't see
     # through it. The outer-step count is traced (a static count would
     # recompile the whole shard_map per benchmarked n).
     mapped = jax.shard_map(
-        device_fn, mesh=mesh, in_specs=(pspec, pspec, P()),
+        device_fn, mesh=mesh, in_specs=in_specs,
         out_specs=(pspec, pspec), check_vma=False,
     )
     return jax.jit(mapped)
@@ -105,38 +107,50 @@ def _sharded_pallas_full_fn(method: "ShardedPallasStencil", mesh: Mesh,
     pspec = P(*axes)
     device_fn = method._device_fn(plan, bc,
                                   split=any(n > 1 for n in ndev))
+    in_specs = ((pspec, pspec, P(), pspec) if method.has_source
+                else (pspec, pspec, P()))
     mapped = jax.shard_map(
-        device_fn, mesh=mesh, in_specs=(pspec, pspec, P()),
+        device_fn, mesh=mesh, in_specs=in_specs,
         out_specs=(pspec, pspec), check_vma=False,
     )
     sharding = NamedSharding(mesh, pspec)
     Pl = plan.layout.padded_shape
+    ndim = len(method.interior_shape)
+    src_bc = DirichletBC(values=tuple([(0.0, 0.0)] * ndim),
+                         periodic=bc.periodic, neumann=bc.neumann)
 
-    def pad_block(b):
-        return plan.layout.pad(b, bc)
-
-    @jax.jit
-    def run(data, n_outer):
-        h = grid_halo
-        idx = tuple(slice(h, s - h) for s in data.shape)
-        interior = data[idx]
-        # scatter: split along each sharded dim, pad each local block,
-        # reassemble into the stacked-padded-blocks global array
+    def _scatter(interior, block_bc):
+        # split along each sharded dim, pad each local block, reassemble
+        # into the stacked-padded-blocks global array
         rows = []
         for b0 in jnp.split(interior, ndev[0], axis=0):
             if nsh == 2:
                 rows.append(jnp.concatenate(
-                    [pad_block(b) for b in jnp.split(b0, ndev[1], axis=1)],
+                    [plan.layout.pad(b, block_bc)
+                     for b in jnp.split(b0, ndev[1], axis=1)],
                     axis=1,
                 ))
             else:
-                rows.append(pad_block(b0))
+                rows.append(plan.layout.pad(b0, block_bc))
         stacked = jnp.concatenate(rows, axis=0)
-        stacked = lax.with_sharding_constraint(stacked, sharding)
+        return lax.with_sharding_constraint(stacked, sharding)
+
+    @jax.jit
+    def run(data, n_outer, *src):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        stacked = _scatter(data[idx], bc)
         # distinct buffer for the aliased kernel write (WAR hazard if it
         # aliased ``stacked``, cf. PallasStencil.prepare)
         scratch = jnp.copy(stacked)
-        out, _ = mapped(stacked, scratch, n_outer)
+        if method.has_source:
+            dt = jnp.dtype(method.dtype)
+            scaled = (jnp.asarray(src[0], dt)
+                      * jnp.asarray(src[1], dt))
+            out, _ = mapped(stacked, scratch, n_outer,
+                            _scatter(scaled, src_bc))
+        else:
+            out, _ = mapped(stacked, scratch, n_outer)
         # gather: per-block unpad, re-concatenate interiors
         out_rows = []
         for i in range(ndev[0]):
@@ -191,6 +205,14 @@ class ShardedPallasStencil:
     # identical to the fused step; tests/test_comm_volume.py proves the
     # independence statically.
     overlap: bool = True
+    # fused source term (3D tiled kernel only): iterate() then takes a
+    # global interior-shaped ``source`` and every virtual sweep computes
+    # u' = S(u) + source_scale*source — distributed Jacobi-Poisson. The
+    # source is scattered like the grid and its sharded-dim ghosts are
+    # exchanged ONCE per iterate() call (it is static), after which each
+    # device streams its local padded source through the kernel's
+    # source DMA slots (ops/pallas_tiled.py).
+    has_source: bool = False
 
     @property
     def _axes(self) -> Tuple[str, ...]:
@@ -231,8 +253,13 @@ class ShardedPallasStencil:
                       if self.vmem_budget else {})
             return make_tiled_plan(
                 self.spec, tuple(local), self.dtype, self.sweeps_per_call,
-                tap_mode=self.tap_mode, **kwargs,
+                tap_mode=self.tap_mode, has_source=self.has_source,
+                **kwargs,
             )
+        if self.has_source:
+            raise ValueError(
+                "the fused source term is 3D-only (the 2D slab kernel "
+                "has no source path); use the 'xla' source path for 2D")
         kwargs = {"vmem_budget": self.vmem_budget} if self.vmem_budget else {}
         return make_plan(
             self.spec, tuple(local), self.dtype, self.sweeps_per_call,
@@ -386,10 +413,9 @@ class ShardedPallasStencil:
                                                 bc_local, kr)
             return padded
 
-        def device_fn(padded, scratch, n_outer):
-            # ``scratch`` is a distinct buffer with the same BC-carrying pad
-            # layout — the kernel writes into it in place (ping-pong WAR
-            # hazard if it aliased ``padded``, cf. PallasStencil.prepare).
+        has_src = isinstance(plan, TiledPlan) and plan.has_source
+
+        def _pins():
             pin_list = []
             for d, ax in enumerate(axes):
                 if dyn[d]:
@@ -407,7 +433,13 @@ class ShardedPallasStencil:
                 # (then the local refresh in exchange() feeds them)
                 d1 = jnp.int32(0 if dyn[1] else 1)
                 pin_list += [d1, d1]
-            pins = jnp.stack(pin_list)
+            return jnp.stack(pin_list)
+
+        def _run_outer(padded, scratch, n_outer, src2=None):
+            # ``scratch`` is a distinct buffer with the same BC-carrying pad
+            # layout — the kernel writes into it in place (ping-pong WAR
+            # hazard if it aliased ``padded``, cf. PallasStencil.prepare).
+            pins = _pins()
 
             def body(_, carry):
                 cur, nxt = carry
@@ -416,14 +448,33 @@ class ShardedPallasStencil:
                     # interior tiles read the PRE-exchange array (their
                     # windows exclude the refreshed bands), so this
                     # kernel and the ppermutes have no data dependency
-                    part = sweep_int(cur, nxt, pins)
-                    new = sweep_edge(cur2, part, pins)
+                    if has_src:
+                        part = sweep_int(cur, nxt, src2, pins)
+                        new = sweep_edge(cur2, part, src2, pins)
+                    else:
+                        part = sweep_int(cur, nxt, pins)
+                        new = sweep_edge(cur2, part, pins)
+                elif has_src:
+                    new = sweep(cur2, nxt, src2, pins)
                 else:
                     new = sweep(cur2, nxt, pins)
                 return (new, cur2)
 
-            out, other = lax.fori_loop(0, n_outer, body, (padded, scratch))
-            return out, other
+            return lax.fori_loop(0, n_outer, body, (padded, scratch))
+
+        if has_src:
+            def device_fn(padded, scratch, n_outer, src_padded):
+                # the source is static: ONE ghost exchange per call seeds
+                # its sharded-dim wrap/mirror/neighbor images (and the
+                # unsharded dynamic refresh), amortized over n_outer*k
+                # sweeps. Its Dirichlet-face ghost zones stay at the
+                # scatter-time zeros — only ever read into band cells the
+                # kernel re-pins.
+                src2 = exchange(src_padded)
+                return _run_outer(padded, scratch, n_outer, src2)
+        else:
+            def device_fn(padded, scratch, n_outer):
+                return _run_outer(padded, scratch, n_outer)
 
         return device_fn
 
@@ -487,11 +538,21 @@ class ShardedPallasStencil:
             jnp.asarray(interior), halo=grid.halo, bc=grid.bc
         )
 
-    def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh) -> HaloGrid:
+    def iterate(self, grid: HaloGrid, iterations: int, mesh: Mesh,
+                source=None, source_scale=1.0) -> HaloGrid:
         if jnp.dtype(grid.data.dtype) != jnp.dtype(self.dtype):
             raise ValueError(
                 f"grid dtype {grid.data.dtype} != plan dtype {self.dtype}; "
                 "pass dtype= when constructing ShardedPallasStencil")
+        if (source is not None) != self.has_source:
+            raise ValueError(
+                "pass source= iff the method was constructed with "
+                "has_source=True")
+        if source is not None \
+                and tuple(np.shape(source)) != tuple(self.interior_shape):
+            raise ValueError(
+                f"source shape {tuple(np.shape(source))} != global "
+                f"interior {tuple(self.interior_shape)}")
         if grid.bc.any_dynamic:
             # dynamic leading dims are supported: sharded ones ride the
             # exchange (circular ppermute / mesh-edge mirror), unsharded
@@ -521,13 +582,15 @@ class ShardedPallasStencil:
         k = self.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data
+        src_args = (() if source is None
+                    else (jnp.asarray(source), source_scale))
         if n_outer:
             run = _sharded_pallas_full_fn(self, mesh, grid.bc, grid.halo)
-            data = run(data, jnp.int32(n_outer))
+            data = run(data, jnp.int32(n_outer), *src_args)
         if rem:
             # run the remainder at temporal depth = rem via a fresh handle
             rem_method = dataclasses.replace(self, sweeps_per_call=rem)
             run = _sharded_pallas_full_fn(rem_method, mesh, grid.bc,
                                           grid.halo)
-            data = run(data, jnp.int32(1))
+            data = run(data, jnp.int32(1), *src_args)
         return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)

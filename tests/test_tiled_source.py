@@ -179,3 +179,118 @@ def test_poisson_tiled_manufactured_solution():
     assert res.converged, res.summary()
     u = np.asarray(res.grid.interior(), np.float64)
     assert np.max(np.abs(u - u_exact)) < 5.0 * prob.h ** 2
+
+
+# ------------------------------------------------------- multi-chip source
+
+def _run_sharded_source(shape, k, iters, mesh_shape, bc=None,
+                        overlap=True, atol=5e-6):
+    import jax.numpy as jnp
+
+    from stencil_tpu.core.grid import HaloGrid
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    axes = ("x", "y")[: len(mesh_shape)]
+    mesh = make_mesh(mesh_shape, axes)
+    spec = get_spec("jacobi7")
+    if bc is None:
+        bc = DirichletBC.reference_default(3)
+    rng = np.random.default_rng(sum(shape) + k)
+    u0 = rng.normal(size=shape).astype(np.float32)
+    f = rng.normal(size=shape).astype(np.float32)
+    scale = -0.05
+    method = ShardedPallasStencil(
+        spec, shape, axis_names=axes, sweeps_per_call=k, interpret=True,
+        overlap=overlap, has_source=True,
+    )
+    grid = HaloGrid.from_interior(jnp.asarray(u0), halo=spec.radius, bc=bc)
+    out = method.iterate(grid, iters, mesh, source=f, source_scale=scale)
+    want = golden_iterate(u0, spec, iters, bc=bc, source=f,
+                          source_scale=scale)
+    err = float(np.max(np.abs(
+        np.asarray(out.interior(), np.float64) - want)))
+    assert err < atol, err
+
+
+def test_sharded_source_1d_mesh():
+    _run_sharded_source((16, 12, 20), 2, 6, (4,))
+
+
+def test_sharded_source_2d_mesh():
+    _run_sharded_source((16, 16, 20), 2, 4, (2, 4))
+
+
+def test_sharded_source_periodic_sharded_dim():
+    bc = DirichletBC.reference_default(3).with_periodic((0,))
+    _run_sharded_source((16, 12, 20), 2, 4, (4,), bc=bc)
+
+
+def test_sharded_source_neumann_unsharded_dim():
+    bc = DirichletBC.reference_default(3).with_neumann((1,))
+    _run_sharded_source((16, 12, 20), 2, 4, (2,), bc=bc)
+
+
+def test_sharded_source_overlap_split_bitwise():
+    """The interior/edge phase split with a source is bitwise-identical
+    to the fused step."""
+    import jax.numpy as jnp
+
+    from stencil_tpu.core.grid import HaloGrid
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+
+    shape = (16, 12, 20)
+    spec = get_spec("jacobi7")
+    mesh = make_mesh((4,), ("x",))
+    bc = DirichletBC.reference_default(3)
+    rng = np.random.default_rng(2)
+    u0 = rng.normal(size=shape).astype(np.float32)
+    f = rng.normal(size=shape).astype(np.float32)
+    grid = HaloGrid.from_interior(jnp.asarray(u0), halo=1, bc=bc)
+    outs = []
+    for overlap in (True, False):
+        m = ShardedPallasStencil(spec, shape, axis_names=("x",),
+                                 sweeps_per_call=2, interpret=True,
+                                 overlap=overlap, has_source=True)
+        outs.append(np.asarray(
+            m.iterate(grid, 4, mesh, source=f,
+                      source_scale=-0.03).interior()))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_sharded_source_arg_validation():
+    from stencil_tpu.parallel.halo import make_mesh
+    from stencil_tpu.parallel.pallas_sharded import ShardedPallasStencil
+    from stencil_tpu.core.grid import HaloGrid
+
+    spec = get_spec("jacobi7")
+    mesh = make_mesh((2,), ("x",))
+    g = HaloGrid.create((8, 8, 8), halo=1)
+    m = ShardedPallasStencil(spec, (8, 8, 8), sweeps_per_call=1,
+                             interpret=True, has_source=True)
+    with pytest.raises(ValueError, match="source"):
+        m.iterate(g, 2, mesh)  # has_source without source=
+    m2 = ShardedPallasStencil(spec, (8, 8, 8), sweeps_per_call=1,
+                              interpret=True)
+    with pytest.raises(ValueError, match="source"):
+        m2.iterate(g, 2, mesh, source=np.zeros((8, 8, 8), np.float32))
+
+
+def test_poisson_sharded_runner_matches_xla():
+    import jax.numpy as jnp
+
+    from stencil_tpu.parallel.halo import make_mesh
+
+    shape = (16, 12, 20)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=shape)
+    mesh = make_mesh((4,), ("x",))
+    r_sh = prob.sharded_runner(f, mesh, sweeps_per_call=2,
+                               interpret=True)
+    r_xla = prob.runner(f, method="xla")
+    g = prob.initial_grid()
+    a = np.asarray(r_sh.iterate(g, 8).interior(), np.float64)
+    b = np.asarray(r_xla.iterate(g, 8).interior(), np.float64)
+    assert float(np.max(np.abs(a - b))) < 5e-6
