@@ -90,7 +90,7 @@ class PoissonProblem:
         over ``sweeps_per_call`` sweeps). ``'auto'`` picks the tiled
         kernel for 3D problems."""
         if method == "auto":
-            method = "pallas_tiled" if self.ndim == 3 else "xla"
+            method = "pallas_tiled" if self.ndim == 3 else "pallas_slab"
         if method == "xla":
             import jax.numpy as jnp
 
@@ -132,8 +132,31 @@ class PoissonProblem:
                            "tap_mode": m.plan.tap_mode,
                            "has_source": True},
             )
+        if method == "pallas_slab":
+            if self.ndim != 2:
+                raise ValueError(
+                    "the slab source kernel is 2D-only; use "
+                    "method='pallas_tiled' for 3D Poisson problems")
+            from stencil_tpu.ops.pallas import PallasStencil
+
+            m = PallasStencil(
+                self.spec, self.shape, dtype=self.dtype,
+                sweeps_per_call=sweeps_per_call, interpret=interpret,
+                source=f, source_scale=self.source_scale, **plan_kw)
+            return Runner(
+                name=f"poisson_slab(k={sweeps_per_call})",
+                iterate=m.iterate,
+                granularity=sweeps_per_call,
+                description="Jacobi relaxation of laplacian(u)=f on the "
+                            "2D slab kernel (source streamed per slab "
+                            "window)",
+                plan_info={"kernel": "pallas_slab",
+                           "slab": m.plan.slab,
+                           "tap_mode": m.plan.tap_mode,
+                           "has_source": True},
+            )
         raise ValueError(f"unknown Poisson method {method!r} "
-                         "(xla | pallas_tiled | auto)")
+                         "(xla | pallas_tiled | pallas_slab | auto)")
 
     def sharded_runner(self, f, mesh, sweeps_per_call: int = 8,
                        axis_names=("x",), interpret: bool = False,

@@ -95,6 +95,10 @@ class SlabPlan:
     # bitcast — plain pltpu.roll crashes Mosaic on sub-32-bit dtypes);
     # 'slice' — shifted slices over a ghost-padded layout
     tap_mode: str = "slice"
+    # fused source term: every virtual sweep computes u' = S(u) + src
+    # (src a static pre-scaled padded array streamed per slab window
+    # through its own DMA slots) — see ops/pallas_tiled.TiledPlan
+    has_source: bool = False
 
     @property
     def num_slab_pairs(self) -> int:
@@ -125,7 +129,8 @@ def _slab_vmem_limit(spec, plan, k, slab, win_shape, dtype) -> int:
         max(
             b.slab_limit_floor,
             int(_explicit_vmem_bytes(
-                spec, plan.interior_shape, plan.dtype, k, slab
+                spec, plan.interior_shape, plan.dtype, k, slab,
+                plan.has_source,
             ) * 1.25)
             + (2 * int(np.prod(win_shape)) * dtype.itemsize
                if plan.tap_mode == "rotacc" else 0),
@@ -134,7 +139,8 @@ def _slab_vmem_limit(spec, plan, k, slab, win_shape, dtype) -> int:
     )
 
 
-def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
+def _explicit_vmem_bytes(spec, shape, dtype, k, slab,
+                         has_source=False) -> int:
     from stencil_tpu.ops.layout import sublane_for_dtype
 
     layout = PaddedLayout.for_halo(tuple(shape), k * spec.radius,
@@ -146,8 +152,10 @@ def _explicit_vmem_bytes(spec, shape, dtype, k, slab) -> int:
     win = slab + lo + hi
     itemsize = np.dtype(dtype).itemsize
     # 2 input slots + 1 compute ping-pong + 2 output slots, plus roughly one
-    # window of Mosaic tap temporaries
-    return (2 * win + win + 2 * slab + win) * minor * itemsize
+    # window of Mosaic tap temporaries; a fused source adds its own 2
+    # window slots (+1 win of sweep-slice temporaries)
+    src = 3 * win if has_source else 0
+    return (2 * win + win + 2 * slab + win + src) * minor * itemsize
 
 
 def choose_slab(
@@ -156,6 +164,7 @@ def choose_slab(
     dtype: str = "float32",
     sweeps_per_call: int = 1,
     vmem_budget: Optional[int] = None,
+    has_source: bool = False,
 ) -> Optional[int]:
     """Largest feasible leading-dim slab within the VMEM budget.
 
@@ -174,7 +183,7 @@ def choose_slab(
     cand = step
     while cand <= lead:
         if _explicit_vmem_bytes(
-            spec, interior_shape, dtype, sweeps_per_call, cand
+            spec, interior_shape, dtype, sweeps_per_call, cand, has_source
         ) <= vmem_budget:
             best = cand
             cand += step
@@ -191,6 +200,7 @@ def make_plan(
     slab: Optional[int] = None,
     vmem_budget: Optional[int] = None,
     tap_mode: Optional[str] = None,
+    has_source: bool = False,
 ) -> SlabPlan:
     vmem_budget = _resolve_budget(vmem_budget)
     if spec.ndim != len(interior_shape):
@@ -199,7 +209,7 @@ def make_plan(
         raise ValueError("pallas kernels support 2D and 3D grids")
     if slab is None:
         slab = choose_slab(spec, interior_shape, dtype, sweeps_per_call,
-                           vmem_budget)
+                           vmem_budget, has_source)
         if slab is None:
             raise ValueError(
                 f"no feasible slab for shape {interior_shape} "
@@ -263,6 +273,7 @@ def make_plan(
         slab=slab,
         layout=layout,
         tap_mode=tap_mode,
+        has_source=has_source,
     )
 
 
@@ -502,8 +513,13 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             if hi_w:
                 ref[idx_hi] = jnp.full(shape_hi, hi_v, dtype)
 
-    def kernel(pins_ref, cur_hbm, nxt_hbm, out_hbm, scratch, cbuf, otile,
-               isem, osem):
+    def kernel(pins_ref, cur_hbm, nxt_hbm, *rest):
+        if plan.has_source:
+            (src_hbm, out_hbm, scratch, cbuf, otile, isem, osem,
+             sscratch, ssem) = rest
+        else:
+            (out_hbm, scratch, cbuf, otile, isem, osem) = rest
+            src_hbm = sscratch = ssem = None
         # The whole sweep runs as ONE kernel invocation with an internal
         # fori_loop over slabs and double-buffered DMA slots; at temporal
         # depth 16+ the 2D path sustains >1.3 TB/s effective on v5e
@@ -522,6 +538,13 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 cur_hbm.at[pl.ds(slab_start(slab_i), win_lead)],
                 scratch.at[sl],
                 isem.at[sl],
+            )
+
+        def src_copy(slab_i, sl):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(slab_start(slab_i), win_lead)],
+                sscratch.at[sl],
+                ssem.at[sl],
             )
 
         def out_copy(slab_i, sl):
@@ -560,6 +583,12 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                 n0 = slab + 2 * need
                 src = bufs[(t - 1) % 2]
                 y = taps(src[...], lead_a, n0)
+                if plan.has_source:
+                    # affine update u' = S(u) + src over the shrinking
+                    # band extent, added BEFORE re-pinning (cf.
+                    # ops/pallas_tiled.py compute)
+                    y = y + sscratch.at[sl][
+                        minor_interior_idx(slice(lead_a, lead_a + n0))]
                 if t < k:
                     dst = bufs[t % 2]
                     dst[minor_interior_idx(pl.ds(lead_a, n0))] = y
@@ -594,10 +623,15 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
 
         in_copy(0, 0).start()
         in_copy(1, 1).start()
+        if plan.has_source:
+            src_copy(0, 0).start()
+            src_copy(1, 1).start()
 
         def body(i, _):
             sl = lax.rem(i, 2)
             in_copy(i, sl).wait()
+            if plan.has_source:
+                src_copy(i, sl).wait()
 
             @pl.when(i >= 2)
             def _():
@@ -608,6 +642,8 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
             @pl.when(i + 2 < nt)
             def _():
                 in_copy(i + 2, sl).start()
+                if plan.has_source:
+                    src_copy(i + 2, sl).start()
 
             out_copy(i, sl).start()
             return 0
@@ -616,31 +652,32 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
         out_copy(nt - 2, 0 if nt % 2 == 0 else 1).wait()
         out_copy(nt - 1, 1 if nt % 2 == 0 else 0).wait()
 
-    @jax.jit
-    def sweep(cur, nxt, pins=None):
-        """One outer step (k virtual sweeps). ``pins`` is an int32 (2,)
-        array: pins[0]/pins[1] nonzero -> the low/high lead-dim edge of this
-        block is a physical Dirichlet boundary (both, for single-device
-        runs). The sharded path passes 0 for mesh-interior edges, whose
-        ghosts hold live neighbor data from the halo exchange."""
-        if pins is None:
-            pins = jnp.ones((2,), jnp.int32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2,) + win_shape, dtype),
+        pltpu.VMEM(win_shape if k > 1 else (1,) * ndim, dtype),
+        pltpu.VMEM((2,) + otile_shape, dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if plan.has_source:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((2,) + win_shape, dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    def _call(pins, *arrays):
         return pl.pallas_call(
             kernel,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(padded_shape, dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2,) + win_shape, dtype),
-                pltpu.VMEM(win_shape if k > 1 else (1,) * ndim, dtype),
-                pltpu.VMEM((2,) + otile_shape, dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch_shapes,
             input_output_aliases={2: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
@@ -655,7 +692,26 @@ def build_sweep(plan: SlabPlan, bc: DirichletBC, interpret: bool = False):
                     spec, plan, k, slab, win_shape, dtype
                 ),
             ),
-        )(pins, cur, nxt)
+        )(pins, *arrays)
+
+    if plan.has_source:
+        @jax.jit
+        def sweep(cur, nxt, src, pins=None):
+            if pins is None:
+                pins = jnp.ones((2,), jnp.int32)
+            return _call(pins, cur, nxt, src)
+    else:
+        @jax.jit
+        def sweep(cur, nxt, pins=None):
+            """One outer step (k virtual sweeps). ``pins`` is an int32
+            (2,) array: pins[0]/pins[1] nonzero -> the low/high lead-dim
+            edge of this block is a physical Dirichlet boundary (both,
+            for single-device runs). The sharded path passes 0 for
+            mesh-interior edges, whose ghosts hold live neighbor data
+            from the halo exchange."""
+            if pins is None:
+                pins = jnp.ones((2,), jnp.int32)
+            return _call(pins, cur, nxt)
 
     return sweep
 
@@ -740,11 +796,52 @@ def _cached_iterate(plan: SlabPlan, bc: DirichletBC, interpret: bool,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_source_iterate(plan: SlabPlan, bc: DirichletBC,
+                           interpret: bool, grid_halo: int):
+    """Source-term twin of ``_cached_iterate``: threads the (static,
+    pre-padded) source operand into every kernel call."""
+    from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    sweep = _cached_sweep(plan, bc, interpret)
+    depth = plan.layout.halo
+    dyn = bc.dynamic_mask(len(plan.interior_shape))
+    pins = np.asarray([0 if dyn[0] else 1] * 2, np.int32)
+
+    @jax.jit
+    def run(data, n_outer, src_padded):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        if bc.any_dynamic:
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
+        nxt = jnp.copy(cur)
+
+        def body(_, carry):
+            c, n = carry
+            if bc.any_dynamic:
+                out = sweep(c, n, src_padded, jnp.asarray(pins))
+                out = refresh_dynamic_layout(out, plan.layout, bc, depth)
+            else:
+                out = sweep(c, n, src_padded)
+            return (out, c)
+
+        cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
+        out = jnp.pad(plan.layout.unpad(cur), h)
+        return fill_halo(out, h, bc)
+
+    return run
+
+
 class PallasStencil:
     """User-facing handle: iterate a HaloGrid with the slab kernel.
 
     ``sweeps_per_call`` is the temporal-blocking depth k; iteration counts
     that are not multiples of k run the remainder on a k'=remainder kernel.
+    ``source`` (interior-shaped, static) makes every virtual sweep the
+    affine update ``u' = S(u) + source_scale*source`` (2D Jacobi-Poisson
+    at slab-kernel speed).
     """
 
     def __init__(
@@ -757,14 +854,33 @@ class PallasStencil:
         interpret: bool = False,
         vmem_budget: Optional[int] = None,
         tap_mode: Optional[str] = None,
+        source=None,
+        source_scale=1.0,
     ):
         self.plan = make_plan(
             spec, tuple(interior_shape), dtype, sweeps_per_call, slab,
-            vmem_budget, tap_mode,
+            vmem_budget, tap_mode, has_source=source is not None,
         )
+        if source is not None \
+                and tuple(np.shape(source)) != self.plan.interior_shape:
+            raise ValueError(
+                f"source shape {tuple(np.shape(source))} != interior "
+                f"{self.plan.interior_shape}")
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
+        self.source = source
+        self.source_scale = source_scale
+        self._src_padded = {}
+
+    def _padded_source(self, plan: SlabPlan, bc: DirichletBC):
+        from stencil_tpu.ops.pallas_tiled import pad_source
+
+        key = (plan, bc)
+        if key not in self._src_padded:
+            self._src_padded[key] = pad_source(plan, self.source,
+                                               self.source_scale, bc)
+        return self._src_padded[key]
 
     # -- plumbing ------------------------------------------------------------
 
@@ -840,18 +956,32 @@ class PallasStencil:
         k = self.plan.sweeps_per_call
         n_outer, rem = divmod(iterations, k)
         data = grid.data
+        has_src = self.plan.has_source
         if n_outer:
-            run = _cached_iterate(self.plan, grid.bc, self.interpret,
-                                  grid.halo)
-            data = run(data, n_outer)
+            if has_src:
+                run = _cached_source_iterate(self.plan, grid.bc,
+                                             self.interpret, grid.halo)
+                data = run(data, n_outer,
+                           self._padded_source(self.plan, grid.bc))
+            else:
+                run = _cached_iterate(self.plan, grid.bc, self.interpret,
+                                      grid.halo)
+                data = run(data, n_outer)
         if rem:
             rem_method = PallasStencil(
                 self.spec, self.plan.interior_shape, self.plan.dtype,
                 sweeps_per_call=rem, slab=self.plan.slab,
                 interpret=self.interpret, vmem_budget=self.vmem_budget,
                 tap_mode=self.plan.tap_mode,
+                source=self.source, source_scale=self.source_scale,
             )
-            run = _cached_iterate(rem_method.plan, grid.bc, self.interpret,
-                                  grid.halo)
-            data = run(data, 1)
+            if has_src:
+                run = _cached_source_iterate(rem_method.plan, grid.bc,
+                                             self.interpret, grid.halo)
+                data = run(data, 1,
+                           self._padded_source(rem_method.plan, grid.bc))
+            else:
+                run = _cached_iterate(rem_method.plan, grid.bc,
+                                      self.interpret, grid.halo)
+                data = run(data, 1)
         return HaloGrid(data=data, halo=grid.halo, bc=grid.bc)

@@ -1421,8 +1421,9 @@ def _cached_tiled_iterate(plan: TiledPlan, bc: DirichletBC, interpret: bool,
     return run
 
 
-def pad_source(plan: TiledPlan, source, source_scale, bc: DirichletBC):
-    """Build the padded source operand of a ``has_source`` plan.
+def pad_source(plan, source, source_scale, bc: DirichletBC):
+    """Build the padded source operand of a ``has_source`` plan
+    (rank-general: TiledPlan or the slab kernel's SlabPlan).
 
     Interior = ``source_scale * source``; Dirichlet ghost zones hold 0
     (they are only ever read into band cells that the kernel re-pins, so
@@ -1434,7 +1435,8 @@ def pad_source(plan: TiledPlan, source, source_scale, bc: DirichletBC):
     from stencil_tpu.ops.layout import refresh_dynamic_layout
 
     dt = jnp.dtype(plan.dtype)
-    src_bc = DirichletBC(values=tuple([(0.0, 0.0)] * 3),
+    ndim = len(plan.interior_shape)
+    src_bc = DirichletBC(values=tuple([(0.0, 0.0)] * ndim),
                          periodic=bc.periodic, neumann=bc.neumann)
     scaled = jnp.asarray(source, dt) * jnp.asarray(source_scale, dt)
     if scaled.shape != plan.interior_shape:

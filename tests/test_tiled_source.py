@@ -294,3 +294,67 @@ def test_poisson_sharded_runner_matches_xla():
     a = np.asarray(r_sh.iterate(g, 8).interior(), np.float64)
     b = np.asarray(r_xla.iterate(g, 8).interior(), np.float64)
     assert float(np.max(np.abs(a - b))) < 5e-6
+
+
+# ---------------------------------------------------------- 2D slab source
+
+def _run_slab_source(shape, k, iters, tap_mode=None, bc=None,
+                     spec_name="jacobi5", atol=3e-5, slab=None):
+    import jax.numpy as jnp
+
+    from stencil_tpu.ops.pallas import PallasStencil
+
+    rng = np.random.default_rng(sum(shape) * k + iters)
+    spec = get_spec(spec_name)
+    if bc is None:
+        bc = DirichletBC.reference_default(2)
+    u0 = rng.normal(size=shape).astype(np.float32)
+    f = rng.normal(size=shape).astype(np.float32)
+    scale = -0.03
+    want = golden_iterate(u0, spec, iters, bc=bc, source=f,
+                          source_scale=scale)
+    m = PallasStencil(spec, shape, sweeps_per_call=k, tap_mode=tap_mode,
+                      slab=slab, interpret=True, source=f,
+                      source_scale=scale)
+    g = HaloGrid.from_interior(jnp.asarray(u0), halo=spec.radius, bc=bc)
+    got = np.asarray(m.iterate(g, iters).interior(), np.float64)
+    err = float(np.max(np.abs(got - want)))
+    assert err < atol, err
+
+
+@pytest.mark.parametrize("tap_mode", ["slice", "synth", "rotacc"])
+def test_slab_source_tap_modes(tap_mode):
+    _run_slab_source((32, 40), 4, 8, tap_mode=tap_mode)
+
+
+@pytest.mark.parametrize("k,iters", [(1, 3), (8, 16), (4, 10)])
+def test_slab_source_temporal_and_remainder(k, iters):
+    _run_slab_source((32, 40), k, iters)
+
+
+def test_slab_source_box9():
+    _run_slab_source((32, 40), 4, 8, spec_name="jacobi9")
+
+
+def test_slab_source_dynamic_lead():
+    bc = DirichletBC.reference_default(2).with_periodic((0,))
+    _run_slab_source((32, 40), 4, 8, bc=bc)
+
+
+def test_slab_source_small_slab_midpins():
+    # slab smaller than the recompute extension exercises mid-slab pins
+    _run_slab_source((32, 40), 8, 8, slab=8)
+
+
+def test_poisson_slab_runner_matches_xla():
+    shape = (24, 32)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(13)
+    f = rng.normal(size=shape)
+    r_xla = prob.runner(f, method="xla")
+    r_slab = prob.runner(f, method="pallas_slab", sweeps_per_call=4,
+                         interpret=True)
+    g = prob.initial_grid()
+    a = np.asarray(r_xla.iterate(g, 12).interior(), np.float64)
+    b = np.asarray(r_slab.iterate(g, 12).interior(), np.float64)
+    assert float(np.max(np.abs(a - b))) < 2e-6
