@@ -73,11 +73,17 @@ def _default_limit(device_kind: Optional[str] = None) -> int:
     return MAX_CANDIDATES
 
 
-def cache_key(spec, shape, dtype: str, k: int, device_kind: str) -> str:
-    return "|".join([
+def cache_key(spec, shape, dtype: str, k: int, device_kind: str,
+              has_source: bool = False) -> str:
+    key = "|".join([
         device_kind, spec.name or "custom", f"r{spec.radius}",
         "x".join(map(str, shape)), str(dtype), f"k{k}",
     ])
+    # source plans tune separately: the measured v5e winner differs
+    # ((32,64) at 102.2 GLUPS vs the homogeneous (64,64); the doubled
+    # input stream shifts the optimum toward smaller windows). The
+    # suffix keeps every pre-existing homogeneous key unchanged.
+    return key + "|src" if has_source else key
 
 
 def load_cache(path: str) -> dict:
@@ -104,7 +110,7 @@ def lookup(spec, shape, dtype: str, k: int,
 
 
 def candidates(spec, shape, dtype: str, k: int,
-               limit: Optional[int] = None):
+               limit: Optional[int] = None, has_source: bool = False):
     """(tiles, tap_mode, slide) combinations to measure: the top
     model-ranked tile choices crossed with the dtype-legal tap modes
     (rotacc+synth for 4-byte dtypes — measured equal on stars, rotacc
@@ -130,10 +136,12 @@ def candidates(spec, shape, dtype: str, k: int,
              else ["synth"])
     out = []
     for mode in modes:
-        for tiles in rank_tiles(spec, shape, dtype, k,
-                                tap_mode=mode)[: max(1, limit // len(modes))]:
+        for tiles in rank_tiles(
+                spec, shape, dtype, k, tap_mode=mode,
+                has_source=has_source)[: max(1, limit // len(modes))]:
             out.append((tiles, mode, False))
-    if spec.radius >= 2 and out:
+    if spec.radius >= 2 and out and not has_source:
+        # slide is plan-gated off with a source
         from stencil_tpu.ops.pallas_tiled import _vmem_bytes
 
         sublane = sublane_for_dtype(dtype)
@@ -167,7 +175,8 @@ def candidates(spec, shape, dtype: str, k: int,
 def autotune(spec, shape, dtype: str, k: int,
              cache_path: str = DEFAULT_CACHE,
              measure_fn: Optional[Callable] = None,
-             force: bool = False) -> Optional[dict]:
+             force: bool = False, has_source: bool = False
+             ) -> Optional[dict]:
     """Measure the candidate set on the attached device; return and cache
     the winner as ``{"tiles": [s0, t1], "tap_mode": str, "slide": bool,
     "glups": float}``.
@@ -184,17 +193,19 @@ def autotune(spec, shape, dtype: str, k: int,
     verdict called out (a stale entry was otherwise trusted forever).
     """
     kind = _device_kind()
-    key = cache_key(spec, shape, dtype, k, kind)
+    key = cache_key(spec, shape, dtype, k, kind, has_source)
     cache = load_cache(cache_path)
     cached = cache.get(key)
     if not force and cached is not None:
         return cached
 
     if measure_fn is None:
-        measure_fn = _measure_glups_factory(spec, shape, dtype, k)
+        measure_fn = _measure_glups_factory(spec, shape, dtype, k,
+                                            has_source)
 
     best = None
-    for tiles, mode, slide in candidates(spec, shape, dtype, k):
+    for tiles, mode, slide in candidates(spec, shape, dtype, k,
+                                         has_source=has_source):
         try:
             glups = float(measure_fn(tiles, mode, slide))
         except Exception as e:  # infeasible/compile-crash candidates skip
@@ -226,7 +237,7 @@ def autotune(spec, shape, dtype: str, k: int,
     return best
 
 
-def _measure_glups_factory(spec, shape, dtype, k):
+def _measure_glups_factory(spec, shape, dtype, k, has_source=False):
     import numpy as np
 
     from stencil_tpu.core.grid import HaloGrid
@@ -235,11 +246,14 @@ def _measure_glups_factory(spec, shape, dtype, k):
 
     grid = HaloGrid.create(tuple(shape), halo=spec.radius, dtype=dtype)
     points = int(np.prod(shape))
+    # throughput is value-independent; any interior-shaped source works
+    src = (np.ones(tuple(shape), np.dtype(dtype)) if has_source else None)
 
     def measure(tiles, tap_mode, slide=False):
         m = TiledPallasStencil(spec, tuple(shape), dtype,
                                sweeps_per_call=k, tiles=tuple(tiles),
-                               tap_mode=tap_mode, slide=slide)
+                               tap_mode=tap_mode, slide=slide,
+                               source=src, source_scale=1e-6)
 
         def run_n(n):
             return m.iterate(grid, n).data

@@ -78,7 +78,8 @@ class PoissonProblem:
             jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
 
     def runner(self, f, method: str = "xla", sweeps_per_call: int = 8,
-               interpret: bool = False, **plan_kw) -> Runner:
+               interpret: bool = False, autotune=False,
+               **plan_kw) -> Runner:
         """A registry-compatible Runner whose every sweep applies the
         fused source: plugs straight into ``solver.solve``.
 
@@ -116,6 +117,20 @@ class PoissonProblem:
                     "method='xla' for 2D Poisson problems")
             from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
 
+            if autotune and "tiles" not in plan_kw and not interpret:
+                # source plans tune separately (their measured v5e
+                # winner differs from the homogeneous one — the doubled
+                # input stream shifts the optimum toward smaller
+                # windows); a cache hit applies instantly
+                from stencil_tpu import autotune as at
+
+                won = at.autotune(self.spec, self.shape, self.dtype,
+                                  sweeps_per_call,
+                                  force=(autotune == "force"),
+                                  has_source=True)
+                if won:
+                    plan_kw.setdefault("tiles", tuple(won["tiles"]))
+                    plan_kw.setdefault("tap_mode", won["tap_mode"])
             m = TiledPallasStencil(
                 self.spec, self.shape, dtype=self.dtype,
                 sweeps_per_call=sweeps_per_call, interpret=interpret,

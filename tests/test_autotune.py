@@ -122,3 +122,77 @@ def test_registry_applies_autotuned_winner(monkeypatch, tmp_path):
     grid = HaloGrid.create((16, 48, 20), halo=1)
     runner = registry.get_runner("pallas_temporal", cfg, spec, grid)
     assert "8x16" in runner.name
+
+
+def test_source_cache_key_distinct():
+    from stencil_tpu import autotune as at
+    from stencil_tpu.core.spec import get_spec
+
+    spec = get_spec("jacobi7")
+    a = at.cache_key(spec, (64, 64, 64), "float32", 8, "tpu:X")
+    b = at.cache_key(spec, (64, 64, 64), "float32", 8, "tpu:X",
+                     has_source=True)
+    assert a != b and b.endswith("|src") and not a.endswith("|src")
+
+
+def test_source_candidates_skip_slide_and_charge_budget():
+    from stencil_tpu import autotune as at
+    from stencil_tpu.core.spec import get_spec
+
+    spec = get_spec("laplace3d_ho")  # radius 2: slide offered w/o source
+    plain = at.candidates(spec, (64, 64, 64), "float32", 2)
+    src = at.candidates(spec, (64, 64, 64), "float32", 2,
+                        has_source=True)
+    assert any(slide for _, _, slide in plain)
+    assert not any(slide for _, _, slide in src)
+
+
+def test_source_autotune_caches_under_src_key(tmp_path):
+    from stencil_tpu import autotune as at
+    from stencil_tpu.core.spec import get_spec
+
+    spec = get_spec("jacobi7")
+    path = str(tmp_path / "cache.json")
+    calls = []
+
+    def fake_measure(tiles, tap_mode, slide=False):
+        calls.append((tuple(tiles), tap_mode, slide))
+        return 100.0 - tiles[0]  # smaller s0 wins
+
+    won = at.autotune(spec, (64, 64, 64), "float32", 4, cache_path=path,
+                      measure_fn=fake_measure, has_source=True)
+    assert won is not None and not won["slide"]
+    cache = at.load_cache(path)
+    assert len(cache) == 1 and list(cache)[0].endswith("|src")
+    # homogeneous tuning of the same config gets its own entry
+    won2 = at.autotune(spec, (64, 64, 64), "float32", 4, cache_path=path,
+                       measure_fn=fake_measure)
+    assert won2 is not None and len(at.load_cache(path)) == 2
+
+
+def test_poisson_runner_autotune_cache_hit(tmp_path, monkeypatch):
+    """A cached source winner is applied to the Poisson tiled runner."""
+    import numpy as np
+
+    from stencil_tpu import autotune as at
+    from stencil_tpu.core.spec import get_spec
+    from stencil_tpu.models.poisson import PoissonProblem
+
+    spec = get_spec("jacobi7")
+    path = str(tmp_path / "cache.json")
+    key = at.cache_key(spec, (16, 16, 16), "float32", 2,
+                       at._device_kind(), has_source=True)
+    at.save_cache(path, {key: {"tiles": [8, 8], "tap_mode": "synth",
+                               "slide": False, "glups": 1.0}})
+    monkeypatch.setattr(at, "DEFAULT_CACHE", path)
+    prob = PoissonProblem(shape=(16, 16, 16))
+    # interpret=False would hit the real TPU path in CI; emulate the
+    # non-interpret branch by calling autotune() directly
+    won = at.autotune(spec, (16, 16, 16), "float32", 2, cache_path=path,
+                      has_source=True)
+    assert won["tiles"] == [8, 8]
+    r = prob.runner(np.zeros((16, 16, 16), np.float32),
+                    method="pallas_tiled", sweeps_per_call=2,
+                    interpret=True, tiles=tuple(won["tiles"]),
+                    tap_mode=won["tap_mode"])
+    assert r.plan_info["tiles"] == (8, 8)
