@@ -136,6 +136,30 @@ def main() -> int:
         except Exception as e:
             print(f"# {key} setup failed: {e}", file=sys.stderr)
 
+    # round-4 capability row: Jacobi-Poisson relaxation (fused source
+    # term) on the tiled kernel with the source-tuned cached plan —
+    # measured 102.2 GLUPS on v5e ((32,64) rotacc; the homogeneous
+    # (64,64) default runs 91.4 with a source). x_roofline is reported
+    # against the homogeneous 8 B/point roofline like every other row
+    # (the affine update reads 4 more B/point, so its ideal ceiling is
+    # lower — the fraction understates it).
+    if on_tpu:
+        try:
+            from stencil_tpu.models.poisson import PoissonProblem
+
+            pshape = (256, 256, 256)
+            prob = PoissonProblem(shape=pshape)
+            rng = np.random.default_rng(0)
+            f = rng.normal(size=pshape).astype(np.float32)
+            runner = prob.runner(f, method="pallas_tiled",
+                                 sweeps_per_call=8, autotune=True)
+            pgrid = prob.initial_grid()
+            runner.iterate(pgrid, 16)  # compile
+            cfg_runners.append(("cfg8_poisson_256_k8_src", pgrid, runner,
+                                int(np.prod(pshape)), "float32"))
+        except Exception as e:
+            print(f"# cfg8_poisson setup failed: {e}", file=sys.stderr)
+
     try:
         hbm_thunk = roofline.prepare_hbm_measurement()
     except Exception:
