@@ -108,21 +108,65 @@ class WaveEquation:
 
     # -- time stepping ---------------------------------------------------------
 
-    def simulate(self, prev: HaloGrid, cur: HaloGrid,
-                 steps: int) -> Tuple[HaloGrid, HaloGrid]:
+    def simulate(self, prev: HaloGrid, cur: HaloGrid, steps: int,
+                 method: str = "xla", **kw) -> Tuple[HaloGrid, HaloGrid]:
         """Advance ``steps`` leapfrog steps; returns the new
-        ``(prev, cur)`` pair (``cur`` is ``u_{n+steps}``)."""
+        ``(prev, cur)`` pair (``cur`` is ``u_{n+steps}``).
+
+        ``method='pallas_tiled'`` (3D only) runs the temporal-blocked
+        two-level kernel — ``sweeps_per_call`` leapfrog steps per HBM
+        round trip with both levels streamed per tile window
+        (``ops/pallas_tiled.py`` ``two_level``); ``'xla'`` is the
+        always-available fused pass."""
         import jax.numpy as jnp
 
-        return _simulate_jit(prev, cur, self.spec, jnp.int32(steps))
+        if method == "xla":
+            return _simulate_jit(prev, cur, self.spec, jnp.int32(steps))
+        if method == "pallas_tiled":
+            return self._simulate_tiled(prev, cur, steps, **kw)
+        raise ValueError(f"unknown wave method {method!r} "
+                         "(xla | pallas_tiled)")
 
-    def simulate_interior(self, u0, steps: int, v0=None) -> np.ndarray:
+    def _simulate_tiled(self, prev: HaloGrid, cur: HaloGrid, steps: int,
+                        sweeps_per_call: int = 8, interpret: bool = False,
+                        **plan_kw) -> Tuple[HaloGrid, HaloGrid]:
+        from stencil_tpu.ops.pallas_tiled import (
+            _cached_wave_iterate, make_tiled_plan,
+        )
+
+        if self.ndim != 3:
+            raise ValueError("the two-level tiled kernel is 3D-only; "
+                             "use method='xla' for 2D waves")
+        bc = cur.bc
+        dyn = bc.dynamic_mask(3)
+        if dyn[2]:
+            raise ValueError(
+                "a periodic/Neumann lane (last) dim is unsupported on "
+                "the two-level tiled kernel (use method='xla')")
+
+        def advance(p, c, k, n_outer):
+            plan = make_tiled_plan(self.spec, self.shape, self.dtype,
+                                   k, two_level=True, **plan_kw)
+            run = _cached_wave_iterate(plan, bc, interpret, cur.halo)
+            c_d, p_d = run(c.data, p.data, n_outer)
+            return (HaloGrid(data=p_d, halo=cur.halo, bc=bc),
+                    HaloGrid(data=c_d, halo=cur.halo, bc=bc))
+
+        n_outer, rem = divmod(int(steps), sweeps_per_call)
+        if n_outer:
+            prev, cur = advance(prev, cur, sweeps_per_call, n_outer)
+        if rem:
+            prev, cur = advance(prev, cur, rem, 1)
+        return prev, cur
+
+    def simulate_interior(self, u0, steps: int, v0=None,
+                          method: str = "xla", **kw) -> np.ndarray:
         """Convenience: from initial conditions to the interior after
         ``steps`` steps (counting u_1 as step 1)."""
         prev, cur = self.initial_pair(u0, v0)
         if steps <= 1:
             return np.asarray((prev if steps == 0 else cur).interior())
-        _, cur = self.simulate(prev, cur, steps - 1)
+        _, cur = self.simulate(prev, cur, steps - 1, method=method, **kw)
         return np.asarray(cur.interior())
 
 

@@ -159,6 +159,17 @@ class TiledPlan:
     # speed; the reference's update is purely homogeneous
     # (stencil.cpp:85-125).
     has_source: bool = False
+    # Two-level (leapfrog) recursion: every virtual sweep computes
+    # u_{t+1} = S(u_t) - u_{t-1} — the wave-equation update
+    # (models/wave.py) temporally blocked k sweeps per HBM round trip.
+    # The kernel streams TWO input windows per tile (levels n and n-1),
+    # carries the two most recent levels through the in-VMEM sweep
+    # recursion (the subtrahend at sweep t is the buffer written at
+    # t-2, whose extent strictly contains sweep t's), and writes TWO
+    # outputs (levels n+k and n+k-1 — the next call's inputs). The
+    # reference's one-buffer ping-pong cannot express a second-order
+    # recursion at all (stencil.cpp:23-57).
+    two_level: bool = False
 
     @property
     def halo(self) -> int:
@@ -176,7 +187,8 @@ class TiledPlan:
 
 
 def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
-                slots=2, slide=False, has_source=False) -> int:
+                slots=2, slide=False, has_source=False,
+                two_level=False) -> int:
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
@@ -189,28 +201,32 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
     # `slots` input slots + compute ping-pong (x2 when sliding: the DMA
     # window must stay pristine) + 2 output slots + ~1 win of Mosaic tap
     # temporaries; a fused source streams through its own `slots` window
-    # slots (plus sweep-slice temporaries, charged as one more window)
+    # slots (plus sweep-slice temporaries, charged as one more window);
+    # the two-level recursion adds `slots` prev-level windows, a second
+    # compute ping-pong, and 2 more output slots
     cbuf = (2 * win if slide else win) if k > 1 else 0
     src = (slots + 1) * win if has_source else 0
-    return (slots * win + cbuf + 2 * out + win + src) * itemsize
+    lvl2 = (slots * win + win + 2 * out) if two_level else 0
+    return (slots * win + cbuf + 2 * out + win + src + lvl2) * itemsize
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                vmem_budget=None, tap_mode="synth",
-               s0_fixed=None, has_source=False):
+               s0_fixed=None, has_source=False, two_level=False):
     """All VMEM-feasible (s0, t1) candidates, best-ranked first, by the
     same fetched/useful ratio ``choose_tiles`` uses. The autotuner
     measures the head of this list on the attached device."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
                            sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
-                           has_source)
+                           has_source, two_level)
     return [t for _, t in ranked]
 
 
 def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=None,
                  tap_mode="synth", s0_fixed=None,
-                 has_source=False) -> Optional[Tuple[int, int]]:
+                 has_source=False,
+                 two_level=False) -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) minimizing the fetched-window/useful-points ratio
     ceil(n0/s0)*ceil(n1/t1)*(s0+2kr)(t1+2p1)/(n0*n1) within budget;
     t1 % sublane == 0 (or the whole dim). Tiles need NOT divide the grid
@@ -225,12 +241,13 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     flag) and only t1 is chosen."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
                            sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
-                           has_source)
+                           has_source, two_level)
     return ranked[0][1] if ranked else None
 
 
 def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
-                  vmem_budget, tap_mode, s0_fixed, has_source=False):
+                  vmem_budget, tap_mode, s0_fixed, has_source=False,
+                  two_level=False):
     widened = False
     if vmem_budget is None \
             and _wants_wide_budget(interior_shape, dtype, tap_mode):
@@ -307,8 +324,8 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
         for t1 in t1_c:
             cap = base_budget if t1 == n1 else vmem_budget
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                           s0, t1, tap_mode,
-                           has_source=has_source) <= cap:
+                           s0, t1, tap_mode, has_source=has_source,
+                           two_level=two_level) <= cap:
                 nt0 = -(-n0 // s0)
                 nt1 = -(-n1 // t1)
                 vol = s0 * t1
@@ -326,7 +343,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_budget=None,
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
-                    cores=1, embed=False, has_source=False) -> TiledPlan:
+                    cores=1, embed=False, has_source=False,
+                    two_level=False) -> TiledPlan:
     # budget resolution is delegated to choose_tiles: a defaulted (None)
     # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
@@ -346,6 +364,10 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         raise ValueError(
             "slide's partial-window fetch schedule is not implemented "
             "for the source operand; use slide=False with a source")
+    if two_level and (has_source or slide or cores > 1 or embed):
+        raise ValueError(
+            "the two-level (leapfrog) recursion composes with the plain "
+            "pipelined schedule only (no source/slide/cores/embed)")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -358,7 +380,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         tap_mode = {4: "rotacc", 2: "synth"}.get(itemsize, "slice")
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
-                             vmem_budget, tap_mode, has_source=has_source)
+                             vmem_budget, tap_mode, has_source=has_source,
+                             two_level=two_level)
         if tiles is None:
             sublane = sublane_for_dtype(dtype)
             raise ValueError(
@@ -473,7 +496,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
         # 80MB limit and hard-crashes at 61MB).
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                          s0, t1, tap_mode, slots, slide, has_source)
+                          s0, t1, tap_mode, slots, slide, has_source,
+                          two_level)
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
@@ -524,7 +548,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
                      tap_mode=tap_mode, pipeline=pipeline, slots=slots,
                      slide=slide, cores=cores, embed=embed,
-                     has_source=has_source)
+                     has_source=has_source, two_level=two_level)
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -575,6 +599,10 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             raise ValueError(
                 "tile subsets break the sliding-window overlap chain; "
                 "use slide=False for phase-split sweeps")
+        if plan.two_level:
+            raise ValueError(
+                "tile subsets are not implemented for the two-level "
+                "(leapfrog) recursion")
         if not ids or any(t < 0 or t >= nt for t in ids):
             raise ValueError(f"tile subset out of range [0, {nt})")
     nt_run = len(ids)
@@ -601,13 +629,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             )
 
     def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, *rest):
-        if plan.has_source:
+        prev_hbm = pscratch = psem = out2_hbm = otile2 = osem2 = None
+        src_hbm = sscratch = ssem = None
+        if plan.two_level:
+            (prev_hbm, _nxt2, out_hbm, out2_hbm, scratch, cbuf, otile,
+             isem, osem, cbuf2, csem, pscratch, psem, otile2,
+             osem2) = rest
+        elif plan.has_source:
             (src_hbm, out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
              csem, sscratch, ssem) = rest
         else:
             (out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
              csem) = rest
-            src_hbm = sscratch = ssem = None
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -649,6 +682,25 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 sscratch.at[sl],
                 ssem.at[sl],
             )
+
+        def pv_copy(i, sl):
+            # prev-level window twin of in_copy (two-level recursion)
+            r0, c1 = tile_coords(i)
+            c1 = pl.multiple_of(c1, sublane)
+            return pltpu.make_async_copy(
+                prev_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
+                pscratch.at[sl],
+                psem.at[sl],
+            )
+
+        def out2_copy(i, sl):
+            r0, c1 = tile_coords(i)
+            if full_d1:
+                dst = out2_hbm.at[pl.ds(kr + r0, s0)]
+            else:
+                c1 = pl.multiple_of(p1 + c1, sublane)
+                dst = out2_hbm.at[pl.ds(kr + r0, s0), pl.ds(c1, t1)]
+            return pltpu.make_async_copy(otile2.at[sl], dst, osem2.at[sl])
 
         def ov_copy(sl_src, sl_dst):
             # the 2*p1 overlap rows of the next window are the tail of
@@ -1054,13 +1106,72 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                                    pl.ds(d2_lo, n2))] = jnp.full(
                                 (s0, extra1, n2), d1_hi_bc, dtype)
 
+        def compute2(sl, osl, i):
+            """Two-level (leapfrog) recursion:
+            ``L_{n+t} = S(L_{n+t-1}) - L_{n+t-2}`` over the shrinking
+            trapezoid. The subtrahend at sweep t is the buffer written
+            at t-2, whose extent strictly contains sweep t's (seeds:
+            the cur window at t=2 and the prev window at t=1). Writes
+            the final level into ``otile`` and the PENULTIMATE level —
+            the next call's prev input — into ``otile2`` (sliced from
+            the PINNED t=k-1 buffer, so clamp-overhang rows already
+            carry the face value)."""
+            d1_idx = pl.ds(p1, t1) if full_d1 else slice(None)
+            d2i = pl.ds(d2_lo, n2)
+
+            def tgt(t):
+                return (cbuf, cbuf2)[(t - 1) % 2]
+
+            for t in range(1, k + 1):
+                need = (k - t) * r
+                a0, m0 = kr - need, s0 + 2 * need
+                a1, m1 = p1 - need, t1 + 2 * need
+                s_in = scratch.at[sl] if t == 1 else tgt(t - 1)
+                if t == 1:
+                    sub = pscratch.at[sl]
+                elif t == 2:
+                    sub = scratch.at[sl]
+                else:
+                    # same buffer we are about to overwrite (tgt(t) ==
+                    # tgt(t-2)): y is materialized as a value before the
+                    # region store, so the read-before-write is safe
+                    sub = tgt(t - 2)
+                y = taps_into(s_in[...], a0, m0, a1, m1) \
+                    - sub[a0:a0 + m0, a1:a1 + m1, d2_lo:d2_lo + n2]
+                if t < k:
+                    dst = tgt(t)
+                    dst[pl.ds(a0, m0), pl.ds(a1, m1), d2i] = y
+                    pin(dst, i, need)
+                    if t == k - 1:
+                        otile2[(osl, slice(None), d1_idx, d2i)] = \
+                            dst[kr:kr + s0, p1:p1 + t1,
+                                d2_lo:d2_lo + n2]
+                else:
+                    otile[(osl, slice(None), d1_idx, d2i)] = y
+                    if k == 1:
+                        # L_{n+k-1} = L_n: copy the input core through
+                        otile2[(osl, slice(None), d1_idx, d2i)] = \
+                            scratch.at[sl][kr:kr + s0, p1:p1 + t1,
+                                           d2_lo:d2_lo + n2]
+                    if extra1:
+                        # ragged d1 clamp overhang of the FINAL level
+                        # (otile2's came pinned from the t=k-1 buffer)
+                        _, c1 = tile_coords(i)
+
+                        @pl.when((pins_ref[3] != 0) & (c1 >= C1))
+                        def _():
+                            otile[(osl, slice(None),
+                                   pl.ds(t1 - extra1, extra1),
+                                   pl.ds(d2_lo, n2))] = jnp.full(
+                                (s0, extra1, n2), d1_hi_bc, dtype)
+
         # one-time d2 ghost fills: the compute buffer and output tiles
         # carry constant BC columns that compute never writes (the DMA
         # window slots get theirs from HBM, where padded arrays maintain
         # them end to end)
         if k > 1:
             fill_d2_ghosts(cbuf, (w0, w1))
-            if plan.slide:
+            if plan.slide or plan.two_level:
                 fill_d2_ghosts(cbuf2, (w0, w1))
         ot_d1 = P1 if full_d1 else t1
         if full_d1:
@@ -1072,8 +1183,16 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                                                       d1_lo_bc, dtype)
                 otile.at[slot][:, p1 + t1:, :] = jnp.full(
                     (s0, P1 - p1 - t1, P2), d1_hi_bc, dtype)
+                if plan.two_level:
+                    otile2.at[slot][:, 0:p1, :] = jnp.full(
+                        (s0, p1, P2), d1_lo_bc, dtype)
+                    otile2.at[slot][:, p1 + t1:, :] = jnp.full(
+                        (s0, P1 - p1 - t1, P2), d1_hi_bc, dtype)
         fill_d2_ghosts(otile.at[0], (s0, ot_d1))
         fill_d2_ghosts(otile.at[1], (s0, ot_d1))
+        if plan.two_level:
+            fill_d2_ghosts(otile2.at[0], (s0, ot_d1))
+            fill_d2_ghosts(otile2.at[1], (s0, ot_d1))
 
         # Position range of THIS kernel invocation. cores == 1: the whole
         # run list, statically (bit-identical to the gridless round-3
@@ -1104,9 +1223,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 if plan.has_source:
                     src_copy(tid, sl).start()
                     src_copy(tid, sl).wait()
-                compute(sl, osl, tid)
-                out_copy(tid, osl).start()
-                out_copy(tid, osl).wait()
+                if plan.two_level:
+                    pv_copy(tid, sl).start()
+                    pv_copy(tid, sl).wait()
+                    compute2(sl, osl, tid)
+                    out_copy(tid, osl).start()
+                    out2_copy(tid, osl).start()
+                    out_copy(tid, osl).wait()
+                    out2_copy(tid, osl).wait()
+                else:
+                    compute(sl, osl, tid)
+                    out_copy(tid, osl).start()
+                    out_copy(tid, osl).wait()
                 return 0
 
             lax.fori_loop(c_lo, c_hi, body_serial, 0)
@@ -1129,11 +1257,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             in_copy(ids_ref[0], 0).start()
             if plan.has_source:
                 src_copy(ids_ref[0], 0).start()
+            if plan.two_level:
+                pv_copy(ids_ref[0], 0).start()
             for j in range(1, min(S, nt_run)):
                 in_copy(ids_ref[j], j,
                         partial=slide and not is_row_start(j)).start()
                 if plan.has_source:
                     src_copy(ids_ref[j], j).start()
+                if plan.two_level:
+                    pv_copy(ids_ref[j], j).start()
         else:
             # dynamic chunk bounds (slide impossible here, validated):
             # prime slots for the first S positions of THIS chunk
@@ -1165,10 +1297,14 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 in_copy(tid, sl).wait()
                 if plan.has_source:
                     src_copy(tid, sl).wait()
+                if plan.two_level:
+                    pv_copy(tid, sl).wait()
 
             @pl.when(pos >= c_lo + 2)
             def _():
                 out_copy(ids_ref[pos - 2], osl).wait()
+                if plan.two_level:
+                    out2_copy(ids_ref[pos - 2], osl).wait()
 
             if slide:
                 # stage tile tid+1's overlap rows out of THIS slot while
@@ -1182,7 +1318,10 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 def _():
                     ov_copy(sl, lax.rem(tid + 1, S)).start()
 
-            compute(sl, osl, tid)
+            if plan.two_level:
+                compute2(sl, osl, tid)
+            else:
+                compute(sl, osl, tid)
 
             if slide:
                 @pl.when(nxt_part)
@@ -1206,8 +1345,12 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     in_copy(ids_ref[pos + S], sl).start()
                     if plan.has_source:
                         src_copy(ids_ref[pos + S], sl).start()
+                    if plan.two_level:
+                        pv_copy(ids_ref[pos + S], sl).start()
 
             out_copy(tid, osl).start()
+            if plan.two_level:
+                out2_copy(tid, osl).start()
             return 0
 
         lax.fori_loop(c_lo, c_hi, body, 0)
@@ -1216,9 +1359,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # and this is exactly the round-3 epilogue
         if plan.cores == 1:
             out_copy(ids_ref[nt_run - 1], lax.rem(nt_run - 1, 2)).wait()
+            if plan.two_level:
+                out2_copy(ids_ref[nt_run - 1],
+                          lax.rem(nt_run - 1, 2)).wait()
 
             if nt_run > 1:
                 out_copy(ids_ref[nt_run - 2], lax.rem(nt_run - 2, 2)).wait()
+                if plan.two_level:
+                    out2_copy(ids_ref[nt_run - 2],
+                              lax.rem(nt_run - 2, 2)).wait()
         else:
             @pl.when(c_hi > c_lo)
             def _():
@@ -1259,10 +1408,13 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         pltpu.VMEM((2,) + otile_shape, dtype),
         pltpu.SemaphoreType.DMA((S,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM(win_shape if (k > 1 and plan.slide)
+        pltpu.VMEM(win_shape if (k > 1 and (plan.slide or plan.two_level))
                    else (1, 1, 1), dtype),
         pltpu.SemaphoreType.DMA((1,)),
     ]
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((P0, P1, P2), dtype)
+    aliases = {3: 0}
     if plan.has_source:
         # the source streams through its own S window slots + semaphores
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -1270,21 +1422,45 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             pltpu.VMEM((S,) + win_shape, dtype),
             pltpu.SemaphoreType.DMA((S,)),
         ]
+    if plan.two_level:
+        # prev-level input stream + a second (aliased) output level
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (jax.ShapeDtypeStruct((P0, P1, P2), dtype),
+                     jax.ShapeDtypeStruct((P0, P1, P2), dtype))
+        aliases = {3: 0, 5: 1}
+        scratch_shapes += [
+            pltpu.VMEM((S,) + win_shape, dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.VMEM((2,) + otile_shape, dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     def _call(pins, *arrays):
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((P0, P1, P2), dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch_shapes,
-            input_output_aliases={3: 0},
+            input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(**cparams),
             **grid_kwargs,
         )(pins, jnp.asarray(ids_arr), *arrays)
 
-    if plan.has_source:
+    if plan.two_level:
+        @jax.jit
+        def sweep(cur, prev, nxt, nxt2, pins=None):
+            """One outer step of the leapfrog recursion: returns
+            ``(L_{n+k}, L_{n+k-1})`` — the next call's (cur, prev).
+            ``nxt``/``nxt2`` are the aliased destination buffers."""
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt, prev, nxt2)
+    elif plan.has_source:
         @jax.jit
         def sweep(cur, nxt, src, pins=None):
             if pins is None:
@@ -1484,6 +1660,55 @@ def _cached_tiled_source_iterate(plan: TiledPlan, bc: DirichletBC,
         cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
         out = jnp.pad(plan.layout.unpad(cur), h)
         return fill_halo(out, h, bc)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_wave_iterate(plan: TiledPlan, bc: DirichletBC,
+                         interpret: bool, grid_halo: int):
+    """Jitted leapfrog runner over a ``two_level`` plan:
+    ``(cur, prev) -> (L_{n+k*n_outer}, L_{n+k*n_outer-1})`` with both
+    levels kept in the kernel's padded layout across outer steps (the
+    two outputs alias the previous step's freed buffers)."""
+    from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+    depth = plan.layout.halo
+    pins = _dynamic_pins(bc) if bc.any_dynamic else None
+
+    @jax.jit
+    def run(cur_data, prev_data, n_outer):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in cur_data.shape)
+        cur = plan.layout.pad(cur_data[idx], bc)
+        prev = plan.layout.pad(prev_data[idx], bc)
+        if bc.any_dynamic:
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
+            prev = refresh_dynamic_layout(prev, plan.layout, bc, depth)
+        nxt = jnp.copy(cur)
+        nxt2 = jnp.copy(prev)
+
+        def body(_, carry):
+            c, p, b1, b2 = carry
+            if bc.any_dynamic:
+                o1, o2 = sweep(c, p, b1, b2, jnp.asarray(pins))
+                o1 = refresh_dynamic_layout(o1, plan.layout, bc, depth)
+                o2 = refresh_dynamic_layout(o2, plan.layout, bc, depth)
+            else:
+                o1, o2 = sweep(c, p, b1, b2)
+            # the just-read (c, p) become the next step's free buffers
+            return (o1, o2, c, p)
+
+        cur, prev, _, _ = lax.fori_loop(0, n_outer, body,
+                                        (cur, prev, nxt, nxt2))
+
+        def out(x):
+            o = jnp.pad(plan.layout.unpad(x), h)
+            return fill_halo(o, h, bc)
+
+        return out(cur), out(prev)
 
     return run
 
