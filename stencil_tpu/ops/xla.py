@@ -119,3 +119,47 @@ def iterate_source_dynamic(grid: HaloGrid, spec: StencilSpec,
         0, iterations, lambda _, g: sweep_source(g, spec, scaled_source),
         grid,
     )
+
+
+def apply_fields(padded: jax.Array, offsets, fields: jax.Array,
+                 halo: int) -> jax.Array:
+    """One VARIABLE-COEFFICIENT sweep: ``out[p] = sum_t fields[t][p] *
+    in[p + offsets[t]]`` — per-point tap weights, which the static-weight
+    ``StencilSpec`` cannot express (heterogeneous-media stencils,
+    ``models/diffusion.py``). ``fields`` is a stacked ``(T,) + interior``
+    array; XLA fuses the T multiply-adds into one pass."""
+    r = halo
+    ndim = padded.ndim
+    interior_shape = tuple(s - 2 * r for s in padded.shape)
+    acc = None
+    for i, off in enumerate(offsets):
+        start = tuple(r + off[d] for d in range(ndim))
+        limit = tuple(start[d] + interior_shape[d] for d in range(ndim))
+        term = fields[i] * lax.slice(padded, start, limit)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "halo"))
+def iterate_fields_dynamic(grid: HaloGrid, offsets,
+                           fields: jax.Array,
+                           iterations: jax.Array,
+                           halo: int = 1) -> HaloGrid:
+    """``iterations`` variable-coefficient sweeps under one jit
+    (traced count). ``offsets`` must be a (hashable) tuple of offset
+    tuples; ``fields`` stacks one interior-shaped weight array per
+    offset."""
+
+    def sweep_fields(g):
+        out = g.with_interior(apply_fields(g.data, offsets, fields,
+                                           halo))
+        if g.bc.any_dynamic:
+            out = HaloGrid(
+                data=refresh_dynamic(out.data, out.halo, out.bc),
+                halo=out.halo, bc=out.bc,
+            )
+        return out
+
+    return lax.fori_loop(
+        0, iterations, lambda _, g: sweep_fields(g), grid
+    )
