@@ -160,6 +160,35 @@ def main() -> int:
         except Exception as e:
             print(f"# cfg8_poisson setup failed: {e}", file=sys.stderr)
 
+    # round-4 capability row: leapfrog wave on the two-level temporal
+    # kernel (two window streams -> ~2x homogeneous traffic; measured
+    # 61.9 GLUPS at the (64,128) plan on v5e, results/ROUND4.md sec 15).
+    # GLUPS counts leapfrog steps; x_roofline is vs the homogeneous
+    # 8 B/point roofline like every row, so it understates ~2x by design.
+    if on_tpu:
+        try:
+            from stencil_tpu.models.wave import WaveEquation
+            from stencil_tpu.registry import Runner as _Runner
+
+            wshape = (256, 256, 256)
+            w = WaveEquation(shape=wshape)
+            rng = np.random.default_rng(1)
+            wprev, wcur = w.initial_pair(
+                (rng.normal(size=wshape) * 0.01).astype(np.float32))
+
+            def _wave_iter(g, n, _w=w, _p=wprev):
+                _, c = _w.simulate(_p, g, int(n), method="pallas_tiled",
+                                   sweeps_per_call=8, tiles=(64, 128))
+                return c
+
+            wrunner = _Runner(name="wave_two_level_k8",
+                              iterate=_wave_iter, granularity=8)
+            wrunner.iterate(wcur, 16)  # compile
+            cfg_runners.append(("cfg9_wave_256_k8_two_level", wcur,
+                                wrunner, int(np.prod(wshape)), "float32"))
+        except Exception as e:
+            print(f"# cfg9_wave setup failed: {e}", file=sys.stderr)
+
     try:
         hbm_thunk = roofline.prepare_hbm_measurement()
     except Exception:
