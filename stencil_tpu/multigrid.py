@@ -1,0 +1,267 @@
+"""Geometric multigrid for ``laplacian(u) = f``: O(N) time-to-solution.
+
+The reference (and this framework's ``solver.solve``) relaxes toward the
+solution by plain fixed-point sweeps, whose iteration count grows like
+O(n^2) in the grid width — thousands of sweeps for production grids. A
+V-cycle contracts ALL error frequencies at once by smoothing each on the
+level where it is high-frequency, converging in a grid-size-INDEPENDENT
+~10 cycles; each cycle costs only ~(nu1 + nu2 + 1) fine-grid sweeps plus
+a geometric tail (sum over levels of (1/2^ndim)^l < 2x in 2D, <8/7x in
+3D). Nothing in the reference corresponds (`stencil.cpp:85-125` is the
+plain sweep); this is a time-to-solution capability on top of the same
+discretization.
+
+TPU-first shape: every level's smoother/residual/transfer is a fused
+XLA pass over a STATIC shape; the level recursion is a trace-time Python
+loop, so one ``jax.jit`` holds the entire V-cycle (no host round trips
+between levels — the scalar residual crosses to the host only between
+cycles, via the chunked ``solver.solve`` protocol that MG plugs into as
+a registry ``Runner``: one "iteration" = one V-cycle).
+
+Discretization/transfer choices (the textbook vertex-centered stack):
+2nd-order star Laplacian (exactly ``PoissonProblem``'s operator, so MG
+and the Jacobi path converge to the SAME discrete solution), weighted-
+Jacobi smoothing (damping ``omega``, default 2/3), full-weighting
+restriction (tensor of [1/4, 1/2, 1/4]), linear prolongation (tensor of
+[1/2, 1, 1/2]), coarsest level relaxed directly. Vertex-centered
+factor-2 coarsening nests only ODD interior widths (n_c = (n-1)/2, the
+classic n = 2^m - 1 ladder); coarsening stops at the first level where
+any dim is even or < 3, so 2^m - 1 widths get full depth and others
+degrade gracefully (a shallower hierarchy still contracts, just slower —
+``levels`` in the runner's ``plan_info`` says what was built).
+
+Boundary handling: the fine level reads the problem's Dirichlet walls
+from the HaloGrid ghost pins; every coarse level solves the CORRECTION
+equation ``laplacian(e) = r``, whose walls are exactly zero (the error
+vanishes where u is pinned). Periodic/Neumann walls make the pure-
+Neumann/periodic Poisson problem singular (solutions modulo constants)
+and are refused.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.models.poisson import PoissonProblem
+from stencil_tpu.registry import Runner
+
+
+def _nb_sum(padded: jax.Array) -> jax.Array:
+    """Sum of the 2*ndim face neighbors, interior-shaped (padded has one
+    ghost layer per face)."""
+    nd = padded.ndim
+    acc = None
+    for d in range(nd):
+        for lo in (0, 2):
+            idx = tuple(
+                slice(lo, padded.shape[e] - 2 + lo) if e == d
+                else slice(1, padded.shape[e] - 1)
+                for e in range(nd)
+            )
+            t = padded[idx]
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _smooth(padded: jax.Array, f_scaled: jax.Array, omega: float,
+            inv2d: float, sweeps: int) -> jax.Array:
+    """``sweeps`` weighted-Jacobi sweeps on a zero-wall level:
+    ``u' = (1 - omega) u + omega * (nb_sum(u) - h^2 f) / (2 ndim)``.
+    ``f_scaled`` carries ``h^2 * f`` pre-multiplied."""
+    nd = padded.ndim
+    idx = tuple(slice(1, s - 1) for s in padded.shape)
+    for _ in range(sweeps):
+        u = padded[idx]
+        jac = (_nb_sum(padded) - f_scaled) * inv2d
+        padded = padded.at[idx].set(u + omega * (jac - u))
+    return padded
+
+
+def _residual(padded: jax.Array, f: jax.Array, inv_h2: float,
+              two_d: float) -> jax.Array:
+    """``r = f - (nb_sum(u) - 2 ndim u) / h^2``, interior-shaped."""
+    idx = tuple(slice(1, s - 1) for s in padded.shape)
+    return f - (_nb_sum(padded) - two_d * padded[idx]) * inv_h2
+
+
+def _restrict_fw(r: jax.Array) -> jax.Array:
+    """Full-weighting restriction: per-dim [1/4, 1/2, 1/4] then factor-2
+    subsample (fine width n = 2 n_c + 1, all dims)."""
+    for d in range(r.ndim):
+        n = r.shape[d]
+
+        def take(lo, hi):
+            idx = tuple(
+                slice(lo, hi, 2) if e == d else slice(None)
+                for e in range(r.ndim)
+            )
+            return r[idx]
+
+        r = 0.25 * take(0, n - 2) + 0.5 * take(1, n - 1) \
+            + 0.25 * take(2, n)
+    return r
+
+
+def _prolong_lin(e: jax.Array) -> jax.Array:
+    """Linear prolongation: coarse point i lands on fine 2i+1; fine even
+    points average their coarse neighbors (walls are zero). Separable."""
+    for d in range(e.ndim):
+        n_c = e.shape[d]
+        n_f = 2 * n_c + 1
+        shape = tuple(n_f if i == d else s for i, s in enumerate(e.shape))
+        z = jnp.zeros(shape, e.dtype)
+        inject = tuple(
+            slice(1, None, 2) if i == d else slice(None)
+            for i in range(e.ndim)
+        )
+        z = z.at[inject].set(e)
+        zp = jnp.pad(z, [(1, 1) if i == d else (0, 0)
+                         for i in range(e.ndim)])
+
+        def take(lo):
+            idx = tuple(
+                slice(lo, lo + n_f) if i == d else slice(None)
+                for i in range(e.ndim)
+            )
+            return zp[idx]
+
+        e = z + 0.5 * (take(0) + take(2))
+    return e
+
+
+def _level_shapes(shape: Tuple[int, ...],
+                  min_size: int) -> Tuple[Tuple[int, ...], ...]:
+    shapes = [tuple(shape)]
+    while all(n % 2 == 1 and n >= max(3, min_size) for n in shapes[-1]) \
+            and any(n > max(3, min_size) for n in shapes[-1]):
+        nxt = tuple((n - 1) // 2 for n in shapes[-1])
+        if any(n < 1 for n in nxt):
+            break
+        shapes.append(nxt)
+    return tuple(shapes)
+
+
+@dataclasses.dataclass(frozen=True)
+class Multigrid:
+    """V-cycle solver for a ``PoissonProblem`` (Dirichlet walls only).
+
+    ``nu1``/``nu2`` pre/post smoothing sweeps, ``omega`` the Jacobi
+    damping, ``coarse_sweeps`` relaxations on the coarsest level.
+    """
+
+    problem: PoissonProblem
+    nu1: int = 2
+    nu2: int = 2
+    omega: float = 2.0 / 3.0
+    coarse_sweeps: int = 32
+    min_size: int = 3
+
+    def __post_init__(self):
+        if self.problem.bc.any_dynamic:
+            raise ValueError(
+                "multigrid supports Dirichlet walls only (the pure "
+                "periodic/Neumann Poisson problem is singular)")
+        shapes = _level_shapes(self.problem.shape, self.min_size)
+        object.__setattr__(self, "_shapes", shapes)
+
+    @property
+    def levels(self) -> int:
+        return len(self._shapes)
+
+    def _vcycle_fn(self):
+        """The jitted whole-hierarchy V-cycle: (padded_u, f) ->
+        padded_u. Trace-time recursion over static level shapes."""
+        omega = float(self.omega)
+        nu1, nu2 = int(self.nu1), int(self.nu2)
+        coarse = int(self.coarse_sweeps)
+        n_levels = self.levels
+        ndim = self.problem.ndim
+        two_d = float(2 * ndim)
+        inv2d = 1.0 / two_d
+        h0 = float(self.problem.h)
+
+        def cycle(padded, f_scaled, f, level):
+            # f_scaled = h^2 * f at this level's h
+            h = h0 * (2.0 ** level)
+            inv_h2 = 1.0 / (h * h)
+            if level == n_levels - 1:
+                return _smooth(padded, f_scaled, omega, inv2d,
+                               coarse if n_levels > 1
+                               else max(coarse, nu1 + nu2))
+            padded = _smooth(padded, f_scaled, omega, inv2d, nu1)
+            r = _residual(padded, f, inv_h2, two_d)
+            rc = _restrict_fw(r)
+            rc_scaled = (4.0 * h * h) * rc  # (2h)^2 * r_c
+            ec_pad = cycle(jnp.zeros(tuple(s + 2 for s in rc.shape),
+                                     padded.dtype),
+                           rc_scaled, rc, level + 1)
+            e = _prolong_lin(ec_pad[tuple(slice(1, s - 1)
+                                          for s in ec_pad.shape)])
+            idx = tuple(slice(1, s - 1) for s in padded.shape)
+            padded = padded.at[idx].add(e)
+            return _smooth(padded, f_scaled, omega, inv2d, nu2)
+
+        def vcycle(padded_u, f):
+            f_scaled = (h0 * h0) * f
+            return cycle(padded_u, f_scaled, f, 0)
+
+        return vcycle
+
+    def runner(self, f) -> Runner:
+        """Registry Runner: ``iterate(grid, n)`` = n V-cycles (so
+        ``solver.solve`` drives MG with its usual chunked-residual
+        protocol; use ``check_every=1``)."""
+        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        if f_dev.shape != tuple(self.problem.shape):
+            raise ValueError(
+                f"source shape {f_dev.shape} != interior "
+                f"{self.problem.shape}")
+        vcycle = self._vcycle_fn()
+
+        @jax.jit
+        def iterate_impl(padded_u, f_arr, n):
+            return jax.lax.fori_loop(
+                0, n, lambda _, p: vcycle(p, f_arr), padded_u)
+
+        def iterate(grid: HaloGrid, n: int) -> HaloGrid:
+            if grid.halo != 1:
+                raise ValueError("multigrid expects halo=1 grids")
+            data = iterate_impl(grid.data, f_dev, jnp.int32(n))
+            return HaloGrid(data=data, halo=1, bc=grid.bc)
+
+        return Runner(
+            name=f"multigrid({self.levels} levels)",
+            iterate=iterate,
+            description="geometric V-cycle (weighted-Jacobi smoother, "
+                        "full-weighting / linear transfers)",
+            plan_info={"levels": self.levels,
+                       "level_shapes": [list(s) for s in self._shapes],
+                       "nu": (self.nu1, self.nu2),
+                       "omega": self.omega},
+        )
+
+    def residual_norm(self, grid: HaloGrid, f) -> float:
+        """max |f - A u| on the fine level (true algebraic residual —
+        unlike the solver's update-norm this certifies the solution)."""
+        inv_h2 = 1.0 / (self.problem.h ** 2)
+        r = _residual(grid.data,
+                      jnp.asarray(np.asarray(f), self.problem.dtype),
+                      inv_h2, float(2 * self.problem.ndim))
+        return float(jnp.max(jnp.abs(r)))
+
+    def solve(self, f, tolerance: float = 1e-6,
+              max_cycles: int = 50, progress=None):
+        """Run V-cycles until the per-cycle update norm < tolerance;
+        returns ``solver.SolveResult`` (iterations = cycles)."""
+        from stencil_tpu import solver
+
+        return solver.solve(self.runner(f), self.problem.initial_grid(),
+                            tolerance=tolerance,
+                            max_iterations=max_cycles, check_every=1,
+                            progress=progress)
