@@ -36,6 +36,20 @@ equation ``laplacian(e) = r``, whose walls are exactly zero (the error
 vanishes where u is pinned). Periodic/Neumann walls make the pure-
 Neumann/periodic Poisson problem singular (solutions modulo constants)
 and are refused.
+
+Fast path (``fine_method='pallas_tiled'``, 3D): the fine level carries
+~7/8 of every cycle's work in 3D, and its three passes are all affine
+stencil updates with a STATIC source (the problem's ``f``) — exactly the
+fused-source form the tiled Pallas kernel runs at full speed:
+
+  - weighted-Jacobi smoothing = a 2-weight-group spec (center ``1-omega``,
+    neighbors ``omega/(2 ndim)``) with source scale ``-omega h^2/(2 ndim)``,
+    ``nu`` sweeps per call via the kernel's temporal blocking;
+  - the residual ``r = f - A u`` = a spec (center ``2 ndim/h^2``, neighbors
+    ``-1/h^2``) with source scale ``+1``, one sweep.
+
+Coarse levels keep the fused-XLA passes: their right-hand sides are
+computed inside the cycle (dynamic), and their volumes sum to < N/7.
 """
 
 from __future__ import annotations
@@ -48,8 +62,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.spec import StencilSpec, weighted
 from stencil_tpu.models.poisson import PoissonProblem
 from stencil_tpu.registry import Runner
+
+
+def _axial_taps(ndim: int, center_w: float, nb_w: float):
+    taps = [((0,) * ndim, center_w)]
+    for d in range(ndim):
+        for sign in (-1, 1):
+            off = [0] * ndim
+            off[d] = sign
+            taps.append((tuple(off), nb_w))
+    return taps
+
+
+def wjacobi_spec(ndim: int, omega: float) -> StencilSpec:
+    """Weighted-Jacobi smoother as a stencil: ``u' = (1-omega) u +
+    omega/(2 ndim) * nb_sum(u)`` (the source term carries the RHS)."""
+    return weighted(ndim, _axial_taps(ndim, 1.0 - omega,
+                                      omega / (2 * ndim)),
+                    name=f"wjacobi{ndim}d")
+
+
+def residual_spec(ndim: int, h: float) -> StencilSpec:
+    """The negated operator ``-A``: applied with source scale +1 it
+    yields the residual ``r = f - A u`` in one stencil sweep."""
+    inv_h2 = 1.0 / (h * h)
+    return weighted(ndim, _axial_taps(ndim, 2 * ndim * inv_h2, -inv_h2),
+                    name=f"neg_laplace{ndim}d")
 
 
 def _nb_sum(padded: jax.Array) -> jax.Array:
@@ -161,12 +202,25 @@ class Multigrid:
     omega: float = 2.0 / 3.0
     coarse_sweeps: int = 32
     min_size: int = 3
+    # 'xla' (rank-general) or 'pallas_tiled' (3D): run the fine level's
+    # smoothers + residual on the fused-source tiled kernel (~7/8 of the
+    # cycle's work at kernel speed); coarse levels stay XLA (dynamic RHS)
+    fine_method: str = "xla"
+    tiles: Optional[Tuple[int, int]] = None
+    interpret: bool = False
 
     def __post_init__(self):
         if self.problem.bc.any_dynamic:
             raise ValueError(
                 "multigrid supports Dirichlet walls only (the pure "
                 "periodic/Neumann Poisson problem is singular)")
+        if self.fine_method not in ("xla", "pallas_tiled"):
+            raise ValueError(
+                f"unknown fine_method {self.fine_method!r} "
+                "(xla | pallas_tiled)")
+        if self.fine_method == "pallas_tiled" and self.problem.ndim != 3:
+            raise ValueError(
+                "fine_method='pallas_tiled' is 3D-only; use 'xla'")
         shapes = _level_shapes(self.problem.shape, self.min_size)
         object.__setattr__(self, "_shapes", shapes)
 
@@ -174,9 +228,14 @@ class Multigrid:
     def levels(self) -> int:
         return len(self._shapes)
 
-    def _vcycle_fn(self):
+    def _vcycle_fn(self, fine_ops=None):
         """The jitted whole-hierarchy V-cycle: (padded_u, f) ->
-        padded_u. Trace-time recursion over static level shapes."""
+        padded_u. Trace-time recursion over static level shapes.
+
+        ``fine_ops`` (from ``runner`` when ``fine_method='pallas_tiled'``)
+        is ``(pre, res, post)`` TiledPallasStencil handles with the
+        problem's static source baked in; the fine level then runs those
+        kernels and only levels >= 1 take the XLA passes."""
         omega = float(self.omega)
         nu1, nu2 = int(self.nu1), int(self.nu2)
         coarse = int(self.coarse_sweeps)
@@ -185,6 +244,7 @@ class Multigrid:
         two_d = float(2 * ndim)
         inv2d = 1.0 / two_d
         h0 = float(self.problem.h)
+        bc = self.problem.bc
 
         def cycle(padded, f_scaled, f, level):
             # f_scaled = h^2 * f at this level's h
@@ -207,11 +267,39 @@ class Multigrid:
             padded = padded.at[idx].add(e)
             return _smooth(padded, f_scaled, omega, inv2d, nu2)
 
-        def vcycle(padded_u, f):
+        def vcycle_xla(padded_u, f):
             f_scaled = (h0 * h0) * f
             return cycle(padded_u, f_scaled, f, 0)
 
-        return vcycle
+        if fine_ops is None:
+            return vcycle_xla
+
+        pre, res, post = fine_ops
+
+        def vcycle_pallas(padded_u, f):
+            del f  # baked into the fine-level kernels' source operand
+            g = HaloGrid(data=padded_u, halo=1, bc=bc)
+            if n_levels == 1:
+                return pre.iterate(g, max(coarse, nu1 + nu2)).data
+            if nu1:
+                g = pre.iterate(g, nu1)
+            r_grid = res.iterate(g, 1)
+            r = r_grid.data[tuple(slice(1, s - 1)
+                                  for s in r_grid.data.shape)]
+            rc = _restrict_fw(r)
+            rc_scaled = (4.0 * h0 * h0) * rc
+            ec_pad = cycle(jnp.zeros(tuple(s + 2 for s in rc.shape),
+                                     padded_u.dtype),
+                           rc_scaled, rc, 1)
+            e = _prolong_lin(ec_pad[tuple(slice(1, s - 1)
+                                          for s in ec_pad.shape)])
+            idx = tuple(slice(1, s - 1) for s in padded_u.shape)
+            g = HaloGrid(data=g.data.at[idx].add(e), halo=1, bc=bc)
+            if nu2:
+                g = post.iterate(g, nu2)
+            return g.data
+
+        return vcycle_pallas
 
     def runner(self, f) -> Runner:
         """Registry Runner: ``iterate(grid, n)`` = n V-cycles (so
@@ -222,7 +310,30 @@ class Multigrid:
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
-        vcycle = self._vcycle_fn()
+        fine_ops = None
+        if self.fine_method == "pallas_tiled":
+            from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+            ndim = self.problem.ndim
+            h0 = float(self.problem.h)
+            kw = dict(dtype=self.problem.dtype, interpret=self.interpret)
+            if self.tiles is not None:
+                kw["tiles"] = tuple(self.tiles)
+            pre = TiledPallasStencil(
+                wjacobi_spec(ndim, self.omega), self.problem.shape,
+                sweeps_per_call=max(1, self.nu1), source=f_dev,
+                source_scale=-(self.omega / (2 * ndim)) * h0 * h0, **kw)
+            post = pre if self.nu2 in (self.nu1, 0) \
+                else TiledPallasStencil(
+                    wjacobi_spec(ndim, self.omega), self.problem.shape,
+                    sweeps_per_call=self.nu2, source=f_dev,
+                    source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
+                    **kw)
+            res = TiledPallasStencil(
+                residual_spec(ndim, h0), self.problem.shape,
+                sweeps_per_call=1, source=f_dev, source_scale=1.0, **kw)
+            fine_ops = (pre, res, post)
+        vcycle = self._vcycle_fn(fine_ops)
 
         @jax.jit
         def iterate_impl(padded_u, f_arr, n):
@@ -235,15 +346,21 @@ class Multigrid:
             data = iterate_impl(grid.data, f_dev, jnp.int32(n))
             return HaloGrid(data=data, halo=1, bc=grid.bc)
 
+        info = {"levels": self.levels,
+                "level_shapes": [list(s) for s in self._shapes],
+                "nu": (self.nu1, self.nu2),
+                "omega": self.omega,
+                "fine_method": self.fine_method}
+        if fine_ops is not None:
+            p = fine_ops[0].plan
+            info["fine_tiles"] = (p.s0, p.t1)
+            info["fine_tap_mode"] = p.tap_mode
         return Runner(
-            name=f"multigrid({self.levels} levels)",
+            name=f"multigrid({self.levels} levels, {self.fine_method})",
             iterate=iterate,
             description="geometric V-cycle (weighted-Jacobi smoother, "
                         "full-weighting / linear transfers)",
-            plan_info={"levels": self.levels,
-                       "level_shapes": [list(s) for s in self._shapes],
-                       "nu": (self.nu1, self.nu2),
-                       "omega": self.omega},
+            plan_info=info,
         )
 
     def residual_norm(self, grid: HaloGrid, f) -> float:

@@ -115,6 +115,49 @@ def test_partial_depth_mixed_widths():
     assert res.converged, res.summary()
 
 
+def test_pallas_fine_level_matches_xla():
+    """fine_method='pallas_tiled' runs the fine level's smoothers +
+    residual on the fused-source tiled kernel; per-cycle contraction and
+    the iterate must match the XLA fine level up to fp32 reassociation."""
+    shape = (15, 15, 15)
+    prob = PoissonProblem(shape=shape)
+    f, _ = manufactured_sine(shape)
+    mg_x = Multigrid(prob)
+    mg_p = Multigrid(prob, fine_method="pallas_tiled", interpret=True)
+    assert mg_p.runner(f).plan_info["fine_method"] == "pallas_tiled"
+    gx = prob.initial_grid()
+    gp = prob.initial_grid()
+    rx, rp = mg_x.runner(f), mg_p.runner(f)
+    for _ in range(3):
+        gx = rx.iterate(gx, 1)
+        gp = rp.iterate(gp, 1)
+    assert abs(mg_p.residual_norm(gp, f) - mg_x.residual_norm(gx, f)) \
+        < 1e-3 * mg_x.residual_norm(gx, f) + 1e-6
+    d = np.max(np.abs(np.asarray(gx.interior(), np.float64)
+                      - np.asarray(gp.interior(), np.float64)))
+    assert d < 5e-6, d
+
+
+def test_pallas_fine_smoother_specs():
+    from stencil_tpu.multigrid import residual_spec, wjacobi_spec
+
+    s = wjacobi_spec(3, 2.0 / 3.0)
+    assert abs(sum(s.weights) - 1.0) < 1e-12  # consistency (A·1 ~ 1)
+    assert all(s.symmetric_in(d) for d in range(3))
+    r = residual_spec(3, 0.125)
+    assert abs(sum(r.weights)) < 1e-9  # -A annihilates constants
+    assert all(r.symmetric_in(d) for d in range(3))
+
+
+def test_pallas_fine_gates():
+    with pytest.raises(ValueError, match="3D-only"):
+        Multigrid(PoissonProblem(shape=(31, 31)),
+                  fine_method="pallas_tiled")
+    with pytest.raises(ValueError, match="fine_method"):
+        Multigrid(PoissonProblem(shape=(15, 15, 15)),
+                  fine_method="bogus")
+
+
 def test_refuses_dynamic_bc():
     bc = DirichletBC.zero(2).with_periodic((0,))
     with pytest.raises(ValueError, match="Dirichlet"):
