@@ -55,6 +55,7 @@ computed inside the cycle (dynamic), and their volumes sum to < N/7.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -174,6 +175,18 @@ def _prolong_lin(e: jax.Array) -> jax.Array:
 
         e = z + 0.5 * (take(0) + take(2))
     return e
+
+
+@functools.lru_cache(maxsize=32)
+def _residual_norm_fn(shape, dtype, h, ndim):
+    inv_h2 = 1.0 / (h * h)
+    two_d = float(2 * ndim)
+
+    @jax.jit
+    def fn(padded, f):
+        return jnp.max(jnp.abs(_residual(padded, f, inv_h2, two_d)))
+
+    return fn
 
 
 def _level_shapes(shape: Tuple[int, ...],
@@ -365,12 +378,17 @@ class Multigrid:
 
     def residual_norm(self, grid: HaloGrid, f) -> float:
         """max |f - A u| on the fine level (true algebraic residual —
-        unlike the solver's update-norm this certifies the solution)."""
-        inv_h2 = 1.0 / (self.problem.h ** 2)
-        r = _residual(grid.data,
-                      jnp.asarray(np.asarray(f), self.problem.dtype),
-                      inv_h2, float(2 * self.problem.ndim))
-        return float(jnp.max(jnp.abs(r)))
+        unlike the solver's update-norm this certifies the solution).
+
+        fp32 floor: evaluating A u rounds at ``eps * 2 ndim |u| / h^2``,
+        so the achievable residual is ~``1e-4 .. 1e-2 * |f|`` depending on
+        grid size (measured 255^3: 3.7e-3 relative) — the SOLUTION keeps
+        converging to discretization error regardless; use the solver's
+        update-norm tolerance for stopping and this as the certificate."""
+        fn = _residual_norm_fn(self.problem.shape, self.problem.dtype,
+                               float(self.problem.h), self.problem.ndim)
+        return float(fn(grid.data,
+                        jnp.asarray(np.asarray(f), self.problem.dtype)))
 
     def solve(self, f, tolerance: float = 1e-6,
               max_cycles: int = 50, progress=None):
