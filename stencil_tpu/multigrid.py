@@ -177,6 +177,32 @@ def _prolong_lin(e: jax.Array) -> jax.Array:
     return e
 
 
+def _prolong_full(u_pad: jax.Array) -> jax.Array:
+    """Ghost-aware linear prolongation for FMG: coarse PADDED level
+    (nc+2 per dim, walls in the ghosts) -> fine PADDED level (2 nc+3).
+    Fine even index 2j injects coarse j (ghosts land on ghosts: the
+    vertex-centered levels share their physical walls); fine odd 2j+1
+    averages coarse j, j+1 — so first-interior points see the WALL
+    value, which plain zero-padded prolongation (correction equations)
+    must not and ``_prolong_lin`` doesn't."""
+    for d in range(u_pad.ndim):
+        nc2 = u_pad.shape[d]  # nc + 2
+        nf2 = 2 * nc2 - 1     # (2 nc + 1) + 2
+        shape = tuple(nf2 if i == d else s
+                      for i, s in enumerate(u_pad.shape))
+        z = jnp.zeros(shape, u_pad.dtype)
+
+        def at(lo, hi, step):
+            return tuple(slice(lo, hi, step) if i == d else slice(None)
+                         for i in range(u_pad.ndim))
+
+        z = z.at[at(0, None, 2)].set(u_pad)
+        z = z.at[at(1, None, 2)].set(
+            0.5 * (u_pad[at(0, nc2 - 1, 1)] + u_pad[at(1, None, 1)]))
+        u_pad = z
+    return u_pad
+
+
 @functools.lru_cache(maxsize=32)
 def _residual_norm_fn(shape, dtype, h, ndim):
     inv_h2 = 1.0 / (h * h)
@@ -236,19 +262,16 @@ class Multigrid:
                 "fine_method='pallas_tiled' is 3D-only; use 'xla'")
         shapes = _level_shapes(self.problem.shape, self.min_size)
         object.__setattr__(self, "_shapes", shapes)
+        object.__setattr__(self, "_fmg_cache", {})
 
     @property
     def levels(self) -> int:
         return len(self._shapes)
 
-    def _vcycle_fn(self, fine_ops=None):
-        """The jitted whole-hierarchy V-cycle: (padded_u, f) ->
-        padded_u. Trace-time recursion over static level shapes.
-
-        ``fine_ops`` (from ``runner`` when ``fine_method='pallas_tiled'``)
-        is ``(pre, res, post)`` TiledPallasStencil handles with the
-        problem's static source baked in; the fine level then runs those
-        kernels and only levels >= 1 take the XLA passes."""
+    def _make_cycle(self):
+        """The trace-time V-cycle recursion ``cycle(padded, f_scaled, f,
+        level) -> padded`` over static level shapes (all-XLA; shared by
+        the V-cycle runner's coarse levels and the FMG pass)."""
         omega = float(self.omega)
         nu1, nu2 = int(self.nu1), int(self.nu2)
         coarse = int(self.coarse_sweeps)
@@ -257,7 +280,6 @@ class Multigrid:
         two_d = float(2 * ndim)
         inv2d = 1.0 / two_d
         h0 = float(self.problem.h)
-        bc = self.problem.bc
 
         def cycle(padded, f_scaled, f, level):
             # f_scaled = h^2 * f at this level's h
@@ -279,6 +301,23 @@ class Multigrid:
             idx = tuple(slice(1, s - 1) for s in padded.shape)
             padded = padded.at[idx].add(e)
             return _smooth(padded, f_scaled, omega, inv2d, nu2)
+
+        return cycle
+
+    def _vcycle_fn(self, fine_ops=None):
+        """The jitted whole-hierarchy V-cycle: (padded_u, f) ->
+        padded_u. Trace-time recursion over static level shapes.
+
+        ``fine_ops`` (from ``runner`` when ``fine_method='pallas_tiled'``)
+        is ``(pre, res, post)`` TiledPallasStencil handles with the
+        problem's static source baked in; the fine level then runs those
+        kernels and only levels >= 1 take the XLA passes."""
+        nu1, nu2 = int(self.nu1), int(self.nu2)
+        coarse = int(self.coarse_sweeps)
+        n_levels = self.levels
+        h0 = float(self.problem.h)
+        bc = self.problem.bc
+        cycle = self._make_cycle()
 
         def vcycle_xla(padded_u, f):
             f_scaled = (h0 * h0) * f
@@ -314,6 +353,31 @@ class Multigrid:
 
         return vcycle_pallas
 
+    def _fine_ops(self, source_dev):
+        """(pre, res, post) TiledPallasStencil trio for the fine level
+        with ``source_dev`` baked as the kernels' static source."""
+        from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+
+        ndim = self.problem.ndim
+        h0 = float(self.problem.h)
+        kw = dict(dtype=self.problem.dtype, interpret=self.interpret)
+        if self.tiles is not None:
+            kw["tiles"] = tuple(self.tiles)
+        pre = TiledPallasStencil(
+            wjacobi_spec(ndim, self.omega), self.problem.shape,
+            sweeps_per_call=max(1, self.nu1), source=source_dev,
+            source_scale=-(self.omega / (2 * ndim)) * h0 * h0, **kw)
+        post = pre if self.nu2 in (self.nu1, 0) \
+            else TiledPallasStencil(
+                wjacobi_spec(ndim, self.omega), self.problem.shape,
+                sweeps_per_call=self.nu2, source=source_dev,
+                source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
+                **kw)
+        res = TiledPallasStencil(
+            residual_spec(ndim, h0), self.problem.shape,
+            sweeps_per_call=1, source=source_dev, source_scale=1.0, **kw)
+        return (pre, res, post)
+
     def runner(self, f) -> Runner:
         """Registry Runner: ``iterate(grid, n)`` = n V-cycles (so
         ``solver.solve`` drives MG with its usual chunked-residual
@@ -323,29 +387,8 @@ class Multigrid:
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
-        fine_ops = None
-        if self.fine_method == "pallas_tiled":
-            from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
-
-            ndim = self.problem.ndim
-            h0 = float(self.problem.h)
-            kw = dict(dtype=self.problem.dtype, interpret=self.interpret)
-            if self.tiles is not None:
-                kw["tiles"] = tuple(self.tiles)
-            pre = TiledPallasStencil(
-                wjacobi_spec(ndim, self.omega), self.problem.shape,
-                sweeps_per_call=max(1, self.nu1), source=f_dev,
-                source_scale=-(self.omega / (2 * ndim)) * h0 * h0, **kw)
-            post = pre if self.nu2 in (self.nu1, 0) \
-                else TiledPallasStencil(
-                    wjacobi_spec(ndim, self.omega), self.problem.shape,
-                    sweeps_per_call=self.nu2, source=f_dev,
-                    source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
-                    **kw)
-            res = TiledPallasStencil(
-                residual_spec(ndim, h0), self.problem.shape,
-                sweeps_per_call=1, source=f_dev, source_scale=1.0, **kw)
-            fine_ops = (pre, res, post)
+        fine_ops = (self._fine_ops(f_dev)
+                    if self.fine_method == "pallas_tiled" else None)
         vcycle = self._vcycle_fn(fine_ops)
 
         @jax.jit
@@ -375,6 +418,92 @@ class Multigrid:
                         "full-weighting / linear transfers)",
             plan_info=info,
         )
+
+    def fmg(self, f, n_vcycles: int = 2) -> HaloGrid:
+        """Full multigrid: coarse-to-fine initialization that reaches
+        discretization-level error in ONE pass (then ``runner``'s
+        V-cycles refine further if asked).
+
+        Every level solves the full problem with its own exact walls
+        (see ``_fmg_build``); the whole pass — RHS restriction chain,
+        coarsest relax, ghost-aware prolongation, per-level V-cycles —
+        is one jitted XLA computation. The FMG prolongation is linear
+        (order 2 = the discretization order, the textbook minimum).
+
+        ``n_vcycles=2`` is the reliable default HERE, not pessimism:
+        the FMG bound needs the per-level error amplification
+        ``4 delta^nu < 1`` (factor 4 = the h^2 ratio between levels);
+        this stack's V(2,2) contraction is measured delta ~ 0.25-0.3 in
+        3D, so nu=1 sits AT the divergence threshold (measured 7-9x the
+        converged discrete error) while nu=2 lands below it (~0.3 h^2,
+        error-cancellation range; measured 31^3/63^3, fp32).
+        """
+        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        if f_dev.shape != tuple(self.problem.shape):
+            raise ValueError(
+                f"source shape {f_dev.shape} != interior "
+                f"{self.problem.shape}")
+        G = self.problem.initial_grid()
+        n_vcycles = int(n_vcycles)
+        if self.fine_method == "pallas_tiled":
+            # the fine kernels bake f as their static source (same trio
+            # the V-cycle runner uses), so this pass is per-f
+            fn = self._fmg_build(n_vcycles, self._fine_ops(f_dev))
+        else:
+            fn = self._fmg_cache.get(n_vcycles)
+            if fn is None:
+                fn = self._fmg_build(n_vcycles, None)
+                self._fmg_cache[n_vcycles] = fn
+        return HaloGrid(data=fn(G.data, f_dev), halo=1, bc=G.bc)
+
+    def _fmg_build(self, n_vcycles: int, fine_ops):
+        """One jitted FMG pass ``(G_padded, f) -> padded_u``.
+
+        Every level solves the FULL problem with its OWN pinned walls
+        (vertex-centered levels share physical walls: level l's padded
+        template is the fine template subsampled at even indices), so
+        level solutions stay smooth and linear interpolation between
+        levels holds its O(h^2) accuracy — homogenizing the walls
+        instead would hand FMG a boundary-layer solution that linear
+        prolongation cannot represent (measured: ~2% wall error).
+        ``f`` is full-weighting-restricted down; the coarsest level is
+        relaxed from the zero-interior template; each finer level is
+        initialized by the ghost-aware prolongation and polished with
+        ``n_vcycles`` V-cycles (level 0's are the runner's own, Pallas
+        fine kernels included)."""
+        cycle = self._make_cycle()
+        vcycle = self._vcycle_fn(fine_ops)
+        n_levels = self.levels
+        ndim = self.problem.ndim
+        h0 = float(self.problem.h)
+
+        def fmg_pass(G_padded, f):
+            tmpl = [G_padded]
+            fs = [f]
+            for _ in range(n_levels - 1):
+                tmpl.append(tmpl[-1][(slice(None, None, 2),) * ndim])
+                fs.append(_restrict_fw(fs[-1]))
+            h_c = h0 * (2.0 ** (n_levels - 1))
+            u = cycle(tmpl[-1], (h_c * h_c) * fs[-1], fs[-1],
+                      n_levels - 1)
+            for level in range(n_levels - 2, -1, -1):
+                u = _prolong_full(u)
+                # exact walls: the prolongation interpolates ghost faces
+                # between injected points; re-seat the interior into the
+                # level's template (which carries the true face values)
+                idx = tuple(slice(1, s - 1) for s in u.shape)
+                u = tmpl[level].at[idx].set(u[idx])
+                if level == 0:
+                    for _ in range(n_vcycles):
+                        u = vcycle(u, fs[0])
+                else:
+                    h_l = h0 * (2.0 ** level)
+                    for _ in range(n_vcycles):
+                        u = cycle(u, (h_l * h_l) * fs[level],
+                                  fs[level], level)
+            return u
+
+        return jax.jit(fmg_pass)
 
     def residual_norm(self, grid: HaloGrid, f) -> float:
         """max |f - A u| on the fine level (true algebraic residual —

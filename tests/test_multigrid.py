@@ -158,6 +158,75 @@ def test_pallas_fine_gates():
                   fine_method="bogus")
 
 
+def test_fmg_discretization_error_one_pass_2d():
+    """One FMG pass (default n_vcycles=2) reaches discretization-level
+    error — the whole point of FMG: no iteration count at all. nu=1 is
+    the measured divergence threshold (4 delta ~ 1) and only has to be
+    finite-and-loose, not accurate."""
+    shape = (63, 63)
+    prob = PoissonProblem(shape=shape)
+    f, u_exact = manufactured_sine(shape)
+    mg = Multigrid(prob)
+    ref = mg.solve(f, tolerance=1e-6, max_cycles=30)
+    err_ref = np.max(np.abs(
+        np.asarray(ref.grid.interior(), np.float64) - u_exact))
+    g2 = mg.fmg(f)
+    err2 = np.max(np.abs(np.asarray(g2.interior(), np.float64) - u_exact))
+    assert err2 < 1.2 * err_ref, (err2, err_ref)
+    g1 = mg.fmg(f, n_vcycles=1)
+    err1 = np.max(np.abs(np.asarray(g1.interior(), np.float64) - u_exact))
+    assert err1 < 15.0 * err_ref, (err1, err_ref)
+
+
+def test_fmg_3d_and_vcycle_continuation():
+    """FMG in 3D reaches the discrete-error band in one pass (measured
+    0.30 h^2 at 31^3 vs converged 0.82 h^2 — cancellation range), and
+    its output is a valid iterate: runner V-cycles keep contracting."""
+    shape = (31, 31, 31)
+    prob = PoissonProblem(shape=shape)
+    f, u_exact = manufactured_sine(shape)
+    mg = Multigrid(prob)
+    g = mg.fmg(f)
+    err_fmg = np.max(np.abs(np.asarray(g.interior(), np.float64) - u_exact))
+    assert err_fmg < 1.2 * (1.0 / 32) ** 2, err_fmg
+    g = mg.runner(f).iterate(g, 2)
+    err = np.max(np.abs(np.asarray(g.interior(), np.float64) - u_exact))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
+
+
+def test_fmg_nonzero_walls():
+    """Wall homogenization: f = 0, all walls pinned at 1 -> u = 1 exactly
+    solves the discrete problem; one FMG pass must recover it."""
+    prob = PoissonProblem(shape=(31, 31),
+                          bc=DirichletBC(values=((1.0, 1.0), (1.0, 1.0))))
+    f = np.zeros((31, 31), np.float32)
+    g = Multigrid(prob).fmg(f, n_vcycles=2)
+    np.testing.assert_allclose(np.asarray(g.interior(), np.float64), 1.0,
+                               atol=1e-4, rtol=0)
+
+
+def test_fmg_pallas_fine_matches_xla():
+    shape = (15, 15, 15)
+    prob = PoissonProblem(shape=shape)
+    f, _ = manufactured_sine(shape)
+    gx = Multigrid(prob).fmg(f, n_vcycles=1)
+    gp = Multigrid(prob, fine_method="pallas_tiled",
+                   interpret=True).fmg(f, n_vcycles=1)
+    d = np.max(np.abs(np.asarray(gx.interior(), np.float64)
+                      - np.asarray(gp.interior(), np.float64)))
+    assert d < 5e-6, d
+
+
+def test_fmg_xla_pass_is_cached():
+    prob = PoissonProblem(shape=(31, 31))
+    f, _ = manufactured_sine((31, 31))
+    mg = Multigrid(prob)
+    mg.fmg(f, n_vcycles=1)
+    fn = mg._fmg_cache[1]
+    mg.fmg(f, n_vcycles=1)
+    assert mg._fmg_cache[1] is fn
+
+
 def test_refuses_dynamic_bc():
     bc = DirichletBC.zero(2).with_periodic((0,))
     with pytest.raises(ValueError, match="Dirichlet"):
