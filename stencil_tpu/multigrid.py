@@ -241,6 +241,11 @@ class Multigrid:
     omega: float = 2.0 / 3.0
     coarse_sweeps: int = 32
     min_size: int = 3
+    # cycle index: 1 = V-cycle, 2 = W-cycle (each level visits its
+    # coarse correction gamma times; W buys a stronger, nearly
+    # level-count-independent contraction for ~2x the coarse-tail cost
+    # — the fine level is visited once either way)
+    gamma: int = 1
     # 'xla' (rank-general) or 'pallas_tiled' (3D): run the fine level's
     # smoothers + residual on the fused-source tiled kernel (~7/8 of the
     # cycle's work at kernel speed); coarse levels stay XLA (dynamic RHS)
@@ -260,6 +265,8 @@ class Multigrid:
         if self.fine_method == "pallas_tiled" and self.problem.ndim != 3:
             raise ValueError(
                 "fine_method='pallas_tiled' is 3D-only; use 'xla'")
+        if self.gamma not in (1, 2):
+            raise ValueError("gamma must be 1 (V-cycle) or 2 (W-cycle)")
         shapes = _level_shapes(self.problem.shape, self.min_size)
         object.__setattr__(self, "_shapes", shapes)
         object.__setattr__(self, "_fmg_cache", {})
@@ -275,6 +282,7 @@ class Multigrid:
         omega = float(self.omega)
         nu1, nu2 = int(self.nu1), int(self.nu2)
         coarse = int(self.coarse_sweeps)
+        gamma = int(self.gamma)
         n_levels = self.levels
         ndim = self.problem.ndim
         two_d = float(2 * ndim)
@@ -293,9 +301,13 @@ class Multigrid:
             r = _residual(padded, f, inv_h2, two_d)
             rc = _restrict_fw(r)
             rc_scaled = (4.0 * h * h) * rc  # (2h)^2 * r_c
-            ec_pad = cycle(jnp.zeros(tuple(s + 2 for s in rc.shape),
-                                     padded.dtype),
-                           rc_scaled, rc, level + 1)
+            # mu-cycle: solve the coarse error equation by gamma
+            # applications of the coarse method (gamma=2 -> W-cycle),
+            # each continuing from the previous estimate
+            ec_pad = jnp.zeros(tuple(s + 2 for s in rc.shape),
+                               padded.dtype)
+            for _ in range(gamma):
+                ec_pad = cycle(ec_pad, rc_scaled, rc, level + 1)
             e = _prolong_lin(ec_pad[tuple(slice(1, s - 1)
                                           for s in ec_pad.shape)])
             idx = tuple(slice(1, s - 1) for s in padded.shape)
@@ -406,6 +418,7 @@ class Multigrid:
                 "level_shapes": [list(s) for s in self._shapes],
                 "nu": (self.nu1, self.nu2),
                 "omega": self.omega,
+                "gamma": self.gamma,
                 "fine_method": self.fine_method}
         if fine_ops is not None:
             p = fine_ops[0].plan

@@ -194,6 +194,35 @@ def test_fmg_3d_and_vcycle_continuation():
     assert err < 1.2 * (1.0 / 32) ** 2, err
 
 
+def test_wcycle_contraction_and_solution():
+    """gamma=2 (W-cycle) contracts at least as fast per cycle as the
+    V-cycle and converges to the same discrete solution."""
+    shape = (63, 63)
+    prob = PoissonProblem(shape=shape)
+    f, _ = manufactured_sine(shape)
+    mg_v = Multigrid(prob)
+    mg_w = Multigrid(prob, gamma=2)
+    assert mg_w.runner(f).plan_info["gamma"] == 2
+    gv, gw = prob.initial_grid(), prob.initial_grid()
+    rv, rw = mg_v.runner(f), mg_w.runner(f)
+    for _ in range(3):
+        gv = rv.iterate(gv, 1)
+        gw = rw.iterate(gw, 1)
+    assert mg_w.residual_norm(gw, f) \
+        <= 1.05 * mg_v.residual_norm(gv, f)
+    resw = mg_w.solve(f, tolerance=1e-6, max_cycles=20)
+    assert resw.converged
+    resv = mg_v.solve(f, tolerance=1e-6, max_cycles=20)
+    d = np.max(np.abs(np.asarray(resw.grid.interior(), np.float64)
+                      - np.asarray(resv.grid.interior(), np.float64)))
+    assert d < 5e-6, d
+
+
+def test_gamma_gate():
+    with pytest.raises(ValueError, match="gamma"):
+        Multigrid(PoissonProblem(shape=(31, 31)), gamma=3)
+
+
 def test_fmg_nonzero_walls():
     """Wall homogenization: f = 0, all walls pinned at 1 -> u = 1 exactly
     solves the discrete problem; one FMG pass must recover it."""
