@@ -61,6 +61,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stencil_tpu.core.grid import HaloGrid
 from stencil_tpu.core.spec import StencilSpec, weighted
@@ -275,10 +276,14 @@ class Multigrid:
     def levels(self) -> int:
         return len(self._shapes)
 
-    def _make_cycle(self):
+    def _make_cycle(self, constrain=None):
         """The trace-time V-cycle recursion ``cycle(padded, f_scaled, f,
         level) -> padded`` over static level shapes (all-XLA; shared by
-        the V-cycle runner's coarse levels and the FMG pass)."""
+        the V-cycle runner's coarse levels and the FMG pass).
+
+        ``constrain(arr, level)`` (optional) re-anchors each level's
+        arrays to that level's sharding — the hook ``sharded_runner``
+        uses to express the distributed cycle (see there)."""
         omega = float(self.omega)
         nu1, nu2 = int(self.nu1), int(self.nu2)
         coarse = int(self.coarse_sweeps)
@@ -289,17 +294,21 @@ class Multigrid:
         inv2d = 1.0 / two_d
         h0 = float(self.problem.h)
 
+        def pin(arr, level):
+            return constrain(arr, level) if constrain is not None else arr
+
         def cycle(padded, f_scaled, f, level):
             # f_scaled = h^2 * f at this level's h
             h = h0 * (2.0 ** level)
             inv_h2 = 1.0 / (h * h)
+            padded = pin(padded, level)
             if level == n_levels - 1:
                 return _smooth(padded, f_scaled, omega, inv2d,
                                coarse if n_levels > 1
                                else max(coarse, nu1 + nu2))
             padded = _smooth(padded, f_scaled, omega, inv2d, nu1)
             r = _residual(padded, f, inv_h2, two_d)
-            rc = _restrict_fw(r)
+            rc = pin(_restrict_fw(r), level + 1)
             rc_scaled = (4.0 * h * h) * rc  # (2h)^2 * r_c
             # mu-cycle: solve the coarse error equation by gamma
             # applications of the coarse method (gamma=2 -> W-cycle),
@@ -308,8 +317,9 @@ class Multigrid:
                                padded.dtype)
             for _ in range(gamma):
                 ec_pad = cycle(ec_pad, rc_scaled, rc, level + 1)
-            e = _prolong_lin(ec_pad[tuple(slice(1, s - 1)
-                                          for s in ec_pad.shape)])
+            e = pin(_prolong_lin(ec_pad[tuple(slice(1, s - 1)
+                                              for s in ec_pad.shape)]),
+                    level)
             idx = tuple(slice(1, s - 1) for s in padded.shape)
             padded = padded.at[idx].add(e)
             return _smooth(padded, f_scaled, omega, inv2d, nu2)
@@ -429,6 +439,108 @@ class Multigrid:
             iterate=iterate,
             description="geometric V-cycle (weighted-Jacobi smoother, "
                         "full-weighting / linear transfers)",
+            plan_info=info,
+        )
+
+    def sharded_runner(self, f, mesh, dim: int = 0,
+                       replicate_below: Optional[int] = None) -> Runner:
+        """Distributed V/W-cycle over a 1D ``jax.sharding.Mesh``.
+
+        TPU-first shape: the whole hierarchy stays ONE jitted SPMD
+        computation — each level's arrays carry a
+        ``with_sharding_constraint`` along grid dim ``dim`` and XLA's
+        SPMD partitioner inserts the halo collectives the neighbor-sum
+        slices need (no hand-written exchange; contrast
+        ``parallel/halo.py``, which is the explicit-ppermute analog for
+        the plain-sweep methods). Vertex-centered coarsening halves the
+        sharded width per level; once a level is narrower than
+        ``replicate_below`` interior points it is constrained
+        REPLICATED — every device redundantly relaxes the (tiny) coarse
+        tail instead of chattering per-sweep halos across it, the
+        standard redundant-coarse-solve design. Levels above the
+        threshold stay sharded even when their width does not divide
+        the mesh (GSPMD shards unevenly by padding).
+
+        ``f`` may be host or device resident; it is pinned to the fine
+        level's sharding inside the jitted cycle (the odd vertex-
+        centered widths shard UNEVENLY, which ``with_sharding_constraint``
+        takes and eager ``device_put`` refuses). ``iterate`` accepts
+        grids on any placement (level-0's constraint reshards on entry).
+        """
+        if self.fine_method != "xla":
+            raise ValueError(
+                "sharded_runner runs the all-XLA cycle (GSPMD); "
+                "fine_method='pallas_tiled' is single-device — use "
+                "method 'sharded_pallas' for distributed plain sweeps")
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"sharded_runner wants a 1D mesh, got axes "
+                f"{mesh.axis_names}")
+        ndim = self.problem.ndim
+        if not 0 <= dim < ndim:
+            raise ValueError(f"dim {dim} out of range for {ndim}D")
+        nsh = int(np.prod(mesh.devices.shape))
+        if replicate_below is None:
+            # keep >= 2 interior planes per shard, never below the
+            # point where the halo traffic rivals the level's volume
+            replicate_below = max(2 * nsh, 17)
+        axis = mesh.axis_names[0]
+
+        shardings = []
+        sharded_levels = []
+        for shp in self._shapes:
+            wide = shp[dim] >= int(replicate_below)
+            spec = [None] * ndim
+            if wide:
+                spec[dim] = axis
+            shardings.append(NamedSharding(mesh, P(*spec)))
+            sharded_levels.append(bool(wide))
+        if not sharded_levels[0]:
+            raise ValueError(
+                f"fine level width {self._shapes[0][dim]} along dim "
+                f"{dim} is below replicate_below={replicate_below}; "
+                "nothing would be distributed")
+
+        def constrain(arr, level):
+            return jax.lax.with_sharding_constraint(arr, shardings[level])
+
+        cycle = self._make_cycle(constrain)
+        h0 = float(self.problem.h)
+        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        if f_dev.shape != tuple(self.problem.shape):
+            raise ValueError(
+                f"source shape {f_dev.shape} != interior "
+                f"{self.problem.shape}")
+
+        @jax.jit
+        def iterate_impl(padded_u, f_arr, n):
+            f_arr = constrain(f_arr, 0)
+            f_scaled = constrain((h0 * h0) * f_arr, 0)
+            return jax.lax.fori_loop(
+                0, n, lambda _, p: cycle(p, f_scaled, f_arr, 0), padded_u)
+
+        def iterate(grid: HaloGrid, n: int) -> HaloGrid:
+            if grid.halo != 1:
+                raise ValueError("multigrid expects halo=1 grids")
+            data = iterate_impl(grid.data, f_dev, jnp.int32(n))
+            return HaloGrid(data=data, halo=1, bc=grid.bc)
+
+        info = {"levels": self.levels,
+                "level_shapes": [list(s) for s in self._shapes],
+                "nu": (self.nu1, self.nu2),
+                "omega": self.omega,
+                "gamma": self.gamma,
+                "fine_method": "xla+gspmd",
+                "mesh": list(mesh.devices.shape),
+                "sharded_dim": dim,
+                "sharded_levels": sharded_levels,
+                "replicate_below": int(replicate_below)}
+        return Runner(
+            name=f"multigrid_sharded({self.levels} levels, "
+                 f"{nsh}-device mesh)",
+            iterate=iterate,
+            description="distributed geometric V-cycle (GSPMD-sharded "
+                        "levels, redundant replicated coarse tail)",
             plan_info=info,
         )
 
