@@ -1,0 +1,181 @@
+"""Matrix-free Krylov solvers for ``laplacian(u) = f``: conjugate
+gradients, optionally multigrid-preconditioned (the production-standard
+companion to the geometric-multigrid stack in ``multigrid.py``).
+
+Nothing in the reference corresponds (its only iteration is the plain
+Jacobi sweep, ``/root/reference/src/stencil/stencil.cpp:85-125``); this
+is a time-to-solution capability on the same discretization: where plain
+relaxation needs O(n^2) sweeps and a V-cycle contracts at a fixed ~0.2
+per cycle, MG-preconditioned CG squeezes the same contraction into
+fewer, cheaper certificates and is robust where the smoother's
+contraction degrades (anisotropy, large jumps in h).
+
+TPU-first shape: the ENTIRE solve — operator applications, dot
+products, the preconditioning V-cycle, the convergence test — is one
+jitted ``lax.while_loop``. The scalar residual never crosses to the
+host mid-solve; exactly one device->host fetch returns the result
+(load-bearing on the tunneled backend, where a fetch is the only
+execution fence and costs a round trip).
+
+Formulation: the discrete operator ``A = -L`` (``L u ~ (nb_sum(u) -
+2 ndim u)/h^2``) is SPD on the zero-Dirichlet interior, so CG applies.
+Nonzero walls are handled in correction form: ``u = u0 + e`` with
+``u0`` the wall-pinned zero-interior grid, ``A e = -(f - L u0)``
+solved with the ZERO-wall operator (pad-with-zeros), then ``e`` is
+seated back into the pinned grid.
+
+Preconditioner: one multigrid cycle per CG iteration, applied to the
+current residual as a zero-walled correction solve (``Multigrid``'s own
+cycle closure — V or W per its ``gamma``). With symmetric smoothing
+(``nu1 == nu2``, weighted Jacobi) and full-weighting/linear transfers
+(restriction proportional to prolongation-transpose) the cycle is a
+symmetric positive operator, as textbook PCG requires.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.models.poisson import PoissonProblem
+from stencil_tpu.multigrid import Multigrid, _nb_sum, _residual
+
+
+@dataclasses.dataclass(frozen=True)
+class CGResult:
+    grid: HaloGrid
+    iterations: int
+    residual: float          # final ||f - L u||_2 (absolute)
+    residual_rel: float      # relative to ||b||_2
+    converged: bool
+
+    def summary(self) -> str:
+        return (f"{'converged' if self.converged else 'NOT converged'} "
+                f"in {self.iterations} iterations, "
+                f"|r|_2 = {self.residual:.3e} "
+                f"(rel {self.residual_rel:.3e})")
+
+
+@dataclasses.dataclass(frozen=True)
+class ConjugateGradient:
+    """CG / MG-preconditioned CG for a ``PoissonProblem`` (Dirichlet
+    walls only — same well-posedness condition as ``Multigrid``).
+
+    ``preconditioner=None`` gives plain CG; pass a ``Multigrid`` built
+    on the SAME problem for PCG (one cycle per iteration; keep
+    ``nu1 == nu2`` so the preconditioner is symmetric).
+    """
+
+    problem: PoissonProblem
+    preconditioner: Optional[Multigrid] = None
+
+    def __post_init__(self):
+        if self.problem.bc.any_dynamic:
+            raise ValueError(
+                "CG needs the SPD Dirichlet operator (the pure "
+                "periodic/Neumann Poisson problem is singular)")
+        mg = self.preconditioner
+        if mg is not None:
+            if mg.problem.shape != self.problem.shape or \
+                    float(mg.problem.h) != float(self.problem.h):
+                raise ValueError(
+                    "preconditioner built on a different problem "
+                    f"({mg.problem.shape}, h={mg.problem.h}) than "
+                    f"({self.problem.shape}, h={self.problem.h})")
+            if mg.nu1 != mg.nu2:
+                raise ValueError(
+                    "PCG needs a symmetric preconditioner: build the "
+                    f"Multigrid with nu1 == nu2 (got {mg.nu1}, {mg.nu2})")
+            if mg.fine_method != "xla":
+                raise ValueError(
+                    "the preconditioning cycle is the all-XLA one; "
+                    "build the Multigrid with fine_method='xla'")
+
+    def _solve_fn(self, tolerance: float, max_iterations: int):
+        ndim = self.problem.ndim
+        h = float(self.problem.h)
+        inv_h2 = 1.0 / (h * h)
+        two_d = float(2 * ndim)
+        tol2 = float(tolerance) ** 2
+        maxit = jnp.int32(max_iterations)
+        cycle = (self.preconditioner._make_cycle()
+                 if self.preconditioner is not None else None)
+
+        def A(e):  # zero-wall SPD operator on interior-shaped arrays
+            return (two_d * e - _nb_sum(jnp.pad(e, 1))) * inv_h2
+
+        def precond(r):
+            if cycle is None:
+                return r
+            # one MG cycle on the zero-walled correction problem
+            # L e ~ r  =>  A^-1 r ~ -e  (cycle is linear in (0, rhs))
+            e_pad = cycle(jnp.zeros(tuple(s + 2 for s in r.shape),
+                                    r.dtype),
+                          (h * h) * r, r, 0)
+            return -e_pad[tuple(slice(1, s - 1) for s in e_pad.shape)]
+
+        def dot(a, b):
+            return jnp.sum(a * b)
+
+        @jax.jit
+        def solve(padded0, f):
+            # b = -(f - L u0): the zero-wall correction RHS
+            b = -_residual(padded0, f, inv_h2, two_d)
+            bb = dot(b, b)
+            x = jnp.zeros_like(b)
+            r = b
+            z = precond(r)
+            p = z
+            rz = dot(r, z)
+
+            def cond(st):
+                x, r, p, rz, k = st
+                return (dot(r, r) > tol2 * bb) & (k < maxit)
+
+            def body(st):
+                x, r, p, rz, k = st
+                q = A(p)
+                alpha = rz / dot(p, q)
+                x = x + alpha * p
+                r = r - alpha * q
+                z = precond(r)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, p, rz_new, k + 1)
+
+            x, r, p, rz, k = jax.lax.while_loop(
+                cond, body, (x, r, p, rz, jnp.int32(0)))
+            idx = tuple(slice(1, s - 1) for s in padded0.shape)
+            padded = padded0.at[idx].add(x)
+            rr = dot(r, r)
+            return padded, k, jnp.sqrt(rr), jnp.sqrt(rr / bb)
+
+        return solve
+
+    def solve(self, f, tolerance: float = 1e-5,
+              max_iterations: int = 1000) -> CGResult:
+        """Solve to ``||r||_2 <= tolerance * ||b||_2`` (relative
+        2-norm; fp32 floors near ~1e-6 — see
+        ``Multigrid.residual_norm`` for the rounding argument)."""
+        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        if f_dev.shape != tuple(self.problem.shape):
+            raise ValueError(
+                f"source shape {f_dev.shape} != interior "
+                f"{self.problem.shape}")
+        g0 = self.problem.initial_grid()
+        padded, k, rnorm, rrel = self._solve_fn(
+            tolerance, max_iterations)(g0.data, f_dev)
+        k = int(k)
+        rrel = float(rrel)
+        return CGResult(
+            grid=HaloGrid(data=padded, halo=1, bc=g0.bc),
+            iterations=k,
+            residual=float(rnorm),
+            residual_rel=rrel,
+            converged=bool(rrel <= tolerance),
+        )

@@ -1,0 +1,122 @@
+"""Krylov solvers (stencil_tpu/krylov.py): CG and MG-preconditioned CG
+convergence, agreement with the MG/Jacobi discrete solution, nonzero
+Dirichlet walls through the correction form, iteration-count
+superiority of PCG, and the well-posedness/symmetry gates.
+"""
+
+import numpy as np
+import pytest
+
+from stencil_tpu.core.grid import DirichletBC
+from stencil_tpu.krylov import ConjugateGradient
+from stencil_tpu.models.poisson import PoissonProblem, manufactured_sine
+from stencil_tpu.multigrid import Multigrid
+
+
+def test_cg_converges_to_manufactured_2d():
+    shape = (63, 63)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    res = ConjugateGradient(prob).solve(f, tolerance=1e-5,
+                                        max_iterations=500)
+    assert res.converged, res.summary()
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 64) ** 2, err
+
+
+def test_cg_manufactured_is_one_eigenvector():
+    """The manufactured sine RHS is a single eigenvector of the
+    discrete Laplacian — CG must resolve it in O(1) iterations (a
+    sharp correctness check of the Krylov recurrence itself)."""
+    shape = (63, 63, 63)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    cg = ConjugateGradient(prob).solve(f, tolerance=1e-5,
+                                       max_iterations=1000)
+    assert cg.converged and cg.iterations <= 8, cg.summary()
+    err = np.max(np.abs(np.asarray(cg.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 64) ** 2, err
+
+
+def test_pcg_beats_cg_and_matches_mg():
+    """On a full-spectrum (random) RHS, one V-cycle per iteration must
+    cut the iteration count by several-fold vs plain CG, stay
+    mesh-independently small, and land on the same discrete solution
+    as the MG solve."""
+    shape = (63, 63, 63)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=shape).astype(np.float32)
+    cg = ConjugateGradient(prob).solve(f, tolerance=1e-5,
+                                       max_iterations=1000)
+    mg = Multigrid(prob)
+    pcg = ConjugateGradient(prob, preconditioner=mg).solve(
+        f, tolerance=1e-5, max_iterations=100)
+    assert cg.converged and pcg.converged, (cg.summary(), pcg.summary())
+    assert pcg.iterations * 5 <= cg.iterations, \
+        (pcg.iterations, cg.iterations)
+    assert pcg.iterations <= 12, pcg.iterations  # mesh-independent
+    mg_res = mg.solve(f, tolerance=1e-6, max_cycles=40)
+    d = np.max(np.abs(np.asarray(pcg.grid.interior(), np.float64)
+                      - np.asarray(mg_res.grid.interior(), np.float64)))
+    assert d < 5e-5 * np.max(np.abs(
+        np.asarray(mg_res.grid.interior(), np.float64))) + 5e-6, d
+
+
+def test_pcg_wcycle_preconditioner():
+    shape = (31, 31)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    res = ConjugateGradient(
+        prob, preconditioner=Multigrid(prob, gamma=2)).solve(
+        f, tolerance=1e-5, max_iterations=50)
+    assert res.converged and res.iterations <= 10, res.summary()
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
+
+
+def test_cg_nonzero_walls():
+    """f = 0, all walls pinned at 1: u = 1 exactly solves the discrete
+    problem; the correction form must recover it."""
+    prob = PoissonProblem(shape=(31, 31),
+                          bc=DirichletBC(values=((1.0, 1.0), (1.0, 1.0))))
+    f = np.zeros((31, 31), np.float32)
+    res = ConjugateGradient(prob).solve(f, tolerance=1e-6,
+                                        max_iterations=500)
+    got = np.asarray(res.grid.interior(), np.float64)
+    np.testing.assert_allclose(got, 1.0, atol=1e-5, rtol=0)
+
+
+def test_cg_iteration_count_scales_with_width():
+    """Plain CG needs O(n) iterations (condition number O(n^2));
+    PCG's count stays flat. Checked as a ratio, not absolutes."""
+    def iters(n, pre):
+        prob = PoissonProblem(shape=(n, n))
+        rng = np.random.default_rng(n)
+        f = rng.normal(size=(n, n)).astype(np.float32)
+        mg = Multigrid(prob) if pre else None
+        return ConjugateGradient(prob, preconditioner=mg).solve(
+            f, tolerance=1e-5, max_iterations=2000).iterations
+
+    assert iters(63, False) >= 1.5 * iters(31, False)
+    assert iters(63, True) <= iters(31, True) + 3
+
+
+def test_gates():
+    prob = PoissonProblem(shape=(31, 31))
+    bc = DirichletBC.zero(2).with_periodic((0,))
+    with pytest.raises(ValueError, match="SPD"):
+        ConjugateGradient(PoissonProblem(shape=(31, 31), bc=bc))
+    with pytest.raises(ValueError, match="different problem"):
+        ConjugateGradient(
+            prob, preconditioner=Multigrid(PoissonProblem(shape=(15, 15))))
+    with pytest.raises(ValueError, match="nu1 == nu2"):
+        ConjugateGradient(
+            prob, preconditioner=Multigrid(prob, nu1=2, nu2=1))
+    with pytest.raises(ValueError, match="source shape"):
+        ConjugateGradient(prob).solve(np.zeros((31, 30), np.float32))
+    prob3 = PoissonProblem(shape=(15, 15, 15))
+    with pytest.raises(ValueError, match="all-XLA"):
+        ConjugateGradient(
+            prob3, preconditioner=Multigrid(prob3,
+                                            fine_method="pallas_tiled"))
