@@ -25,6 +25,24 @@ from stencil_tpu.core.spec import (
     weighted,
 )
 
+def __getattr__(name):
+    """Lazy top-level access to the solver stack (keeps ``import
+    stencil_tpu`` light): ``Multigrid``, ``ConjugateGradient``, and the
+    model classes live in their own modules but read naturally from the
+    package root."""
+    lazy = {
+        "Multigrid": ("stencil_tpu.multigrid", "Multigrid"),
+        "ConjugateGradient": ("stencil_tpu.krylov", "ConjugateGradient"),
+        "PoissonProblem": ("stencil_tpu.models.poisson", "PoissonProblem"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'stencil_tpu' has no attribute {name!r}")
+
+
 def get_runner(name, config, spec, grid):
     """Convenience re-export of :func:`stencil_tpu.registry.get_runner`."""
     from stencil_tpu import registry
@@ -40,8 +58,11 @@ def solve(runner, grid, **kwargs):
 
 
 __all__ = [
+    "ConjugateGradient",
     "DirichletBC",
     "HaloGrid",
+    "Multigrid",
+    "PoissonProblem",
     "StencilSpec",
     "box",
     "get_runner",
