@@ -189,6 +189,32 @@ def main() -> int:
         except Exception as e:
             print(f"# cfg9_wave setup failed: {e}", file=sys.stderr)
 
+    # round-4 capability row: geometric multigrid — V(4,4)-cycles at
+    # 255^3 with the Pallas fine level (the best measured ms/decade
+    # variant, results/ROUND4.md). "glups" here = interior points per
+    # cycle-second (each point is fully multigrid-cycled once per
+    # iteration); a cycle moves ~5 fine sweeps' traffic plus the coarse
+    # tail, so the naive-sweep roofline fraction is meaningless and the
+    # row reports x_roofline: null.
+    if on_tpu:
+        try:
+            from stencil_tpu.models.poisson import PoissonProblem as _PP
+            from stencil_tpu.multigrid import Multigrid
+
+            mshape = (255, 255, 255)
+            mprob = _PP(shape=mshape)
+            rngm = np.random.default_rng(2)
+            mf = rngm.normal(size=mshape).astype(np.float32)
+            mrunner = Multigrid(mprob, nu1=4, nu2=4,
+                                fine_method="pallas_tiled").runner(mf)
+            mgrid = mprob.initial_grid()
+            mrunner.iterate(mgrid, 1)  # compile
+            cfg_runners.append(("cfg10_mg_vcycle_255_nu4", mgrid,
+                                mrunner, int(np.prod(mshape)),
+                                "float32"))
+        except Exception as e:
+            print(f"# cfg10_mg setup failed: {e}", file=sys.stderr)
+
     try:
         hbm_thunk = roofline.prepare_hbm_measurement()
     except Exception:
@@ -244,6 +270,8 @@ def main() -> int:
             lo, hi = band(m, cpoints)
             roof_c = (hbm / roofline.ideal_bytes_per_point(cdtype)
                       if hbm else None)
+            if key.startswith("cfg10_mg"):
+                roof_c = None  # a V-cycle is not a naive sweep
             configs_out[key] = {
                 "glups": round(glups, 2),
                 "glups_min": lo, "glups_max": hi, "repeats": REPEATS,

@@ -348,36 +348,80 @@ class Multigrid:
         if fine_ops is None:
             return vcycle_xla
 
+        # Fine level on the tiled source kernels. The padded source
+        # operands are computed from the TRACED f inside the jit
+        # (pad_source is pure jnp) and threaded as runtime arguments of
+        # the cached kernel runners — calling the handles' .iterate here
+        # would capture the concrete padded-source arrays as CONSTANTS
+        # of the traced computation, embedding the full grid into the
+        # compile payload (measured: 255^3 compiles ~330 s through the
+        # remote-compile tunnel, 511^3 exceeds its request limit
+        # outright with HTTP 413).
+        from stencil_tpu.ops.pallas_tiled import (
+            _cached_tiled_source_iterate, pad_source,
+        )
+
         pre, res, post = fine_ops
+        gamma = int(self.gamma)
+        pre_run = _cached_tiled_source_iterate(
+            pre.plan, bc, pre.interpret, 1)
+        res_run = _cached_tiled_source_iterate(
+            res.plan, bc, res.interpret, 1)
+        post_run = _cached_tiled_source_iterate(
+            post.plan, bc, post.interpret, 1)
+
+        def prep_sources(f):
+            src_pre = pad_source(pre.plan, f, pre.source_scale, bc)
+            src_res = pad_source(res.plan, f, res.source_scale, bc)
+            src_post = (src_pre if post.plan is pre.plan
+                        else pad_source(post.plan, f, post.source_scale,
+                                        bc))
+            return (src_pre, src_res, src_post)
 
         def vcycle_pallas(padded_u, f):
-            del f  # baked into the fine-level kernels' source operand
-            g = HaloGrid(data=padded_u, halo=1, bc=bc)
+            # loop-invariant in every caller's cycle loop; jitted
+            # callers pre-pad once via ``prep_sources`` and pass the
+            # triple through f (see _vcycle_fn return contract below)
+            if isinstance(f, tuple):
+                src_pre, src_res, src_post = f
+            else:
+                src_pre, src_res, src_post = prep_sources(f)
             if n_levels == 1:
-                return pre.iterate(g, max(coarse, nu1 + nu2)).data
+                n = -(-max(coarse, nu1 + nu2) // max(1, nu1))
+                data = padded_u
+                for _ in range(n):
+                    data = pre_run(data, 1, src_pre)
+                return data
+            data = padded_u
             if nu1:
-                g = pre.iterate(g, nu1)
-            r_grid = res.iterate(g, 1)
-            r = r_grid.data[tuple(slice(1, s - 1)
-                                  for s in r_grid.data.shape)]
+                data = pre_run(data, 1, src_pre)
+            r_pad = res_run(data, 1, src_res)
+            r = r_pad[tuple(slice(1, s - 1) for s in r_pad.shape)]
             rc = _restrict_fw(r)
             rc_scaled = (4.0 * h0 * h0) * rc
-            ec_pad = cycle(jnp.zeros(tuple(s + 2 for s in rc.shape),
-                                     padded_u.dtype),
-                           rc_scaled, rc, 1)
+            ec_pad = jnp.zeros(tuple(s + 2 for s in rc.shape),
+                               padded_u.dtype)
+            for _ in range(gamma):
+                ec_pad = cycle(ec_pad, rc_scaled, rc, 1)
             e = _prolong_lin(ec_pad[tuple(slice(1, s - 1)
                                           for s in ec_pad.shape)])
             idx = tuple(slice(1, s - 1) for s in padded_u.shape)
-            g = HaloGrid(data=g.data.at[idx].add(e), halo=1, bc=bc)
+            data = data.at[idx].add(e)
             if nu2:
-                g = post.iterate(g, nu2)
-            return g.data
+                data = post_run(data, 1, src_post)
+            return data
 
+        # jitted callers with a cycle LOOP pre-pad once (loop-invariant)
+        # and pass the triple as ``f``; one-shot callers pass f itself
+        vcycle_pallas.prep = prep_sources
         return vcycle_pallas
 
     def _fine_ops(self, source_dev):
-        """(pre, res, post) TiledPallasStencil trio for the fine level
-        with ``source_dev`` baked as the kernels' static source."""
+        """(pre, res, post) TiledPallasStencil trio for the fine level.
+        ``source_dev`` only fixes the has-source plan shape here; at
+        run time the padded source operands are traced from the cycle's
+        ``f`` argument (see ``_vcycle_fn``), so the handles serve any
+        right-hand side."""
         from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
 
         ndim = self.problem.ndim
@@ -413,10 +457,13 @@ class Multigrid:
                     if self.fine_method == "pallas_tiled" else None)
         vcycle = self._vcycle_fn(fine_ops)
 
+        prep = getattr(vcycle, "prep", lambda f: f)
+
         @jax.jit
         def iterate_impl(padded_u, f_arr, n):
+            aux = prep(f_arr)  # padded sources hoisted out of the loop
             return jax.lax.fori_loop(
-                0, n, lambda _, p: vcycle(p, f_arr), padded_u)
+                0, n, lambda _, p: vcycle(p, aux), padded_u)
 
         def iterate(grid: HaloGrid, n: int) -> HaloGrid:
             if grid.halo != 1:
@@ -570,15 +617,15 @@ class Multigrid:
                 f"{self.problem.shape}")
         G = self.problem.initial_grid()
         n_vcycles = int(n_vcycles)
-        if self.fine_method == "pallas_tiled":
-            # the fine kernels bake f as their static source (same trio
-            # the V-cycle runner uses), so this pass is per-f
-            fn = self._fmg_build(n_vcycles, self._fine_ops(f_dev))
-        else:
-            fn = self._fmg_cache.get(n_vcycles)
-            if fn is None:
-                fn = self._fmg_build(n_vcycles, None)
-                self._fmg_cache[n_vcycles] = fn
+        fn = self._fmg_cache.get(n_vcycles)
+        if fn is None:
+            # f enters the pass as a traced argument everywhere (the
+            # fine kernels' source operands are padded from it inside
+            # the jit), so one build serves every f
+            fine_ops = (self._fine_ops(f_dev)
+                        if self.fine_method == "pallas_tiled" else None)
+            fn = self._fmg_build(n_vcycles, fine_ops)
+            self._fmg_cache[n_vcycles] = fn
         return HaloGrid(data=fn(G.data, f_dev), halo=1, bc=G.bc)
 
     def _fmg_build(self, n_vcycles: int, fine_ops):
@@ -619,8 +666,9 @@ class Multigrid:
                 idx = tuple(slice(1, s - 1) for s in u.shape)
                 u = tmpl[level].at[idx].set(u[idx])
                 if level == 0:
+                    aux = getattr(vcycle, "prep", lambda f: f)(fs[0])
                     for _ in range(n_vcycles):
-                        u = vcycle(u, fs[0])
+                        u = vcycle(u, aux)
                 else:
                     h_l = h0 * (2.0 ** level)
                     for _ in range(n_vcycles):

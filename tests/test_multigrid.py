@@ -361,3 +361,43 @@ def test_sharded_runner_really_distributes():
         r"collective-permute|all-gather", txt))
     assert "collective-permute" in colls, colls
     assert "all-gather" in colls, colls
+
+
+def test_wcycle_pallas_fine_matches_xla():
+    """gamma=2 with the Pallas fine level must apply the W recursion at
+    EVERY level (a round-4 fix: the fine-level branch used to visit its
+    coarse correction once regardless of gamma)."""
+    shape = (15, 15, 15)
+    prob = PoissonProblem(shape=shape)
+    f, _ = manufactured_sine(shape)
+    gx = prob.initial_grid()
+    gp = prob.initial_grid()
+    rx = Multigrid(prob, gamma=2).runner(f)
+    rp = Multigrid(prob, gamma=2, fine_method="pallas_tiled",
+                   interpret=True).runner(f)
+    for _ in range(3):
+        gx = rx.iterate(gx, 1)
+        gp = rp.iterate(gp, 1)
+    d = np.max(np.abs(np.asarray(gx.interior(), np.float64)
+                      - np.asarray(gp.interior(), np.float64)))
+    assert d < 5e-6, d
+
+
+def test_fmg_pallas_pass_is_cached_and_f_independent():
+    """The FMG pass must not bake f into the computation (a round-4
+    fix: concrete padded-source constants blew up the compile payload
+    at 511^3); one build serves every right-hand side."""
+    shape = (15, 15, 15)
+    prob = PoissonProblem(shape=shape)
+    mg = Multigrid(prob, fine_method="pallas_tiled", interpret=True)
+    f1, _ = manufactured_sine(shape)
+    mg.fmg(f1, n_vcycles=1)
+    fn = mg._fmg_cache[1]
+    rng = np.random.default_rng(5)
+    f2 = rng.normal(size=shape).astype(np.float32)
+    g2 = mg.fmg(f2, n_vcycles=1)
+    assert mg._fmg_cache[1] is fn  # reused, not rebuilt
+    gx = Multigrid(prob).fmg(f2, n_vcycles=1)
+    d = np.max(np.abs(np.asarray(gx.interior(), np.float64)
+                      - np.asarray(g2.interior(), np.float64)))
+    assert d < 5e-6, d
