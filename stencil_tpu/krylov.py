@@ -75,6 +75,7 @@ class ConjugateGradient:
     preconditioner: Optional[Multigrid] = None
 
     def __post_init__(self):
+        object.__setattr__(self, "_fn_cache", {})
         if self.problem.bc.any_dynamic:
             raise ValueError(
                 "CG needs the SPD Dirichlet operator (the pure "
@@ -96,15 +97,55 @@ class ConjugateGradient:
                     "the preconditioning cycle is the all-XLA one; "
                     "build the Multigrid with fine_method='xla'")
 
-    def _solve_fn(self, tolerance: float, max_iterations: int):
+    def _solve_fn(self, tolerance: float, max_iterations: int,
+                  mesh=None, dim: int = 0,
+                  replicate_below: Optional[int] = None):
         ndim = self.problem.ndim
         h = float(self.problem.h)
         inv_h2 = 1.0 / (h * h)
         two_d = float(2 * ndim)
         tol2 = float(tolerance) ** 2
         maxit = jnp.int32(max_iterations)
-        cycle = (self.preconditioner._make_cycle()
-                 if self.preconditioner is not None else None)
+        if mesh is None:
+            cycle = (self.preconditioner._make_cycle()
+                     if self.preconditioner is not None else None)
+
+            def pin(a):
+                return a
+        elif self.preconditioner is not None:
+            # distributed PCG: the Krylov vectors carry the fine
+            # level's sharding, the preconditioning cycle its full
+            # per-level sharding ladder (same GSPMD design as
+            # Multigrid.sharded_runner — XLA inserts the halo
+            # collectives; dot products become all-reduces)
+            shardings, _, _ = self.preconditioner._level_shardings(
+                mesh, dim, replicate_below)
+
+            def constrain(arr, level):
+                return jax.lax.with_sharding_constraint(
+                    arr, shardings[level])
+
+            cycle = self.preconditioner._make_cycle(constrain)
+
+            def pin(a):
+                return jax.lax.with_sharding_constraint(a, shardings[0])
+        else:
+            # distributed plain CG: fine sharding only
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    f"distributed CG wants a 1D mesh, got axes "
+                    f"{mesh.axis_names}")
+            if not 0 <= dim < ndim:
+                raise ValueError(f"dim {dim} out of range for {ndim}D")
+            spec = [None] * ndim
+            spec[dim] = mesh.axis_names[0]
+            s0 = NamedSharding(mesh, P(*spec))
+            cycle = None
+
+            def pin(a):
+                return jax.lax.with_sharding_constraint(a, s0)
 
         def A(e):  # zero-wall SPD operator on interior-shaped arrays
             return (two_d * e - _nb_sum(jnp.pad(e, 1))) * inv_h2
@@ -125,11 +166,11 @@ class ConjugateGradient:
         @jax.jit
         def solve(padded0, f):
             # b = -(f - L u0): the zero-wall correction RHS
-            b = -_residual(padded0, f, inv_h2, two_d)
+            b = pin(-_residual(padded0, f, inv_h2, two_d))
             bb = dot(b, b)
             x = jnp.zeros_like(b)
             r = b
-            z = precond(r)
+            z = pin(precond(r))
             p = z
             rz = dot(r, z)
 
@@ -139,11 +180,11 @@ class ConjugateGradient:
 
             def body(st):
                 x, r, p, rz, k = st
-                q = A(p)
+                q = pin(A(p))
                 alpha = rz / dot(p, q)
                 x = x + alpha * p
                 r = r - alpha * q
-                z = precond(r)
+                z = pin(precond(r))
                 rz_new = dot(r, z)
                 p = z + (rz_new / rz) * p
                 return (x, r, p, rz_new, k + 1)
@@ -158,18 +199,31 @@ class ConjugateGradient:
         return solve
 
     def solve(self, f, tolerance: float = 1e-5,
-              max_iterations: int = 1000) -> CGResult:
+              max_iterations: int = 1000, mesh=None, dim: int = 0,
+              replicate_below: Optional[int] = None) -> CGResult:
         """Solve to ``||r||_2 <= tolerance * ||b||_2`` (relative
         2-norm; fp32 floors near ~1e-6 — see
-        ``Multigrid.residual_norm`` for the rounding argument)."""
+        ``Multigrid.residual_norm`` for the rounding argument).
+
+        ``mesh`` (a 1D ``jax.sharding.Mesh``) distributes the solve:
+        Krylov vectors shard along grid dim ``dim``, the
+        preconditioning cycle runs its per-level sharding ladder
+        (replicated coarse tail), dot products become all-reduces —
+        all inside the same single jitted while_loop."""
         f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
         g0 = self.problem.initial_grid()
-        padded, k, rnorm, rrel = self._solve_fn(
-            tolerance, max_iterations)(g0.data, f_dev)
+        key = (float(tolerance), int(max_iterations), mesh, dim,
+               replicate_below)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._solve_fn(tolerance, max_iterations, mesh, dim,
+                                replicate_below)
+            self._fn_cache[key] = fn
+        padded, k, rnorm, rrel = fn(g0.data, f_dev)
         k = int(k)
         rrel = float(rrel)
         return CGResult(

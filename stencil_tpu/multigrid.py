@@ -489,6 +489,43 @@ class Multigrid:
             plan_info=info,
         )
 
+    def _level_shardings(self, mesh, dim: int = 0,
+                         replicate_below: Optional[int] = None):
+        """Per-level ``NamedSharding``s for the hierarchy over a 1D
+        mesh: levels at least ``replicate_below`` interior points wide
+        along ``dim`` shard on the mesh axis, the rest replicate.
+        Returns ``(shardings, sharded_flags, replicate_below)``; shared
+        by ``sharded_runner`` and the distributed PCG
+        (``krylov.ConjugateGradient.solve(mesh=...)``)."""
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"distributed multigrid wants a 1D mesh, got axes "
+                f"{mesh.axis_names}")
+        ndim = self.problem.ndim
+        if not 0 <= dim < ndim:
+            raise ValueError(f"dim {dim} out of range for {ndim}D")
+        nsh = int(np.prod(mesh.devices.shape))
+        if replicate_below is None:
+            # keep >= 2 interior planes per shard, never below the
+            # point where the halo traffic rivals the level's volume
+            replicate_below = max(2 * nsh, 17)
+        axis = mesh.axis_names[0]
+        shardings = []
+        sharded_levels = []
+        for shp in self._shapes:
+            wide = shp[dim] >= int(replicate_below)
+            spec = [None] * ndim
+            if wide:
+                spec[dim] = axis
+            shardings.append(NamedSharding(mesh, P(*spec)))
+            sharded_levels.append(bool(wide))
+        if not sharded_levels[0]:
+            raise ValueError(
+                f"fine level width {self._shapes[0][dim]} along dim "
+                f"{dim} is below replicate_below={replicate_below}; "
+                "nothing would be distributed")
+        return shardings, sharded_levels, int(replicate_below)
+
     def sharded_runner(self, f, mesh, dim: int = 0,
                        replicate_below: Optional[int] = None) -> Runner:
         """Distributed V/W-cycle over a 1D ``jax.sharding.Mesh``.
@@ -519,34 +556,9 @@ class Multigrid:
                 "sharded_runner runs the all-XLA cycle (GSPMD); "
                 "fine_method='pallas_tiled' is single-device — use "
                 "method 'sharded_pallas' for distributed plain sweeps")
-        if len(mesh.axis_names) != 1:
-            raise ValueError(
-                f"sharded_runner wants a 1D mesh, got axes "
-                f"{mesh.axis_names}")
-        ndim = self.problem.ndim
-        if not 0 <= dim < ndim:
-            raise ValueError(f"dim {dim} out of range for {ndim}D")
+        shardings, sharded_levels, replicate_below = \
+            self._level_shardings(mesh, dim, replicate_below)
         nsh = int(np.prod(mesh.devices.shape))
-        if replicate_below is None:
-            # keep >= 2 interior planes per shard, never below the
-            # point where the halo traffic rivals the level's volume
-            replicate_below = max(2 * nsh, 17)
-        axis = mesh.axis_names[0]
-
-        shardings = []
-        sharded_levels = []
-        for shp in self._shapes:
-            wide = shp[dim] >= int(replicate_below)
-            spec = [None] * ndim
-            if wide:
-                spec[dim] = axis
-            shardings.append(NamedSharding(mesh, P(*spec)))
-            sharded_levels.append(bool(wide))
-        if not sharded_levels[0]:
-            raise ValueError(
-                f"fine level width {self._shapes[0][dim]} along dim "
-                f"{dim} is below replicate_below={replicate_below}; "
-                "nothing would be distributed")
 
         def constrain(arr, level):
             return jax.lax.with_sharding_constraint(arr, shardings[level])

@@ -120,3 +120,60 @@ def test_gates():
         ConjugateGradient(
             prob3, preconditioner=Multigrid(prob3,
                                             fine_method="pallas_tiled"))
+
+
+# ---------------- distributed (GSPMD) CG / PCG ----------------
+
+def _mesh1d(n):
+    from stencil_tpu.parallel.halo import make_mesh
+    return make_mesh((n,), ("x",))
+
+
+def test_distributed_pcg_matches_single_device():
+    """mesh= distributes the same computation (constraints change
+    placement, not math): iterations identical, solutions equal to
+    fp32 noise, on both plain CG and MG-PCG."""
+    shape = (31, 63)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(9)
+    f = rng.normal(size=shape).astype(np.float32)
+    for pre in (None, Multigrid(prob)):
+        cg = ConjugateGradient(prob, preconditioner=pre)
+        r1 = cg.solve(f, tolerance=1e-5, max_iterations=500)
+        r4 = cg.solve(f, tolerance=1e-5, max_iterations=500,
+                      mesh=_mesh1d(4), dim=1)
+        assert r1.converged and r4.converged
+        # fp32 all-reduce reordering may shift the count by a step
+        assert abs(r1.iterations - r4.iterations) <= 2, \
+            (r1.iterations, r4.iterations)
+        d = np.max(np.abs(
+            np.asarray(r1.grid.interior(), np.float64)
+            - np.asarray(r4.grid.interior(), np.float64)))
+        assert d < 1e-6, d
+
+
+def test_distributed_pcg_converges_3d_and_caches():
+    shape = (31, 31, 31)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    cg = ConjugateGradient(prob, preconditioner=Multigrid(prob))
+    mesh = _mesh1d(8)
+    res = cg.solve(f, tolerance=1e-5, mesh=mesh, replicate_below=8)
+    assert res.converged, res.summary()
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
+    assert len(cg._fn_cache) == 1
+    cg.solve(f, tolerance=1e-5, mesh=mesh, replicate_below=8)
+    assert len(cg._fn_cache) == 1  # jitted solve reused, not rebuilt
+
+
+def test_distributed_gates():
+    prob = PoissonProblem(shape=(63, 63))
+    f = np.zeros((63, 63), np.float32)
+    from stencil_tpu.parallel.halo import make_mesh
+    with pytest.raises(ValueError, match="1D mesh"):
+        ConjugateGradient(prob).solve(f, mesh=make_mesh((2, 2),
+                                                        ("x", "y")))
+    with pytest.raises(ValueError, match="replicate_below"):
+        ConjugateGradient(prob, preconditioner=Multigrid(prob)).solve(
+            f, mesh=_mesh1d(4), replicate_below=64)
