@@ -33,7 +33,11 @@ def __getattr__(name):
     lazy = {
         "Multigrid": ("stencil_tpu.multigrid", "Multigrid"),
         "ConjugateGradient": ("stencil_tpu.krylov", "ConjugateGradient"),
+        "BiCGStab": ("stencil_tpu.krylov", "BiCGStab"),
         "PoissonProblem": ("stencil_tpu.models.poisson", "PoissonProblem"),
+        "AdvectionDiffusionProblem": (
+            "stencil_tpu.models.advection_diffusion",
+            "AdvectionDiffusionProblem"),
     }
     if name in lazy:
         import importlib
@@ -58,6 +62,8 @@ def solve(runner, grid, **kwargs):
 
 
 __all__ = [
+    "AdvectionDiffusionProblem",
+    "BiCGStab",
     "ConjugateGradient",
     "DirichletBC",
     "HaloGrid",

@@ -64,6 +64,26 @@ class PoissonProblem:
         return star(self.ndim, 1)
 
     @property
+    def operator_spec(self) -> StencilSpec:
+        """The equation's left-hand side as taps: the discrete
+        ``laplacian`` (center ``-2 ndim / h^2``, faces ``+1/h^2``), so
+        ``apply_spec(operator_spec) u = f`` IS ``laplacian(u) = f``.
+        The matrix-free form generic Krylov solvers consume
+        (``krylov.BiCGStab``; ``ConjugateGradient`` hardcodes the
+        negated — SPD — star, same solution by linearity)."""
+        from stencil_tpu.core.spec import weighted
+
+        nd, h = self.ndim, float(self.h)
+        inv_h2 = 1.0 / (h * h)
+        taps = [((0,) * nd, -2.0 * nd * inv_h2)]
+        for d in range(nd):
+            for sign in (-1, 1):
+                off = [0] * nd
+                off[d] = sign
+                taps.append((tuple(off), inv_h2))
+        return weighted(nd, taps, name=f"laplace{nd}d")
+
+    @property
     def source_scale(self) -> float:
         """``u' = S(u) + source_scale * f``: the fused per-sweep factor
         ``-h^2 / (2*ndim)`` of the 2nd-order Jacobi splitting."""
