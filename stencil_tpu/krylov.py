@@ -70,7 +70,10 @@ class ConjugateGradient:
 
     ``preconditioner=None`` gives plain CG; pass a ``Multigrid`` built
     on the SAME problem for PCG (one cycle per iteration; keep
-    ``nu1 == nu2`` so the preconditioner is symmetric).
+    ``nu1 == nu2`` so the preconditioner is symmetric). A
+    ``fine_method='pallas_tiled'`` Multigrid runs the preconditioning
+    cycle's fine level on the tiled source kernels (single-device
+    solves; the distributed path keeps the all-XLA GSPMD cycle).
     """
 
     problem: PoissonProblem
@@ -94,10 +97,6 @@ class ConjugateGradient:
                 raise ValueError(
                     "PCG needs a symmetric preconditioner: build the "
                     f"Multigrid with nu1 == nu2 (got {mg.nu1}, {mg.nu2})")
-            if mg.fine_method != "xla":
-                raise ValueError(
-                    "the preconditioning cycle is the all-XLA one; "
-                    "build the Multigrid with fine_method='xla'")
 
     def _solve_fn(self, tolerance: float, max_iterations: int,
                   mesh=None, dim: int = 0,
@@ -108,13 +107,47 @@ class ConjugateGradient:
         two_d = float(2 * ndim)
         tol2 = float(tolerance) ** 2
         maxit = jnp.int32(max_iterations)
+        vcycle_fine = None
         if mesh is None:
-            cycle = (self.preconditioner._make_cycle()
-                     if self.preconditioner is not None else None)
+            cycle = None
+            if self.preconditioner is not None:
+                mg = self.preconditioner
+                if mg.fine_method == "pallas_tiled":
+                    # fine level of the preconditioning cycle on the
+                    # tiled source kernels: the cycle's rhs (the CG
+                    # residual) is a TRACED argument, padded into the
+                    # kernels' source operands per call — so the same
+                    # compiled cycle serves every iteration's residual
+                    # (see Multigrid._vcycle_fn). The correction
+                    # problem's walls are ZERO whatever the fine
+                    # problem's walls are; the tiled kernels re-pin
+                    # their bc's Dirichlet ghosts every sweep, so they
+                    # must be built against a zero-wall clone (the XLA
+                    # cycle gets zero walls for free from its zero
+                    # initial array).
+                    from stencil_tpu.core.grid import DirichletBC
+
+                    mg0 = mg
+                    if any(v != (0.0, 0.0) for v in mg.problem.bc.values):
+                        mg0 = dataclasses.replace(
+                            mg, problem=dataclasses.replace(
+                                mg.problem,
+                                bc=DirichletBC.zero(ndim)))
+                    fine_ops = mg0._fine_ops(np.zeros(
+                        tuple(self.problem.shape),
+                        np.dtype(self.problem.dtype)))
+                    vcycle_fine = mg0._vcycle_fn(fine_ops)
+                else:
+                    cycle = mg._make_cycle()
 
             def pin(a):
                 return a
         elif self.preconditioner is not None:
+            if self.preconditioner.fine_method != "xla":
+                raise ValueError(
+                    "distributed PCG runs the all-XLA GSPMD cycle; "
+                    "build the Multigrid with fine_method='xla' "
+                    "(the tiled fine kernel is single-device)")
             # distributed PCG: the Krylov vectors carry the fine
             # level's sharding, the preconditioning cycle its full
             # per-level sharding ladder (same GSPMD design as
@@ -153,13 +186,17 @@ class ConjugateGradient:
             return (two_d * e - _nb_sum(jnp.pad(e, 1))) * inv_h2
 
         def precond(r):
-            if cycle is None:
-                return r
             # one MG cycle on the zero-walled correction problem
             # L e ~ r  =>  A^-1 r ~ -e  (cycle is linear in (0, rhs))
-            e_pad = cycle(jnp.zeros(tuple(s + 2 for s in r.shape),
-                                    r.dtype),
-                          (h * h) * r, r, 0)
+            if vcycle_fine is not None:
+                e_pad = vcycle_fine(
+                    jnp.zeros(tuple(s + 2 for s in r.shape), r.dtype), r)
+            elif cycle is None:
+                return r
+            else:
+                e_pad = cycle(jnp.zeros(tuple(s + 2 for s in r.shape),
+                                        r.dtype),
+                              (h * h) * r, r, 0)
             return -e_pad[tuple(slice(1, s - 1) for s in e_pad.shape)]
 
         def dot(a, b):

@@ -117,9 +117,55 @@ def test_gates():
         ConjugateGradient(prob).solve(np.zeros((31, 30), np.float32))
     prob3 = PoissonProblem(shape=(15, 15, 15))
     with pytest.raises(ValueError, match="all-XLA"):
+        # the tiled fine kernel is single-device: only the DISTRIBUTED
+        # solve refuses it (single-device PCG runs it — see
+        # test_pcg_pallas_fine_* below)
         ConjugateGradient(
-            prob3, preconditioner=Multigrid(prob3,
-                                            fine_method="pallas_tiled"))
+            prob3,
+            preconditioner=Multigrid(prob3, fine_method="pallas_tiled",
+                                     interpret=True),
+        ).solve(np.zeros((15, 15, 15), np.float32), mesh=_mesh1d(2))
+
+
+def test_pcg_pallas_fine_matches_xla_fine():
+    """The preconditioning cycle's fine level on the tiled source
+    kernels: same convergence and solution as the all-XLA cycle.
+    Nonzero walls on purpose — the correction cycle must run ZERO
+    walls, so the kernel path's zero-wall clone (not the problem's
+    pinned ghosts) is what this guards."""
+    shape = (31, 31, 31)
+    prob = PoissonProblem(shape=shape,
+                          bc=DirichletBC.reference_default(3))
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=shape).astype(np.float32)
+    pcg_x = ConjugateGradient(prob, preconditioner=Multigrid(prob)) \
+        .solve(f, tolerance=1e-5, max_iterations=100)
+    mg_p = Multigrid(prob, fine_method="pallas_tiled", interpret=True)
+    pcg_p = ConjugateGradient(prob, preconditioner=mg_p) \
+        .solve(f, tolerance=1e-5, max_iterations=100)
+    assert pcg_x.converged and pcg_p.converged, \
+        (pcg_x.summary(), pcg_p.summary())
+    assert abs(pcg_x.iterations - pcg_p.iterations) <= 2, \
+        (pcg_x.iterations, pcg_p.iterations)
+    ux = np.asarray(pcg_x.grid.interior(), np.float64)
+    up = np.asarray(pcg_p.grid.interior(), np.float64)
+    scale = np.max(np.abs(ux))
+    assert np.max(np.abs(ux - up)) < 1e-3 * scale + 1e-6
+
+
+def test_pcg_pallas_fine_nu4():
+    """The measured-best cycle variant (V(4,4), Pallas fine level)
+    through PCG: converges in the mesh-independent few iterations."""
+    shape = (31, 31, 31)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    mg = Multigrid(prob, nu1=4, nu2=4, fine_method="pallas_tiled",
+                   interpret=True)
+    res = ConjugateGradient(prob, preconditioner=mg).solve(
+        f, tolerance=1e-5, max_iterations=50)
+    assert res.converged and res.iterations <= 8, res.summary()
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
 
 
 # ---------------- distributed (GSPMD) CG / PCG ----------------
