@@ -401,3 +401,92 @@ def test_fmg_pallas_pass_is_cached_and_f_independent():
     d = np.max(np.abs(np.asarray(gx.interior(), np.float64)
                       - np.asarray(g2.interior(), np.float64)))
     assert d < 5e-6, d
+
+
+# ---------------- Chebyshev smoother ----------------
+
+def test_chebyshev_cycle_reaches_discretization_error():
+    shape = (63, 63, 63)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    mg = Multigrid(prob, smoother="chebyshev")
+    res = mg.solve(f, tolerance=1e-6, max_cycles=30)
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 64) ** 2, err
+
+
+def test_chebyshev_contracts_faster_than_wjacobi():
+    """Same nu=(2,2), same cycles: the Chebyshev band polynomial must
+    contract the residual at least 2x faster over 4 cycles (its
+    per-sweep band damping is ~0.22 vs weighted Jacobi's 0.44)."""
+    shape = (63, 63)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(13)
+    f = rng.normal(size=shape).astype(np.float32)
+    g_w = prob.initial_grid()
+    g_c = prob.initial_grid()
+    r_w = Multigrid(prob).runner(f)
+    r_c = Multigrid(prob, smoother="chebyshev").runner(f)
+    g_w = r_w.iterate(g_w, 4)
+    g_c = r_c.iterate(g_c, 4)
+    res_w = Multigrid(prob).residual_norm(g_w, f)
+    res_c = Multigrid(prob).residual_norm(g_c, f)
+    assert res_c < 0.5 * res_w, (res_c, res_w)
+
+
+def test_chebyshev_wcycle_and_fmg():
+    shape = (31, 31)
+    prob = PoissonProblem(shape=shape)
+    f, u = manufactured_sine(shape)
+    mg = Multigrid(prob, smoother="chebyshev", gamma=2)
+    res = mg.solve(f, tolerance=1e-6, max_cycles=20)
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
+    g = Multigrid(prob, smoother="chebyshev").fmg(f, n_vcycles=2)
+    err = np.max(np.abs(np.asarray(g.interior(), np.float64) - u))
+    assert err < 1.2 * (1.0 / 32) ** 2, err
+
+
+def test_chebyshev_sharded_matches_single_device():
+    from stencil_tpu.parallel.halo import make_mesh
+
+    shape = (31, 15, 15)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(14)
+    f = rng.normal(size=shape).astype(np.float32)
+    mg = Multigrid(prob, smoother="chebyshev")
+    g1 = mg.runner(f).iterate(prob.initial_grid(), 3)
+    mesh = make_mesh((4,), ("x",))
+    g4 = mg.sharded_runner(f, mesh, replicate_below=8).iterate(
+        prob.initial_grid(), 3)
+    d = np.max(np.abs(np.asarray(g1.interior(), np.float64)
+                      - np.asarray(g4.interior(), np.float64)))
+    assert d < 1e-5, d
+
+
+def test_pcg_chebyshev_preconditioner():
+    from stencil_tpu.krylov import ConjugateGradient
+
+    shape = (63, 63, 63)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(15)
+    f = rng.normal(size=shape).astype(np.float32)
+    pcg_w = ConjugateGradient(prob, preconditioner=Multigrid(prob)) \
+        .solve(f, tolerance=1e-5, max_iterations=50)
+    pcg_c = ConjugateGradient(
+        prob, preconditioner=Multigrid(prob, smoother="chebyshev")) \
+        .solve(f, tolerance=1e-5, max_iterations=50)
+    assert pcg_w.converged and pcg_c.converged
+    assert pcg_c.iterations <= pcg_w.iterations, \
+        (pcg_c.iterations, pcg_w.iterations)
+
+
+def test_chebyshev_gates():
+    prob3 = PoissonProblem(shape=(15, 15, 15))
+    with pytest.raises(ValueError, match="Chebyshev"):
+        Multigrid(prob3, smoother="chebyshev",
+                  fine_method="pallas_tiled")
+    with pytest.raises(ValueError, match="unknown smoother"):
+        Multigrid(prob3, smoother="sor")
+    with pytest.raises(ValueError, match="cheby_ratio"):
+        Multigrid(prob3, smoother="chebyshev", cheby_ratio=1.0)
