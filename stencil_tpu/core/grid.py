@@ -144,6 +144,22 @@ class DirichletBC:
         return hash((self.values, self.periodic, self.neumann))
 
 
+def as_device_array(f, dtype) -> jax.Array:
+    """``f`` as a device array of ``dtype`` WITHOUT a host round trip
+    when it already is one.
+
+    ``jnp.asarray(np.asarray(f))`` — the obvious spelling — copies a
+    ``jax.Array`` to the host and re-uploads it, which on the tunneled
+    TPU backend costs ~2.6 s per 66 MB (0.025 GB/s measured,
+    `results/ROUND4.md` §13) and silently dominated repeated-solve
+    timings. Solver entry points take their right-hand sides through
+    this instead: device arrays pass through (dtype cast stays on
+    device), host data uploads once."""
+    if isinstance(f, jax.Array):
+        return jnp.asarray(f, dtype)
+    return jnp.asarray(np.asarray(f), dtype)
+
+
 def _face_slices(shape, halo: int, d: int):
     """(lo_ghost, hi_ghost, lo_src, hi_src) index tuples for dim ``d`` of a
     ``halo``-padded array: the two ghost slabs and the two interior bands

@@ -117,8 +117,16 @@ class PoissonProblem:
 
             from stencil_tpu.ops import xla
 
-            scaled = jnp.asarray(np.asarray(f) * self.source_scale,
-                                 dtype=self.dtype)
+            import jax
+
+            if isinstance(f, jax.Array):
+                # device-resident source: scale on device (no host
+                # round trip — see core.grid.as_device_array)
+                scaled = jnp.asarray(f, self.dtype) * jnp.asarray(
+                    self.source_scale, dtype=self.dtype)
+            else:
+                scaled = jnp.asarray(np.asarray(f) * self.source_scale,
+                                     dtype=self.dtype)
             if scaled.shape != tuple(self.shape):
                 raise ValueError(
                     f"source shape {scaled.shape} != interior "

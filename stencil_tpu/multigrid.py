@@ -63,7 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from stencil_tpu.core.grid import HaloGrid
+from stencil_tpu.core.grid import HaloGrid, as_device_array
 from stencil_tpu.core.spec import StencilSpec, weighted
 from stencil_tpu.models.poisson import PoissonProblem
 from stencil_tpu.registry import Runner
@@ -517,7 +517,7 @@ class Multigrid:
         """Registry Runner: ``iterate(grid, n)`` = n V-cycles (so
         ``solver.solve`` drives MG with its usual chunked-residual
         protocol; use ``check_every=1``)."""
-        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
@@ -635,7 +635,7 @@ class Multigrid:
 
         cycle = self._make_cycle(constrain)
         h0 = float(self.problem.h)
-        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
@@ -693,7 +693,7 @@ class Multigrid:
         converged discrete error) while nu=2 lands below it (~0.3 h^2,
         error-cancellation range; measured 31^3/63^3, fp32).
         """
-        f_dev = jnp.asarray(np.asarray(f), self.problem.dtype)
+        f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
@@ -773,7 +773,7 @@ class Multigrid:
         fn = _residual_norm_fn(self.problem.shape, self.problem.dtype,
                                float(self.problem.h), self.problem.ndim)
         return float(fn(grid.data,
-                        jnp.asarray(np.asarray(f), self.problem.dtype)))
+                        as_device_array(f, self.problem.dtype)))
 
     def solve(self, f, tolerance: float = 1e-6,
               max_cycles: int = 50, progress=None):

@@ -188,3 +188,24 @@ def test_operator_spec_taps_upwind():
     assert taps[(1, 0)] == pytest.approx(-inv_h2)               # downstream
     assert taps[(0, 1)] == pytest.approx(-inv_h2 - 1.0 / 0.5)   # v<0: +1 up
     assert taps[(0, -1)] == pytest.approx(-inv_h2)
+
+
+def test_restarts_recover_certificate_drift():
+    """At tolerances near the fp32 recurrence floor, a single pass
+    exits with the recurrence below tolerance but the true residual
+    above it; the restart (recomputing b = f - A u from the solution)
+    must close the gap. Measured here: restarts=0 stalls at ~5e-7,
+    restarts>0 certifies 1e-7."""
+    prob = AdvectionDiffusionProblem(
+        shape=(12, 13, 14), velocity=(1.0, -0.5, 0.25), nu=0.5)
+    rng = np.random.default_rng(9)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    r0 = BiCGStab(prob).solve(f, tolerance=1e-7, max_iterations=400,
+                              restarts=0)
+    r8 = BiCGStab(prob).solve(f, tolerance=1e-7, max_iterations=400,
+                              restarts=8)
+    assert not r0.converged and r8.converged, \
+        (r0.summary(), r8.summary())
+    assert r8.residual_rel < r0.residual_rel
+    # the budget is TOTAL across restarts, not per restart
+    assert r8.iterations <= 400
