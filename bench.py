@@ -196,6 +196,7 @@ def main() -> int:
     # iteration); a cycle moves ~5 fine sweeps' traffic plus the coarse
     # tail, so the naive-sweep roofline fraction is meaningless and the
     # row reports x_roofline: null.
+    pcg_item = None
     if on_tpu:
         try:
             from stencil_tpu.models.poisson import PoissonProblem as _PP
@@ -212,8 +213,59 @@ def main() -> int:
             cfg_runners.append(("cfg10_mg_vcycle_255_nu4", mgrid,
                                 mrunner, int(np.prod(mshape)),
                                 "float32"))
+            # the best measured ms-per-decade cycle (round 4 late:
+            # Chebyshev band smoothing, 15.4 ms/decade vs wjacobi's
+            # 22.4 — results/ROUND4.md sec 20); same glups-per-
+            # cycle-second semantics as cfg10
+            mrunner_c = Multigrid(
+                mprob, smoother="chebyshev").runner(mf)
+            mrunner_c.iterate(mgrid, 1)  # compile
+            cfg_runners.append(("cfg11_mg_vcycle_255_cheby", mgrid,
+                                mrunner_c, int(np.prod(mshape)),
+                                "float32"))
+            # flagship time-to-solution row: chebyshev-preconditioned
+            # CG, random RHS, tol 1e-4 (DEVICE-resident rhs — a host
+            # rhs re-uploads 66 MB per solve through the tunnel).
+            # Compiled and measured in phase 2: its solve() fetches,
+            # which must not serialize with the background warmup.
+            import jax.numpy as jnp
+            from stencil_tpu.krylov import ConjugateGradient
+
+            pcg_item = (
+                ConjugateGradient(
+                    mprob,
+                    preconditioner=Multigrid(mprob,
+                                             smoother="chebyshev")),
+                jnp.asarray(mf))
         except Exception as e:
             print(f"# cfg10_mg setup failed: {e}", file=sys.stderr)
+
+    # round-4 capability row: upwind advection (asymmetric taps) on the
+    # tiled kernel — tap-bound at k=8: measured 136 GLUPS, ABOVE the
+    # 7-point headline's 111 (results/ROUND4.md sec 19)
+    if on_tpu:
+        try:
+            from stencil_tpu.core.grid import DirichletBC
+            from stencil_tpu.models.advection import Advection
+            from stencil_tpu.ops.pallas_tiled import TiledPallasStencil
+            from stencil_tpu.registry import Runner as _Runner2
+
+            ashape = (256, 256, 256)
+            advm = Advection(shape=ashape,
+                             velocity=(0.5, -0.25, 0.125),
+                             bc=DirichletBC.reference_default(3))
+            am = TiledPallasStencil(advm.spec, ashape, "float32",
+                                    sweeps_per_call=8)
+            agrid = HaloGrid.create(ashape, halo=1, dtype="float32")
+            arunner = _Runner2(name="advection_upwind_k8",
+                               iterate=am.iterate, granularity=8)
+            arunner.iterate(agrid, 16)  # compile
+            cfg_runners.append(("cfg12_advection_upwind_256_k8", agrid,
+                                arunner, int(np.prod(ashape)),
+                                "float32"))
+        except Exception as e:
+            print(f"# cfg12_advection setup failed: {e}",
+                  file=sys.stderr)
 
     try:
         hbm_thunk = roofline.prepare_hbm_measurement()
@@ -270,7 +322,7 @@ def main() -> int:
             lo, hi = band(m, cpoints)
             roof_c = (hbm / roofline.ideal_bytes_per_point(cdtype)
                       if hbm else None)
-            if key.startswith("cfg10_mg"):
+            if "_mg_" in key:
                 roof_c = None  # a V-cycle is not a naive sweep
             configs_out[key] = {
                 "glups": round(glups, 2),
@@ -282,6 +334,32 @@ def main() -> int:
         except Exception as e:
             print(f"# {key} measure failed: {e}", file=sys.stderr)
             configs_out[key] = {"glups": 0.0, "x_roofline": None}
+
+    # time-to-solution row (solve protocol, not runner protocol):
+    # compile + warm on the first solve, then REPEATS timed solves
+    if pcg_item is not None:
+        try:
+            pcg, pf = pcg_item
+            res = pcg.solve(pf, tolerance=1e-4, max_iterations=50)
+            times = []
+            for _ in range(REPEATS):
+                t = time.perf_counter()
+                res = pcg.solve(pf, tolerance=1e-4, max_iterations=50)
+                times.append(1e3 * (time.perf_counter() - t))
+            ts = sorted(times)
+            configs_out["cfg13_pcg_cheby_255"] = {
+                "solve_ms": round(ts[len(ts) // 2], 1),
+                "solve_ms_min": round(ts[0], 1),
+                "solve_ms_max": round(ts[-1], 1),
+                "iterations": res.iterations,
+                "converged": res.converged,
+                "repeats": REPEATS,
+            }
+            print(f"# cfg13_pcg_cheby_255: {ts[len(ts)//2]:.1f} ms "
+                  f"[{ts[0]:.1f}, {ts[-1]:.1f}] iters={res.iterations}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# cfg13_pcg measure failed: {e}", file=sys.stderr)
 
     if best is None:
         print(json.dumps({"metric": "3d7pt_jacobi_glups", "value": 0.0,

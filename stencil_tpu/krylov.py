@@ -63,6 +63,24 @@ class CGResult:
                 f"(rel {self.residual_rel:.3e})")
 
 
+def _initial_or(problem, initial: Optional[HaloGrid]) -> HaloGrid:
+    """The warm-start iterate, validated, or the problem's zero-interior
+    wall-pinned grid."""
+    if initial is None:
+        return problem.initial_grid()
+    if initial.halo != 1:
+        raise ValueError("warm-start grids must have halo=1")
+    if initial.interior_shape != tuple(problem.shape):
+        raise ValueError(
+            f"warm-start interior {initial.interior_shape} != "
+            f"{tuple(problem.shape)}")
+    if initial.bc != problem.bc:
+        raise ValueError(
+            "warm-start grid carries different boundary conditions "
+            "than the problem")
+    return initial
+
+
 @dataclasses.dataclass(frozen=True)
 class ConjugateGradient:
     """CG / MG-preconditioned CG for a ``PoissonProblem`` (Dirichlet
@@ -239,7 +257,8 @@ class ConjugateGradient:
 
     def solve(self, f, tolerance: float = 1e-5,
               max_iterations: int = 1000, mesh=None, dim: int = 0,
-              replicate_below: Optional[int] = None) -> CGResult:
+              replicate_below: Optional[int] = None,
+              initial: Optional[HaloGrid] = None) -> CGResult:
         """Solve to ``||r||_2 <= tolerance * ||b||_2`` (relative
         2-norm; fp32 floors near ~1e-6 — see
         ``Multigrid.residual_norm`` for the rounding argument).
@@ -248,13 +267,20 @@ class ConjugateGradient:
         Krylov vectors shard along grid dim ``dim``, the
         preconditioning cycle runs its per-level sharding ladder
         (replicated coarse tail), dot products become all-reduces —
-        all inside the same single jitted while_loop."""
+        all inside the same single jitted while_loop.
+
+        ``initial`` warm-starts from an existing iterate (time
+        stepping, FMG polish). NOTE the convergence baseline follows:
+        ``b`` is the residual OF THE INITIAL GUESS (the correction
+        form's rhs), so ``tolerance`` then means "contract the initial
+        residual by this factor" — the standard r0-relative Krylov
+        semantics."""
         f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
-        g0 = self.problem.initial_grid()
+        g0 = _initial_or(self.problem, initial)
         key = (float(tolerance), int(max_iterations), mesh, dim,
                replicate_below)
         fn = self._fn_cache.get(key)
@@ -414,7 +440,8 @@ class BiCGStab:
 
     def solve(self, f, tolerance: float = 1e-5,
               max_iterations: int = 2000, mesh=None,
-              dim: int = 0, restarts: int = 8) -> CGResult:
+              dim: int = 0, restarts: int = 8,
+              initial: Optional[HaloGrid] = None) -> CGResult:
         """Solve ``A u = f`` to ``||f - A u||_2 <= tolerance * ||b||_2``
         (the certificate is the true residual of the returned solution;
         fp32 floors apply as for CG). ``mesh`` (1D) shards the Krylov
@@ -422,13 +449,15 @@ class BiCGStab:
         all-reduces, the operator's halo slices GSPMD collectives.
         ``restarts`` bounds the drift-recovery restarts (see class
         docstring); ``max_iterations`` is the TOTAL budget across
-        them."""
+        them. ``initial`` warm-starts from an existing iterate; the
+        tolerance is then relative to the INITIAL residual (r0-relative
+        Krylov semantics, same as CG's warm start)."""
         f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
-        g0 = self.problem.initial_grid()
+        g0 = _initial_or(self.problem, initial)
         key = (float(tolerance), mesh, dim)
         fn = self._fn_cache.get(key)
         if fn is None:

@@ -223,3 +223,59 @@ def test_distributed_gates():
     with pytest.raises(ValueError, match="replicate_below"):
         ConjugateGradient(prob, preconditioner=Multigrid(prob)).solve(
             f, mesh=_mesh1d(4), replicate_below=64)
+
+
+# ---------------- warm starts ----------------
+
+def test_cg_warm_start_composes():
+    """Warm-start semantics: tolerance is relative to the INITIAL
+    residual, so a 1e-2 solve chained with a 1e-3 warm-started solve
+    reaches ~1e-5 of the original rhs in about the iterations of a
+    direct 1e-5 solve."""
+    shape = (31, 31, 31)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(21)
+    f = rng.normal(size=shape).astype(np.float32)
+    cg = ConjugateGradient(prob)
+    cold = cg.solve(f, tolerance=1e-2, max_iterations=500)
+    warm = cg.solve(f, tolerance=1e-3, max_iterations=500,
+                    initial=cold.grid)
+    assert warm.converged, warm.summary()
+    # absolute residuals compose: |r_warm| <= 1e-3 |r_cold|
+    assert warm.residual <= 1.05e-3 * cold.residual
+    direct = cg.solve(f, tolerance=1e-5, max_iterations=500)
+    assert cold.iterations + warm.iterations <= direct.iterations + 10
+
+
+def test_bicgstab_warm_start():
+    from stencil_tpu.krylov import BiCGStab
+    from stencil_tpu.models.advection_diffusion import (
+        AdvectionDiffusionProblem,
+    )
+
+    prob = AdvectionDiffusionProblem(shape=(15, 16, 17),
+                                     velocity=(1.0, -0.5, 0.25),
+                                     nu=0.5)
+    rng = np.random.default_rng(22)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    s = BiCGStab(prob)
+    cold = s.solve(f, tolerance=1e-2, max_iterations=300)
+    warm = s.solve(f, tolerance=1e-3, max_iterations=300,
+                   initial=cold.grid)
+    assert warm.converged
+    assert warm.residual <= 1.1e-3 * cold.residual
+
+
+def test_warm_start_gates():
+    shape = (15, 15)
+    prob = PoissonProblem(shape=shape)
+    f = np.zeros(shape, np.float32)
+    from stencil_tpu.core.grid import HaloGrid
+    bad_shape = HaloGrid.create((14, 15), halo=1,
+                                bc=DirichletBC.zero(2))
+    with pytest.raises(ValueError, match="warm-start interior"):
+        ConjugateGradient(prob).solve(f, initial=bad_shape)
+    bad_bc = HaloGrid.create(shape, halo=1,
+                             bc=DirichletBC.reference_default(2))
+    with pytest.raises(ValueError, match="boundary conditions"):
+        ConjugateGradient(prob).solve(f, initial=bad_bc)
