@@ -76,6 +76,50 @@ def collectives_in(fn, *example_args) -> List[Tuple[str, Any]]:
     return found
 
 
+GSPMD_COLLECTIVE_OPS = (
+    "collective-permute",
+    "all-reduce",
+    "all-gather",
+    "all-to-all",
+    "reduce-scatter",
+)
+
+
+def audit_gspmd(fn, *example_args) -> Dict[str, int]:
+    """Collective-op counts in the COMPILED HLO of a GSPMD computation.
+
+    The jaxpr walk above cannot see ``with_sharding_constraint``
+    communication — XLA's SPMD partitioner materializes those
+    collectives at compile time — so the solver stack's distributed
+    paths (the sharded multigrid cycle, distributed CG/PCG/BiCGStab)
+    are audited here instead: lower + compile under the shardings the
+    function closes over, then count the collective ops in the HLO
+    text (async ``-start`` forms counted once, ``-done`` ignored).
+
+    What is and is not invariant (measured, ``tests/test_comm_volume.py``):
+    ``all-reduce`` is exactly the algorithm's dot products and
+    ``all-gather`` the constant sharded->replicated coarse-tail
+    transitions — both independent of mesh size; ``collective-permute``
+    (the halo exchanges) varies in OP COUNT with the device count
+    because GSPMD specializes uneven odd-width shards per mesh, while
+    per-device halo BYTES stay local-geometry-bound; ``all-to-all`` /
+    ``reduce-scatter`` must never appear.
+
+    ``fn`` may be a plain callable or an already-jitted function;
+    ``example_args`` may be ``jax.ShapeDtypeStruct``s.
+    """
+    import re
+
+    import jax
+
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    txt = jitted.lower(*example_args).compile().as_text()
+    return {
+        op: len(re.findall(r"= \S+ " + op + r"(?:-start)?\(", txt))
+        for op in GSPMD_COLLECTIVE_OPS
+    }
+
+
 def audit_step(fn, *example_args) -> Dict[str, Any]:
     """Summary of a distributed step function's communication:
 

@@ -254,3 +254,73 @@ def test_interior_kernel_is_independent_of_the_exchange():
     assert perm_ids <= edge_anc, (
         "edge sweep must consume every exchanged strip"
     )
+
+
+# ---------------- GSPMD solver-stack audit (compiled-HLO level) -------
+
+def _gspmd_cycle_counts(mesh_n, width=63):
+    import jax
+
+    from stencil_tpu.models.poisson import PoissonProblem
+    from stencil_tpu.multigrid import Multigrid
+    from stencil_tpu.parallel.comm_audit import audit_gspmd
+    from stencil_tpu.parallel.halo import make_mesh
+
+    prob = PoissonProblem((width, 15, 15))
+    mg = Multigrid(prob)
+    sh, _, _ = mg._level_shardings(make_mesh((mesh_n,), ("x",)), 0, 16)
+    cycle = mg._make_cycle(
+        lambda a, l: jax.lax.with_sharding_constraint(a, sh[l]))
+    h0 = float(prob.h)
+
+    def fn(padded, f):
+        return cycle(padded, (h0 * h0) * f, f, 0)
+
+    pad = jax.ShapeDtypeStruct(tuple(s + 2 for s in prob.shape),
+                               np.float32)
+    fs = jax.ShapeDtypeStruct(tuple(prob.shape), np.float32)
+    return audit_gspmd(fn, pad, fs)
+
+
+def test_sharded_mg_cycle_collective_profile():
+    """The distributed V-cycle's compiled-HLO collective profile: halo
+    exchanges are collective-permutes, the sharded->replicated coarse
+    transition is a CONSTANT number of all-gathers (mesh-size
+    independent), and there is NO all-reduce / all-to-all /
+    reduce-scatter — a V-cycle contains no global reduction, so any
+    appearing is a partitioning regression."""
+    c2 = _gspmd_cycle_counts(2)
+    c4 = _gspmd_cycle_counts(4)
+    for c in (c2, c4):
+        assert c["collective-permute"] > 0, c
+        assert c["all-reduce"] == 0, c
+        assert c["all-to-all"] == 0 and c["reduce-scatter"] == 0, c
+    assert c2["all-gather"] == c4["all-gather"], (c2, c4)
+
+
+def test_distributed_pcg_reductions_are_exactly_the_krylov_dots():
+    """Distributed PCG's only all-reduces are the algorithm's 4 dot
+    products per iteration (rz, p.q, r.r in the loop condition, r.z) —
+    independent of mesh size; no all-to-all / reduce-scatter."""
+    import jax
+
+    from stencil_tpu.krylov import ConjugateGradient
+    from stencil_tpu.models.poisson import PoissonProblem
+    from stencil_tpu.multigrid import Multigrid
+    from stencil_tpu.parallel.comm_audit import audit_gspmd
+    from stencil_tpu.parallel.halo import make_mesh
+
+    def counts(mesh_n):
+        prob = PoissonProblem((63, 15, 15))
+        cg = ConjugateGradient(prob, preconditioner=Multigrid(prob))
+        fn = cg._solve_fn(1e-5, 100, make_mesh((mesh_n,), ("x",)), 0, 16)
+        pad = jax.ShapeDtypeStruct(tuple(s + 2 for s in prob.shape),
+                                   np.float32)
+        fs = jax.ShapeDtypeStruct(tuple(prob.shape), np.float32)
+        return audit_gspmd(fn, pad, fs)
+
+    c2, c4 = counts(2), counts(4)
+    assert c2["all-reduce"] == c4["all-reduce"] == 4, (c2, c4)
+    assert c2["all-gather"] == c4["all-gather"], (c2, c4)
+    for c in (c2, c4):
+        assert c["all-to-all"] == 0 and c["reduce-scatter"] == 0, c
