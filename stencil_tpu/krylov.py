@@ -96,6 +96,13 @@ class ConjugateGradient:
 
     problem: PoissonProblem
     preconditioner: Optional[Multigrid] = None
+    # run the preconditioning cycle's ARRAYS in this dtype (e.g.
+    # 'bfloat16': every level's iterate/residual/transfer halves its
+    # HBM traffic; the cycle only has to APPROXIMATE A^-1, so low
+    # precision costs at most an extra iteration while the Krylov
+    # recurrence and its certificate stay in the problem dtype).
+    # None = the problem dtype. XLA cycle only.
+    precond_dtype: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "_fn_cache", {})
@@ -103,6 +110,14 @@ class ConjugateGradient:
             raise ValueError(
                 "CG needs the SPD Dirichlet operator (the pure "
                 "periodic/Neumann Poisson problem is singular)")
+        if self.precond_dtype is not None:
+            if self.preconditioner is None:
+                raise ValueError(
+                    "precond_dtype needs a preconditioner")
+            if self.preconditioner.fine_method != "xla":
+                raise ValueError(
+                    "precond_dtype runs the all-XLA cycle; the tiled "
+                    "fine kernels are plan-typed in the problem dtype")
         mg = self.preconditioner
         if mg is not None:
             if mg.problem.shape != self.problem.shape or \
@@ -203,6 +218,9 @@ class ConjugateGradient:
         def A(e):  # zero-wall SPD operator on interior-shaped arrays
             return (two_d * e - _nb_sum(jnp.pad(e, 1))) * inv_h2
 
+        pdt = (np.dtype(self.precond_dtype)
+               if self.precond_dtype is not None else None)
+
         def precond(r):
             # one MG cycle on the zero-walled correction problem
             # L e ~ r  =>  A^-1 r ~ -e  (cycle is linear in (0, rhs))
@@ -212,9 +230,13 @@ class ConjugateGradient:
             elif cycle is None:
                 return r
             else:
+                rdt = r.dtype
+                rc = r.astype(pdt) if pdt is not None else r
                 e_pad = cycle(jnp.zeros(tuple(s + 2 for s in r.shape),
-                                        r.dtype),
-                              (h * h) * r, r, 0)
+                                        rc.dtype),
+                              (h * h) * rc, rc, 0)
+                if pdt is not None:
+                    e_pad = e_pad.astype(rdt)
             return -e_pad[tuple(slice(1, s - 1) for s in e_pad.shape)]
 
         def dot(a, b):

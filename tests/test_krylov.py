@@ -279,3 +279,45 @@ def test_warm_start_gates():
                              bc=DirichletBC.reference_default(2))
     with pytest.raises(ValueError, match="boundary conditions"):
         ConjugateGradient(prob).solve(f, initial=bad_bc)
+
+
+def test_pcg_bf16_preconditioning_cycle():
+    """precond_dtype='bfloat16' runs the whole preconditioning cycle in
+    bf16 (half the cycle's HBM traffic); the Krylov recurrence and the
+    certificate stay fp32, so the solution is the same — the cheap
+    preconditioner costs at most an extra iteration."""
+    shape = (63, 63, 63)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(23)
+    f = rng.normal(size=shape).astype(np.float32)
+    full = ConjugateGradient(prob, preconditioner=Multigrid(
+        prob, smoother="chebyshev")).solve(
+        f, tolerance=1e-5, max_iterations=50)
+    half = ConjugateGradient(prob, preconditioner=Multigrid(
+        prob, smoother="chebyshev"), precond_dtype="bfloat16").solve(
+        f, tolerance=1e-5, max_iterations=50)
+    assert full.converged and half.converged, \
+        (full.summary(), half.summary())
+    assert half.iterations <= full.iterations + 2, \
+        (half.iterations, full.iterations)
+    uf = np.asarray(full.grid.interior(), np.float64)
+    uh = np.asarray(half.grid.interior(), np.float64)
+    assert np.max(np.abs(uf - uh)) < 1e-3 * np.max(np.abs(uf)) + 1e-6
+    # distributed variant compiles and converges too
+    half_d = ConjugateGradient(prob, preconditioner=Multigrid(prob),
+                               precond_dtype="bfloat16").solve(
+        f, tolerance=1e-5, max_iterations=50, mesh=_mesh1d(4),
+        replicate_below=16)
+    assert half_d.converged
+
+
+def test_precond_dtype_gates():
+    prob = PoissonProblem(shape=(15, 15, 15))
+    with pytest.raises(ValueError, match="needs a preconditioner"):
+        ConjugateGradient(prob, precond_dtype="bfloat16")
+    with pytest.raises(ValueError, match="all-XLA"):
+        ConjugateGradient(
+            prob,
+            preconditioner=Multigrid(prob, fine_method="pallas_tiled",
+                                     interpret=True),
+            precond_dtype="bfloat16")
