@@ -32,6 +32,8 @@ def __getattr__(name):
     package root."""
     lazy = {
         "Multigrid": ("stencil_tpu.multigrid", "Multigrid"),
+        "OperatorMultigrid": ("stencil_tpu.multigrid",
+                              "OperatorMultigrid"),
         "ConjugateGradient": ("stencil_tpu.krylov", "ConjugateGradient"),
         "BiCGStab": ("stencil_tpu.krylov", "BiCGStab"),
         "PoissonProblem": ("stencil_tpu.models.poisson", "PoissonProblem"),
@@ -65,6 +67,7 @@ __all__ = [
     "AdvectionDiffusionProblem",
     "BiCGStab",
     "ConjugateGradient",
+    "OperatorMultigrid",
     "DirichletBC",
     "HaloGrid",
     "Multigrid",

@@ -333,7 +333,11 @@ class BiCGStab:
     ``initial_grid()`` and the discrete operator as taps
     (``operator_spec``) — ``AdvectionDiffusionProblem`` natively, and
     ``PoissonProblem`` too (on the symmetric case BiCGStab lands on
-    CG's solution; differential-tested).
+    CG's solution; differential-tested). Pass
+    ``preconditioner=multigrid.OperatorMultigrid(problem)`` for the
+    rediscretized-cycle right preconditioning (measured: collapses the
+    iteration count by ~an order of magnitude in both the diffusion-
+    and advection-dominated regimes).
 
     Same TPU-first shape as CG: the whole solve — two operator
     applications and four dot products per iteration, the convergence
@@ -364,6 +368,11 @@ class BiCGStab:
     """
 
     problem: object
+    # a multigrid.OperatorMultigrid built on the SAME problem: its
+    # rediscretized cycle right-preconditions the recurrence (two
+    # cycle applications per iteration), collapsing the iteration
+    # count by ~an order of magnitude on advection-diffusion
+    preconditioner: Optional[object] = None
 
     def __post_init__(self):
         object.__setattr__(self, "_fn_cache", {})
@@ -372,6 +381,15 @@ class BiCGStab:
                 "BiCGStab solves Dirichlet-wall problems (the "
                 "periodic/Neumann steady operator annihilates "
                 "constants and is singular)")
+        mg = self.preconditioner
+        if mg is not None:
+            if tuple(mg.problem.shape) != tuple(self.problem.shape) \
+                    or float(mg.problem.h) != float(self.problem.h):
+                raise ValueError(
+                    "preconditioner built on a different problem "
+                    f"({tuple(mg.problem.shape)}, h={mg.problem.h}) "
+                    f"than ({tuple(self.problem.shape)}, "
+                    f"h={self.problem.h})")
 
     def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0):
         from stencil_tpu.ops.xla import apply_spec
@@ -390,6 +408,11 @@ class BiCGStab:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if self.preconditioner is not None:
+                raise ValueError(
+                    "preconditioned BiCGStab is single-device for now "
+                    "(the rediscretized cycle carries no sharding "
+                    "ladder); drop mesh= or the preconditioner")
             if len(mesh.axis_names) != 1:
                 raise ValueError(
                     f"distributed BiCGStab wants a 1D mesh, got axes "
@@ -405,6 +428,15 @@ class BiCGStab:
 
         def A(e):  # zero-wall operator on interior-shaped arrays
             return apply_spec(jnp.pad(e, 1), spec_A, halo=1)
+
+        if self.preconditioner is not None:
+            mg_cycle = self.preconditioner._make_cycle()
+
+            def K(r):  # right preconditioner: one cycle ~ A^-1 r
+                return mg_cycle(jnp.zeros_like(r), r, 0)
+        else:
+            def K(r):
+                return r
 
         def dot(a, b):
             return jnp.sum(a * b)
@@ -434,18 +466,20 @@ class BiCGStab:
                 rho_new = dot(b, r)          # rhat = r0 = b
                 beta = (rho_new / safe(rho)) * (alpha / safe(omega))
                 p = pin(r + beta * (p - omega * v))
-                v = pin(A(p))
+                y = K(p)                     # right-preconditioned
+                v = pin(A(y))
                 alpha = rho_new / safe(dot(b, v))
                 s = r - alpha * v
                 ss = dot(s, s)
-                t = pin(A(s))
+                z = K(s)
+                t = pin(A(z))
                 # half-step exit: s below tolerance -> skip the
                 # stabilization step (its <t,t> is degenerate there);
-                # omega = 0 leaves x += alpha p, r = s, loop exits
+                # omega = 0 leaves x += alpha y, r = s, loop exits
                 omega = jnp.where(ss <= tol2 * bb,
                                   jnp.asarray(0.0, b.dtype),
                                   dot(t, s) / safe(dot(t, t)))
-                x = x + alpha * p + omega * s
+                x = x + alpha * y + omega * z
                 r = s - omega * t
                 return (x, r, p, v, rho_new, alpha, omega, k + 1)
 

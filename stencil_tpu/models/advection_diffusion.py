@@ -128,6 +128,28 @@ class AdvectionDiffusionProblem:
     def is_symmetric(self) -> bool:
         return all(v == 0.0 for v in self.velocity)
 
+    def with_discretization(self,
+                            shape: Tuple[int, ...],
+                            h: float) -> "AdvectionDiffusionProblem":
+        """The SAME continuous problem discretized on another grid —
+        the rediscretization hook ``multigrid.OperatorMultigrid`` uses
+        to build its per-level operators (coarse levels solve zero-wall
+        correction equations, so the walls drop to zero).
+
+        A central-scheme problem falls back to UPWIND on any level
+        whose coarser h pushes the mesh Peclet past 1 — the standard
+        stabilized-coarse-operator practice (the fine discretization
+        keeps its order; coarse levels only precondition)."""
+        scheme = self.scheme
+        if scheme == "central":
+            pe = max(abs(v) for v in self.velocity) * float(h) \
+                / (2 * self.nu)
+            if pe > 1.0:
+                scheme = "upwind"
+        return dataclasses.replace(
+            self, shape=tuple(shape), h=float(h), scheme=scheme,
+            bc=DirichletBC.zero(self.ndim))
+
     def initial_grid(self, interior=None) -> HaloGrid:
         if interior is None:
             return HaloGrid.create(self.shape, halo=1, bc=self.bc,

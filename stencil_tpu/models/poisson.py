@@ -83,6 +83,16 @@ class PoissonProblem:
                 taps.append((tuple(off), inv_h2))
         return weighted(nd, taps, name=f"laplace{nd}d")
 
+    def with_discretization(self, shape, h) -> "PoissonProblem":
+        """The same continuous problem on another grid (zero walls) —
+        the per-level rediscretization hook of
+        ``multigrid.OperatorMultigrid``."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, shape=tuple(shape), h=float(h),
+            bc=DirichletBC.zero(self.ndim))
+
     @property
     def source_scale(self) -> float:
         """``u' = S(u) + source_scale * f``: the fused per-sweep factor

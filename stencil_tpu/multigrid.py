@@ -785,3 +785,105 @@ class Multigrid:
                             tolerance=tolerance,
                             max_iterations=max_cycles, check_every=1,
                             progress=progress)
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatorMultigrid:
+    """Geometric multigrid for a GENERAL (possibly nonsymmetric) stencil
+    operator, built by per-level REDISCRETIZATION — the preconditioning
+    cycle for ``krylov.BiCGStab`` on steady advection-diffusion.
+
+    Where ``Multigrid`` hardcodes the Poisson star (and its Jacobi
+    splitting, wall handling, FMG machinery), this class asks the
+    problem for its operator AT EVERY LEVEL via
+    ``problem.with_discretization(shape, h)`` — each level applies the
+    same continuous operator discretized at its own spacing (a
+    central-scheme fine level falls back to upwind on levels whose
+    coarser h breaks monotonicity — the problem's hook decides). The
+    smoother is damped point Jacobi on the level operator's CONSTANT
+    diagonal (its center tap); transfers are the same full-weighting /
+    linear pair as the Poisson stack. Everything is interior-shaped
+    with zero walls: the cycle only ever solves correction equations.
+
+    Not a standalone solver by design: plain MG iteration on a
+    nonsymmetric operator can stall once advection dominates a level's
+    smoother; wrapped as a preconditioner inside BiCGStab the cycle
+    only needs to APPROXIMATE the inverse, and the Krylov recurrence
+    supplies the robustness (measured: it collapses the 255^3
+    advection-dominated iteration count by an order of magnitude —
+    `results/ROUND4.md`)."""
+
+    problem: object
+    nu1: int = 2
+    nu2: int = 2
+    omega: float = 2.0 / 3.0
+    coarse_sweeps: int = 32
+    min_size: int = 3
+    gamma: int = 1
+
+    def __post_init__(self):
+        if self.gamma not in (1, 2):
+            raise ValueError("gamma must be 1 (V-cycle) or 2 (W-cycle)")
+        if self.nu1 < 0 or self.nu2 < 0 or self.nu1 + self.nu2 == 0:
+            raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
+        shapes = _level_shapes(tuple(self.problem.shape), self.min_size)
+        h0 = float(self.problem.h)
+        ndim = len(self.problem.shape)
+        center = (0,) * ndim
+        specs = []
+        diags = []
+        for lvl, shp in enumerate(shapes):
+            p = self.problem.with_discretization(shp, h0 * (2.0 ** lvl))
+            spec = p.operator_spec
+            if center not in spec.offsets:
+                raise ValueError(
+                    f"level-{lvl} operator has no center tap; point-"
+                    "Jacobi smoothing needs a nonzero diagonal")
+            d = float(spec.weights[spec.offsets.index(center)])
+            if d == 0.0:
+                raise ValueError(f"level-{lvl} operator diagonal is 0")
+            specs.append(spec)
+            diags.append(d)
+        object.__setattr__(self, "_shapes", shapes)
+        object.__setattr__(self, "_specs", tuple(specs))
+        object.__setattr__(self, "_diags", tuple(diags))
+
+    @property
+    def levels(self) -> int:
+        return len(self._specs)
+
+    def _make_cycle(self):
+        """``cycle(x, f, level) -> x`` over interior-shaped zero-wall
+        arrays; trace-time recursion (one jit holds the hierarchy)."""
+        from stencil_tpu.ops.xla import apply_spec
+
+        specs, diags = self._specs, self._diags
+        nu1, nu2 = int(self.nu1), int(self.nu2)
+        omega = float(self.omega)
+        coarse = int(self.coarse_sweeps)
+        gamma = int(self.gamma)
+        n_levels = self.levels
+
+        def A(e, level):
+            return apply_spec(jnp.pad(e, 1), specs[level], halo=1)
+
+        def smooth(x, f, level, n):
+            w = omega / diags[level]
+            for _ in range(n):
+                x = x + w * (f - A(x, level))
+            return x
+
+        def cycle(x, f, level):
+            if level == n_levels - 1:
+                return smooth(x, f, level,
+                              coarse if n_levels > 1
+                              else max(coarse, nu1 + nu2))
+            x = smooth(x, f, level, nu1)
+            rc = _restrict_fw(f - A(x, level))
+            ec = jnp.zeros_like(rc)
+            for _ in range(gamma):
+                ec = cycle(ec, rc, level + 1)
+            x = x + _prolong_lin(ec)
+            return smooth(x, f, level, nu2)
+
+        return cycle

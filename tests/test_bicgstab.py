@@ -209,3 +209,93 @@ def test_restarts_recover_certificate_drift():
     assert r8.residual_rel < r0.residual_rel
     # the budget is TOTAL across restarts, not per restart
     assert r8.iterations <= 400
+
+
+# ---------------- MG-preconditioned BiCGStab ----------------
+
+def test_mg_preconditioned_bicgstab_collapses_iterations():
+    """The rediscretized-operator cycle as a right preconditioner must
+    cut the iteration count by ~an order of magnitude in BOTH regimes
+    and land on the same discrete solution."""
+    from stencil_tpu.multigrid import OperatorMultigrid
+
+    for nu in (1.0, 0.01):
+        prob = AdvectionDiffusionProblem(
+            shape=(31, 31, 31), velocity=(1.0, -0.5, 0.25), nu=nu)
+        rng = np.random.default_rng(31)
+        f = rng.normal(size=prob.shape).astype(np.float32)
+        plain = BiCGStab(prob).solve(f, tolerance=1e-5,
+                                     max_iterations=2000)
+        pre = BiCGStab(prob, preconditioner=OperatorMultigrid(prob)) \
+            .solve(f, tolerance=1e-5, max_iterations=200)
+        assert plain.converged and pre.converged, \
+            (plain.summary(), pre.summary())
+        assert pre.iterations * 5 <= plain.iterations, \
+            (nu, pre.iterations, plain.iterations)
+        assert pre.iterations <= 15, (nu, pre.iterations)
+        d = np.max(np.abs(
+            np.asarray(plain.grid.interior(), np.float64)
+            - np.asarray(pre.grid.interior(), np.float64)))
+        scale = np.max(np.abs(
+            np.asarray(plain.grid.interior(), np.float64)))
+        assert d < 1e-3 * scale + 1e-6, (nu, d)
+
+
+def test_operator_mg_central_falls_back_to_upwind_on_coarse_levels():
+    """A central fine discretization keeps its order at the fine h but
+    coarser levels whose mesh Peclet exceeds 1 switch to the
+    stabilized upwind operator."""
+    from stencil_tpu.multigrid import OperatorMultigrid
+
+    prob = AdvectionDiffusionProblem(
+        shape=(31, 31, 31), velocity=(1.0, 0.0, 0.0), nu=0.05,
+        scheme="central")
+    assert prob.mesh_peclet <= 1.0
+    mg = OperatorMultigrid(prob)
+    names = [s.name for s in mg._specs]
+    assert "central" in names[0]
+    assert any("upwind" in n for n in names[1:]), names
+    # and the preconditioned solve still works on the central problem
+    rng = np.random.default_rng(32)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    res = BiCGStab(prob, preconditioner=mg).solve(
+        f, tolerance=1e-5, max_iterations=100)
+    assert res.converged and res.iterations <= 20, res.summary()
+
+
+def test_operator_mg_gates():
+    from stencil_tpu.multigrid import OperatorMultigrid
+    from stencil_tpu.parallel.halo import make_mesh
+
+    prob = AdvectionDiffusionProblem(shape=(15, 15, 15),
+                                     velocity=(1.0, 0.0, 0.0))
+    other = AdvectionDiffusionProblem(shape=(13, 13, 13),
+                                      velocity=(1.0, 0.0, 0.0))
+    with pytest.raises(ValueError, match="different problem"):
+        BiCGStab(prob, preconditioner=OperatorMultigrid(other))
+    with pytest.raises(ValueError, match="single-device"):
+        BiCGStab(prob, preconditioner=OperatorMultigrid(prob)).solve(
+            np.zeros(prob.shape, np.float32),
+            mesh=make_mesh((2,), ("x",)))
+    with pytest.raises(ValueError, match="gamma"):
+        OperatorMultigrid(prob, gamma=3)
+
+
+def test_operator_mg_on_poisson_matches_pcg_solution():
+    """OperatorMultigrid on the symmetric Poisson operator: the
+    preconditioned BiCGStab solve agrees with MG-PCG."""
+    from stencil_tpu.multigrid import Multigrid, OperatorMultigrid
+
+    prob = PoissonProblem(shape=(31, 31, 31))
+    rng = np.random.default_rng(33)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    bi = BiCGStab(prob, preconditioner=OperatorMultigrid(prob)).solve(
+        f, tolerance=1e-5, max_iterations=100)
+    pcg = ConjugateGradient(prob, preconditioner=Multigrid(prob)) \
+        .solve(f, tolerance=1e-5, max_iterations=100)
+    assert bi.converged and pcg.converged
+    assert bi.iterations <= pcg.iterations + 3
+    d = np.max(np.abs(np.asarray(bi.grid.interior(), np.float64)
+                      - np.asarray(pcg.grid.interior(), np.float64)))
+    scale = np.max(np.abs(np.asarray(pcg.grid.interior(), np.float64)))
+    assert d < 1e-3 * scale + 1e-6, d
