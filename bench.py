@@ -335,19 +335,51 @@ def main() -> int:
             print(f"# {key} measure failed: {e}", file=sys.stderr)
             configs_out[key] = {"glups": 0.0, "x_roofline": None}
 
-    # time-to-solution row (solve protocol, not runner protocol):
+    # time-to-solution rows (solve protocol, not runner protocol):
     # compile + warm on the first solve, then REPEATS timed solves
+    solve_items = []
     if pcg_item is not None:
+        pcg, pf = pcg_item
+        solve_items.append((
+            "cfg13_pcg_cheby_255",
+            lambda: pcg.solve(pf, tolerance=1e-4, max_iterations=50)))
+        # nonsymmetric flagship: steady advection-diffusion
+        # (advection-dominated) by MG-preconditioned BiCGStab —
+        # measured 186.9 ms / 3 iterations on v5e vs 818.6 / 304
+        # unpreconditioned (results/ROUND4.md sec 22)
         try:
-            pcg, pf = pcg_item
-            res = pcg.solve(pf, tolerance=1e-4, max_iterations=50)
+            import jax.numpy as _jnp
+
+            from stencil_tpu.krylov import BiCGStab
+            from stencil_tpu.models.advection_diffusion import (
+                AdvectionDiffusionProblem,
+            )
+            from stencil_tpu.multigrid import OperatorMultigrid
+
+            adp = AdvectionDiffusionProblem(
+                shape=(255, 255, 255), velocity=(1.0, -0.5, 0.25),
+                nu=0.05)
+            fad = _jnp.asarray(
+                np.random.default_rng(3).normal(
+                    size=adp.shape).astype(np.float32))
+            bstab = BiCGStab(adp,
+                             preconditioner=OperatorMultigrid(adp))
+            solve_items.append((
+                "cfg14_bicgstab_mg_advdiff_255",
+                lambda: bstab.solve(fad, tolerance=1e-4,
+                                    max_iterations=3000)))
+        except Exception as e:
+            print(f"# cfg14 setup failed: {e}", file=sys.stderr)
+    for key, run_solve in solve_items:
+        try:
+            res = run_solve()  # compile + warm
             times = []
             for _ in range(REPEATS):
                 t = time.perf_counter()
-                res = pcg.solve(pf, tolerance=1e-4, max_iterations=50)
+                res = run_solve()
                 times.append(1e3 * (time.perf_counter() - t))
             ts = sorted(times)
-            configs_out["cfg13_pcg_cheby_255"] = {
+            configs_out[key] = {
                 "solve_ms": round(ts[len(ts) // 2], 1),
                 "solve_ms_min": round(ts[0], 1),
                 "solve_ms_max": round(ts[-1], 1),
@@ -355,11 +387,11 @@ def main() -> int:
                 "converged": res.converged,
                 "repeats": REPEATS,
             }
-            print(f"# cfg13_pcg_cheby_255: {ts[len(ts)//2]:.1f} ms "
+            print(f"# {key}: {ts[len(ts)//2]:.1f} ms "
                   f"[{ts[0]:.1f}, {ts[-1]:.1f}] iters={res.iterations}",
                   file=sys.stderr)
         except Exception as e:
-            print(f"# cfg13_pcg measure failed: {e}", file=sys.stderr)
+            print(f"# {key} measure failed: {e}", file=sys.stderr)
 
     if best is None:
         print(json.dumps({"metric": "3d7pt_jacobi_glups", "value": 0.0,

@@ -391,7 +391,8 @@ class BiCGStab:
                     f"than ({tuple(self.problem.shape)}, "
                     f"h={self.problem.h})")
 
-    def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0):
+    def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0,
+                  replicate_below: Optional[int] = None):
         from stencil_tpu.ops.xla import apply_spec
 
         spec_A = self.problem.operator_spec
@@ -402,17 +403,27 @@ class BiCGStab:
         # tolerance instead of a hair above it
         tol2 = (0.5 * float(tolerance)) ** 2
 
+        constrain = None
         if mesh is None:
             def pin(a):
                 return a
+        elif self.preconditioner is not None:
+            # distributed preconditioned BiCGStab: Krylov vectors carry
+            # the fine sharding, the rediscretized cycle its per-level
+            # ladder (replicated coarse tail), dots -> all-reduces —
+            # the same GSPMD design as distributed PCG
+            shardings, _, _ = self.preconditioner._level_shardings(
+                mesh, dim, replicate_below)
+
+            def constrain(arr, level):
+                return jax.lax.with_sharding_constraint(
+                    arr, shardings[level])
+
+            def pin(a):
+                return jax.lax.with_sharding_constraint(a, shardings[0])
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if self.preconditioner is not None:
-                raise ValueError(
-                    "preconditioned BiCGStab is single-device for now "
-                    "(the rediscretized cycle carries no sharding "
-                    "ladder); drop mesh= or the preconditioner")
             if len(mesh.axis_names) != 1:
                 raise ValueError(
                     f"distributed BiCGStab wants a 1D mesh, got axes "
@@ -430,7 +441,7 @@ class BiCGStab:
             return apply_spec(jnp.pad(e, 1), spec_A, halo=1)
 
         if self.preconditioner is not None:
-            mg_cycle = self.preconditioner._make_cycle()
+            mg_cycle = self.preconditioner._make_cycle(constrain)
 
             def K(r):  # right preconditioner: one cycle ~ A^-1 r
                 return mg_cycle(jnp.zeros_like(r), r, 0)
@@ -497,7 +508,8 @@ class BiCGStab:
     def solve(self, f, tolerance: float = 1e-5,
               max_iterations: int = 2000, mesh=None,
               dim: int = 0, restarts: int = 8,
-              initial: Optional[HaloGrid] = None) -> CGResult:
+              initial: Optional[HaloGrid] = None,
+              replicate_below: Optional[int] = None) -> CGResult:
         """Solve ``A u = f`` to ``||f - A u||_2 <= tolerance * ||b||_2``
         (the certificate is the true residual of the returned solution;
         fp32 floors apply as for CG). ``mesh`` (1D) shards the Krylov
@@ -514,10 +526,10 @@ class BiCGStab:
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
         g0 = _initial_or(self.problem, initial)
-        key = (float(tolerance), mesh, dim)
+        key = (float(tolerance), mesh, dim, replicate_below)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._solve_fn(tolerance, mesh, dim)
+            fn = self._solve_fn(tolerance, mesh, dim, replicate_below)
             self._fn_cache[key] = fn
         dtype = np.dtype(self.problem.dtype)
         padded = g0.data

@@ -267,6 +267,43 @@ def _level_shapes(shape: Tuple[int, ...],
     return tuple(shapes)
 
 
+def _level_shardings_for(shapes, ndim: int, mesh, dim: int = 0,
+                         replicate_below: Optional[int] = None):
+    """Per-level ``NamedSharding``s for a coarsening hierarchy over a
+    1D mesh: levels at least ``replicate_below`` interior points wide
+    along ``dim`` shard on the mesh axis, the rest replicate (the
+    redundant-coarse-solve design). Shared by ``Multigrid`` and
+    ``OperatorMultigrid``; returns ``(shardings, sharded_flags,
+    replicate_below)``."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"distributed multigrid wants a 1D mesh, got axes "
+            f"{mesh.axis_names}")
+    if not 0 <= dim < ndim:
+        raise ValueError(f"dim {dim} out of range for {ndim}D")
+    nsh = int(np.prod(mesh.devices.shape))
+    if replicate_below is None:
+        # keep >= 2 interior planes per shard, never below the
+        # point where the halo traffic rivals the level's volume
+        replicate_below = max(2 * nsh, 17)
+    axis = mesh.axis_names[0]
+    shardings = []
+    sharded_levels = []
+    for shp in shapes:
+        wide = shp[dim] >= int(replicate_below)
+        spec = [None] * ndim
+        if wide:
+            spec[dim] = axis
+        shardings.append(NamedSharding(mesh, P(*spec)))
+        sharded_levels.append(bool(wide))
+    if not sharded_levels[0]:
+        raise ValueError(
+            f"fine level width {shapes[0][dim]} along dim "
+            f"{dim} is below replicate_below={replicate_below}; "
+            "nothing would be distributed")
+    return shardings, sharded_levels, int(replicate_below)
+
+
 @dataclasses.dataclass(frozen=True)
 class Multigrid:
     """V-cycle solver for a ``PoissonProblem`` (Dirichlet walls only).
@@ -567,34 +604,9 @@ class Multigrid:
         Returns ``(shardings, sharded_flags, replicate_below)``; shared
         by ``sharded_runner`` and the distributed PCG
         (``krylov.ConjugateGradient.solve(mesh=...)``)."""
-        if len(mesh.axis_names) != 1:
-            raise ValueError(
-                f"distributed multigrid wants a 1D mesh, got axes "
-                f"{mesh.axis_names}")
-        ndim = self.problem.ndim
-        if not 0 <= dim < ndim:
-            raise ValueError(f"dim {dim} out of range for {ndim}D")
-        nsh = int(np.prod(mesh.devices.shape))
-        if replicate_below is None:
-            # keep >= 2 interior planes per shard, never below the
-            # point where the halo traffic rivals the level's volume
-            replicate_below = max(2 * nsh, 17)
-        axis = mesh.axis_names[0]
-        shardings = []
-        sharded_levels = []
-        for shp in self._shapes:
-            wide = shp[dim] >= int(replicate_below)
-            spec = [None] * ndim
-            if wide:
-                spec[dim] = axis
-            shardings.append(NamedSharding(mesh, P(*spec)))
-            sharded_levels.append(bool(wide))
-        if not sharded_levels[0]:
-            raise ValueError(
-                f"fine level width {self._shapes[0][dim]} along dim "
-                f"{dim} is below replicate_below={replicate_below}; "
-                "nothing would be distributed")
-        return shardings, sharded_levels, int(replicate_below)
+        return _level_shardings_for(self._shapes,
+                                    self.problem.ndim, mesh, dim,
+                                    replicate_below)
 
     def sharded_runner(self, f, mesh, dim: int = 0,
                        replicate_below: Optional[int] = None) -> Runner:
@@ -852,9 +864,21 @@ class OperatorMultigrid:
     def levels(self) -> int:
         return len(self._specs)
 
-    def _make_cycle(self):
+    def _level_shardings(self, mesh, dim: int = 0,
+                         replicate_below: Optional[int] = None):
+        """Per-level shardings over a 1D mesh — the same replicated-
+        coarse-tail policy as ``Multigrid`` (shared helper); consumed
+        by distributed preconditioned BiCGStab."""
+        return _level_shardings_for(self._shapes,
+                                    len(self.problem.shape), mesh, dim,
+                                    replicate_below)
+
+    def _make_cycle(self, constrain=None):
         """``cycle(x, f, level) -> x`` over interior-shaped zero-wall
-        arrays; trace-time recursion (one jit holds the hierarchy)."""
+        arrays; trace-time recursion (one jit holds the hierarchy).
+        ``constrain(arr, level)`` (optional) re-anchors each level's
+        arrays to its sharding — the distributed-preconditioning
+        hook."""
         from stencil_tpu.ops.xla import apply_spec
 
         specs, diags = self._specs, self._diags
@@ -863,6 +887,9 @@ class OperatorMultigrid:
         coarse = int(self.coarse_sweeps)
         gamma = int(self.gamma)
         n_levels = self.levels
+
+        def pin(a, level):
+            return constrain(a, level) if constrain is not None else a
 
         def A(e, level):
             return apply_spec(jnp.pad(e, 1), specs[level], halo=1)
@@ -874,16 +901,17 @@ class OperatorMultigrid:
             return x
 
         def cycle(x, f, level):
+            x = pin(x, level)
             if level == n_levels - 1:
                 return smooth(x, f, level,
                               coarse if n_levels > 1
                               else max(coarse, nu1 + nu2))
             x = smooth(x, f, level, nu1)
-            rc = _restrict_fw(f - A(x, level))
+            rc = pin(_restrict_fw(f - A(x, level)), level + 1)
             ec = jnp.zeros_like(rc)
             for _ in range(gamma):
                 ec = cycle(ec, rc, level + 1)
-            x = x + _prolong_lin(ec)
+            x = x + pin(_prolong_lin(ec), level)
             return smooth(x, f, level, nu2)
 
         return cycle

@@ -265,7 +265,6 @@ def test_operator_mg_central_falls_back_to_upwind_on_coarse_levels():
 
 def test_operator_mg_gates():
     from stencil_tpu.multigrid import OperatorMultigrid
-    from stencil_tpu.parallel.halo import make_mesh
 
     prob = AdvectionDiffusionProblem(shape=(15, 15, 15),
                                      velocity=(1.0, 0.0, 0.0))
@@ -273,12 +272,33 @@ def test_operator_mg_gates():
                                       velocity=(1.0, 0.0, 0.0))
     with pytest.raises(ValueError, match="different problem"):
         BiCGStab(prob, preconditioner=OperatorMultigrid(other))
-    with pytest.raises(ValueError, match="single-device"):
-        BiCGStab(prob, preconditioner=OperatorMultigrid(prob)).solve(
-            np.zeros(prob.shape, np.float32),
-            mesh=make_mesh((2,), ("x",)))
     with pytest.raises(ValueError, match="gamma"):
         OperatorMultigrid(prob, gamma=3)
+
+
+def test_distributed_preconditioned_bicgstab_matches_single():
+    """Distributed MG-preconditioned BiCGStab: Krylov vectors on the
+    fine sharding, the rediscretized cycle on its per-level ladder
+    (replicated coarse tail) — same math, same iterate."""
+    from stencil_tpu.multigrid import OperatorMultigrid
+    from stencil_tpu.parallel.halo import make_mesh
+
+    prob = AdvectionDiffusionProblem(
+        shape=(31, 15, 15), velocity=(1.0, -0.5, 0.25), nu=0.1)
+    rng = np.random.default_rng(34)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    s = BiCGStab(prob, preconditioner=OperatorMultigrid(prob))
+    single = s.solve(f, tolerance=1e-5, max_iterations=100)
+    dist = s.solve(f, tolerance=1e-5, max_iterations=100,
+                   mesh=make_mesh((4,), ("x",)), replicate_below=16)
+    assert single.converged and dist.converged, \
+        (single.summary(), dist.summary())
+    assert abs(single.iterations - dist.iterations) <= 2
+    d = np.max(np.abs(np.asarray(single.grid.interior(), np.float64)
+                      - np.asarray(dist.grid.interior(), np.float64)))
+    scale = np.max(np.abs(
+        np.asarray(single.grid.interior(), np.float64)))
+    assert d < 1e-3 * scale + 1e-6, d
 
 
 def test_operator_mg_on_poisson_matches_pcg_solution():
