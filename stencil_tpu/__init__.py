@@ -40,6 +40,9 @@ def __getattr__(name):
         "AdvectionDiffusionProblem": (
             "stencil_tpu.models.advection_diffusion",
             "AdvectionDiffusionProblem"),
+        "HeterogeneousPoissonProblem": (
+            "stencil_tpu.models.diffusion",
+            "HeterogeneousPoissonProblem"),
     }
     if name in lazy:
         import importlib
@@ -67,6 +70,7 @@ __all__ = [
     "AdvectionDiffusionProblem",
     "BiCGStab",
     "ConjugateGradient",
+    "HeterogeneousPoissonProblem",
     "OperatorMultigrid",
     "DirichletBC",
     "HaloGrid",

@@ -393,9 +393,6 @@ class BiCGStab:
 
     def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0,
                   replicate_below: Optional[int] = None):
-        from stencil_tpu.ops.xla import apply_spec
-
-        spec_A = self.problem.operator_spec
         ndim = len(self.problem.shape)
         # the loop watches the RECURRENCE residual but the certificate
         # is re-evaluated from the solution; exit 2x tighter so the
@@ -437,17 +434,12 @@ class BiCGStab:
             def pin(a):
                 return jax.lax.with_sharding_constraint(a, s0)
 
-        def A(e):  # zero-wall operator on interior-shaped arrays
-            return apply_spec(jnp.pad(e, 1), spec_A, halo=1)
+        apply_op = self.problem.operator_apply
 
         if self.preconditioner is not None:
             mg_cycle = self.preconditioner._make_cycle(constrain)
-
-            def K(r):  # right preconditioner: one cycle ~ A^-1 r
-                return mg_cycle(jnp.zeros_like(r), r, 0)
         else:
-            def K(r):
-                return r
+            mg_cycle = None
 
         def dot(a, b):
             return jnp.sum(a * b)
@@ -457,12 +449,27 @@ class BiCGStab:
             return jnp.where(d == 0, tiny, d)
 
         @jax.jit
-        def solve(padded0, f, budget, bb_ref):
+        def solve(padded0, f, budget, bb_ref, op_data, kdatas):
+            # op_data / kdatas: the problem's and the preconditioner
+            # hierarchy's runtime operator arrays (None for constant-
+            # tap operators) — THREADED as arguments so field operators
+            # never embed in the compile payload
+
+            def A(e):  # zero-wall operator on interior-shaped arrays
+                return apply_op(jnp.pad(e, 1), op_data)
+
+            if mg_cycle is not None:
+                def K(r):  # right preconditioner: one cycle ~ A^-1 r
+                    return mg_cycle(jnp.zeros_like(r), r, 0, kdatas)
+            else:
+                def K(r):
+                    return r
+
             # b = f - A u0 with the TRUE walls (u0's ghost ring); on a
             # restart padded0 is the current solution, so b is the
             # exact current residual — but convergence stays relative
             # to the ORIGINAL rhs norm (bb_ref > 0 carries it in)
-            b = pin(f - apply_spec(padded0, spec_A, halo=1))
+            b = pin(f - apply_op(padded0, op_data))
             bb = jnp.where(bb_ref > 0, bb_ref, dot(b, b))
             one = jnp.asarray(1.0, b.dtype)
             zero = jnp.zeros_like(b)
@@ -499,7 +506,7 @@ class BiCGStab:
             idx = tuple(slice(1, s - 1) for s in padded0.shape)
             padded = padded0.at[idx].add(x)
             # certificate from the SOLUTION, not the recurrence
-            r_true = f - apply_spec(padded, spec_A, halo=1)
+            r_true = f - apply_op(padded, op_data)
             rr = dot(r_true, r_true)
             return padded, k, jnp.sqrt(rr), jnp.sqrt(rr / bb), bb
 
@@ -532,6 +539,9 @@ class BiCGStab:
             fn = self._solve_fn(tolerance, mesh, dim, replicate_below)
             self._fn_cache[key] = fn
         dtype = np.dtype(self.problem.dtype)
+        op_data = self.problem.operator_data()
+        kdatas = (self.preconditioner._level_datas()
+                  if self.preconditioner is not None else None)
         padded = g0.data
         total = 0
         remaining = int(max_iterations)
@@ -539,7 +549,7 @@ class BiCGStab:
         for attempt in range(max(0, int(restarts)) + 1):
             padded, k, rnorm, rrel, bb = fn(
                 padded, f_dev, jnp.int32(remaining),
-                jnp.asarray(bb0, dtype))
+                jnp.asarray(bb0, dtype), op_data, kdatas)
             k = int(k)
             total += k
             remaining -= k

@@ -128,6 +128,31 @@ class AdvectionDiffusionProblem:
     def is_symmetric(self) -> bool:
         return all(v == 0.0 for v in self.velocity)
 
+    # -- matrix-free operator protocol (krylov solvers, OperatorMultigrid):
+    # constant-tap problems carry no runtime operator data — the taps
+    # are trace-time weights.
+
+    def operator_data(self):
+        return None
+
+    def operator_apply(self, padded, data=None):
+        """``A u`` from the padded iterate (ghost ring = walls)."""
+        from stencil_tpu.ops.xla import apply_spec
+
+        return apply_spec(padded, self.operator_spec, halo=1)
+
+    def operator_inv_diagonal(self, data=None) -> float:
+        """1 / center tap (trace-time scalar) — the point-Jacobi
+        smoothing scale."""
+        spec = self.operator_spec
+        center = (0,) * self.ndim
+        if center not in spec.offsets:
+            raise ValueError("operator has no center tap")
+        d = float(spec.weights[spec.offsets.index(center)])
+        if d == 0.0:
+            raise ValueError("operator diagonal is 0")
+        return 1.0 / d
+
     def with_discretization(self,
                             shape: Tuple[int, ...],
                             h: float) -> "AdvectionDiffusionProblem":

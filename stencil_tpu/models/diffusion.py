@@ -145,3 +145,182 @@ class HeterogeneousDiffusion:
         import jax.numpy as jnp
         return HaloGrid.from_interior(
             jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
+
+
+def _restrict_fw_np(r: np.ndarray) -> np.ndarray:
+    """NumPy full-weighting restriction (per-dim [1/4, 1/2, 1/4],
+    factor-2 subsample; fine width n = 2 n_c + 1) — the host-side twin
+    of ``multigrid._restrict_fw`` used to coarsen coefficient fields."""
+    for d in range(r.ndim):
+        n = r.shape[d]
+
+        def take(lo, hi, _d=d):
+            idx = tuple(
+                slice(lo, hi, 2) if e == _d else slice(None)
+                for e in range(r.ndim)
+            )
+            return r[idx]
+
+        r = 0.25 * take(0, n - 2) + 0.5 * take(1, n - 1) \
+            + 0.25 * take(2, n)
+    return r
+
+
+@dataclasses.dataclass(frozen=True)
+class HeterogeneousPoissonProblem:
+    """Steady heterogeneous diffusion: ``-div(a(x) grad u) = f`` on
+    Dirichlet walls — the boundary-value companion of the FTCS
+    time-marcher above, and the one solver-stack family whose operator
+    is a FIELD, not constant taps.
+
+    Discretization: conservative flux form with harmonic face means
+    (the same ``face_harmonic_means`` the FTCS path uses — flux
+    continuity across material interfaces): center ``sum_faces
+    a_face / h^2``, face taps ``-a_face / h^2``. The operator is an
+    SPD M-matrix; it plugs into the matrix-free Krylov stack through
+    the generic operator protocol (``operator_apply`` over stacked
+    weight fields evaluated by ``ops/xla.py:apply_fields``; the field
+    arrays are runtime data THREADED through the jitted solve, never
+    baked into the compile payload) and into
+    ``multigrid.OperatorMultigrid`` via coefficient coarsening
+    (``with_discretization`` full-weights a(x) down the vertex-centered
+    ladder — the standard geometric-MG treatment of rough
+    coefficients).
+    """
+
+    shape: Tuple[int, ...]
+    a: np.ndarray
+    h: Optional[float] = None
+    bc: Optional[DirichletBC] = None
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        a = np.asarray(self.a, np.float64)
+        object.__setattr__(self, "a", a)
+        if a.shape != tuple(self.shape):
+            raise ValueError(f"a shape {a.shape} != interior {self.shape}")
+        if not np.all(a > 0):
+            raise ValueError("diffusivity a(x) must be positive")
+        if self.h is None:
+            object.__setattr__(self, "h", 1.0 / (self.shape[0] + 1))
+        if self.bc is None:
+            object.__setattr__(
+                self, "bc", DirichletBC.zero(len(self.shape)))
+        if self.bc.any_dynamic:
+            raise ValueError(
+                "the steady heterogeneous operator needs Dirichlet "
+                "walls (periodic/Neumann annihilate constants; march "
+                "HeterogeneousDiffusion in time instead)")
+        object.__setattr__(self, "_data_cache", None)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def operator_fields(self):
+        """(offsets, stacked float64 fields) of the operator ``A``."""
+        inv_h2 = 1.0 / (float(self.h) ** 2)
+        faces = face_harmonic_means(self.a)
+        offsets = [(0,) * self.ndim]
+        fields = [np.zeros(self.shape, np.float64)]
+        fi = 0
+        for d in range(self.ndim):
+            for sign in (-1, 1):
+                off = [0] * self.ndim
+                off[d] = sign
+                offsets.append(tuple(off))
+                fields.append(-inv_h2 * faces[fi])
+                fi += 1
+        fields[0] = -sum(fields[1:])
+        return tuple(offsets), np.stack(fields)
+
+    # -- matrix-free operator protocol --------------------------------
+
+    def operator_data(self):
+        """The stacked weight fields as ONE device array (cached)."""
+        if self._data_cache is None:
+            import jax.numpy as jnp
+
+            _, fields = self.operator_fields()
+            object.__setattr__(self, "_data_cache",
+                               jnp.asarray(fields, self.dtype))
+        return self._data_cache
+
+    def operator_apply(self, padded, data):
+        from stencil_tpu.ops import xla
+
+        nd = self.ndim
+        offs = [(0,) * nd]
+        for d in range(nd):
+            for sign in (-1, 1):
+                off = [0] * nd
+                off[d] = sign
+                offs.append(tuple(off))
+        return xla.apply_fields(padded, tuple(offs), data, halo=1)
+
+    def operator_inv_diagonal(self, data):
+        if data is None:
+            raise TypeError("field operator diagonal needs data")
+        return 1.0 / data[0]
+
+    def with_discretization(self, shape,
+                            h) -> "HeterogeneousPoissonProblem":
+        """Coarsen the coefficient field down the vertex-centered
+        ladder (full weighting per skipped level) and rediscretize."""
+        a = self.a
+        while a.shape != tuple(shape):
+            if any(n % 2 == 0 or n < 3 for n in a.shape):
+                raise ValueError(
+                    f"cannot coarsen a{a.shape} toward {tuple(shape)}")
+            a = _restrict_fw_np(a)
+        return dataclasses.replace(
+            self, shape=tuple(shape), a=a, h=float(h),
+            bc=DirichletBC.zero(self.ndim))
+
+    # -- golden twin / convenience ------------------------------------
+
+    def initial_grid(self, interior=None) -> HaloGrid:
+        if interior is None:
+            return HaloGrid.create(self.shape, halo=1, bc=self.bc,
+                                   dtype=self.dtype)
+        import jax.numpy as jnp
+        return HaloGrid.from_interior(
+            jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
+
+    def apply_f64(self, interior) -> np.ndarray:
+        """``A u`` in float64 with the true wall ghosts (certificate)."""
+        from stencil_tpu.core.grid import fill_halo_np
+
+        u = np.asarray(interior, np.float64)
+        if u.shape != tuple(self.shape):
+            raise ValueError(f"interior shape {u.shape} != {self.shape}")
+        padded = fill_halo_np(np.pad(u, 1), 1, self.bc)
+        offsets, fields = self.operator_fields()
+        n = tuple(self.shape)
+        out = np.zeros(n, np.float64)
+        for off, w in zip(offsets, fields):
+            idx = tuple(slice(1 + off[d], 1 + off[d] + n[d])
+                        for d in range(self.ndim))
+            out += w * padded[idx]
+        return out
+
+    def residual_f64(self, grid: HaloGrid, f) -> float:
+        r = np.asarray(f, np.float64) - self.apply_f64(
+            np.asarray(grid.interior(), np.float64))
+        return float(np.max(np.abs(r)))
+
+    def solve(self, f, tolerance: float = 1e-5,
+              max_iterations: int = 2000, preconditioned: bool = True,
+              mesh=None, dim: int = 0):
+        """Solve by (by default MG-preconditioned) BiCGStab; returns
+        its ``CGResult``. The operator is SPD, but the field-operator
+        Krylov path is the BiCGStab one — its extra matvec per
+        iteration is the price of one code path for constant AND field
+        operators."""
+        from stencil_tpu.krylov import BiCGStab
+        from stencil_tpu.multigrid import OperatorMultigrid
+
+        pre = OperatorMultigrid(self) if preconditioned else None
+        return BiCGStab(self, preconditioner=pre).solve(
+            f, tolerance=tolerance, max_iterations=max_iterations,
+            mesh=mesh, dim=dim)

@@ -93,6 +93,21 @@ class PoissonProblem:
             self, shape=tuple(shape), h=float(h),
             bc=DirichletBC.zero(self.ndim))
 
+    # -- matrix-free operator protocol (see advection_diffusion.py) --
+
+    def operator_data(self):
+        return None
+
+    def operator_apply(self, padded, data=None):
+        from stencil_tpu.ops.xla import apply_spec
+
+        return apply_spec(padded, self.operator_spec, halo=1)
+
+    def operator_inv_diagonal(self, data=None) -> float:
+        # laplacian center tap: -2 ndim / h^2 (negative-definite
+        # operator; the sign folds into the Jacobi step)
+        return -float(self.h) ** 2 / (2 * self.ndim)
+
     @property
     def source_scale(self) -> float:
         """``u' = S(u) + source_scale * f``: the fused per-sweep factor

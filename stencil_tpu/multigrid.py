@@ -840,29 +840,23 @@ class OperatorMultigrid:
             raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
         shapes = _level_shapes(tuple(self.problem.shape), self.min_size)
         h0 = float(self.problem.h)
-        ndim = len(self.problem.shape)
-        center = (0,) * ndim
-        specs = []
-        diags = []
-        for lvl, shp in enumerate(shapes):
-            p = self.problem.with_discretization(shp, h0 * (2.0 ** lvl))
-            spec = p.operator_spec
-            if center not in spec.offsets:
-                raise ValueError(
-                    f"level-{lvl} operator has no center tap; point-"
-                    "Jacobi smoothing needs a nonzero diagonal")
-            d = float(spec.weights[spec.offsets.index(center)])
-            if d == 0.0:
-                raise ValueError(f"level-{lvl} operator diagonal is 0")
-            specs.append(spec)
-            diags.append(d)
+        probs = tuple(
+            self.problem.with_discretization(shp, h0 * (2.0 ** lvl))
+            for lvl, shp in enumerate(shapes))
+        for lvl, p in enumerate(probs):
+            try:
+                p.operator_inv_diagonal(None)
+            except ValueError as e:
+                raise ValueError(f"level {lvl}: {e}") from e
+            except TypeError:
+                pass  # diagonal needs runtime data (field operators)
         object.__setattr__(self, "_shapes", shapes)
-        object.__setattr__(self, "_specs", tuple(specs))
-        object.__setattr__(self, "_diags", tuple(diags))
+        object.__setattr__(self, "_probs", probs)
+        object.__setattr__(self, "_datas_cache", None)
 
     @property
     def levels(self) -> int:
-        return len(self._specs)
+        return len(self._probs)
 
     def _level_shardings(self, mesh, dim: int = 0,
                          replicate_below: Optional[int] = None):
@@ -873,15 +867,27 @@ class OperatorMultigrid:
                                     len(self.problem.shape), mesh, dim,
                                     replicate_below)
 
-    def _make_cycle(self, constrain=None):
-        """``cycle(x, f, level) -> x`` over interior-shaped zero-wall
-        arrays; trace-time recursion (one jit holds the hierarchy).
-        ``constrain(arr, level)`` (optional) re-anchors each level's
-        arrays to its sharding — the distributed-preconditioning
-        hook."""
-        from stencil_tpu.ops.xla import apply_spec
+    def _level_datas(self):
+        """Per-level runtime operator data (None for constant-tap
+        operators; the stacked weight-field arrays for field
+        operators). Built once and cached — these are device arrays
+        that must be THREADED through the jitted solve as arguments,
+        never closed over (a captured concrete array embeds in the
+        compile payload — see the dev-notes jit-constant gotcha)."""
+        if self._datas_cache is None:
+            object.__setattr__(
+                self, "_datas_cache",
+                tuple(p.operator_data() for p in self._probs))
+        return self._datas_cache
 
-        specs, diags = self._specs, self._diags
+    def _make_cycle(self, constrain=None):
+        """``cycle(x, f, level, datas) -> x`` over interior-shaped
+        zero-wall arrays; trace-time recursion (one jit holds the
+        hierarchy). ``datas`` is the ``_level_datas()`` tuple, passed
+        as a traced argument. ``constrain(arr, level)`` (optional)
+        re-anchors each level's arrays to its sharding — the
+        distributed-preconditioning hook."""
+        probs = self._probs
         nu1, nu2 = int(self.nu1), int(self.nu2)
         omega = float(self.omega)
         coarse = int(self.coarse_sweeps)
@@ -891,27 +897,28 @@ class OperatorMultigrid:
         def pin(a, level):
             return constrain(a, level) if constrain is not None else a
 
-        def A(e, level):
-            return apply_spec(jnp.pad(e, 1), specs[level], halo=1)
+        def A(e, level, data):
+            return probs[level].operator_apply(jnp.pad(e, 1), data)
 
-        def smooth(x, f, level, n):
-            w = omega / diags[level]
+        def smooth(x, f, level, data, n):
+            w = omega * probs[level].operator_inv_diagonal(data)
             for _ in range(n):
-                x = x + w * (f - A(x, level))
+                x = x + w * (f - A(x, level, data))
             return x
 
-        def cycle(x, f, level):
+        def cycle(x, f, level, datas):
             x = pin(x, level)
             if level == n_levels - 1:
-                return smooth(x, f, level,
+                return smooth(x, f, level, datas[level],
                               coarse if n_levels > 1
                               else max(coarse, nu1 + nu2))
-            x = smooth(x, f, level, nu1)
-            rc = pin(_restrict_fw(f - A(x, level)), level + 1)
+            x = smooth(x, f, level, datas[level], nu1)
+            rc = pin(_restrict_fw(f - A(x, level, datas[level])),
+                     level + 1)
             ec = jnp.zeros_like(rc)
             for _ in range(gamma):
-                ec = cycle(ec, rc, level + 1)
+                ec = cycle(ec, rc, level + 1, datas)
             x = x + pin(_prolong_lin(ec), level)
-            return smooth(x, f, level, nu2)
+            return smooth(x, f, level, datas[level], nu2)
 
         return cycle

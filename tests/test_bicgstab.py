@@ -252,7 +252,7 @@ def test_operator_mg_central_falls_back_to_upwind_on_coarse_levels():
         scheme="central")
     assert prob.mesh_peclet <= 1.0
     mg = OperatorMultigrid(prob)
-    names = [s.name for s in mg._specs]
+    names = [p.operator_spec.name for p in mg._probs]
     assert "central" in names[0]
     assert any("upwind" in n for n in names[1:]), names
     # and the preconditioned solve still works on the central problem
