@@ -273,7 +273,15 @@ class ConjugateGradient:
             idx = tuple(slice(1, s - 1) for s in padded0.shape)
             padded = padded0.at[idx].add(x)
             rr = dot(r, r)
-            return padded, k, jnp.sqrt(rr), jnp.sqrt(rr / bb)
+            # ONE stats vector -> ONE device->host fetch: on the
+            # tunneled backend every fetch is a full round trip, and
+            # three scalar fetches measurably dominated small solves
+            stats = jnp.stack([
+                k.astype(jnp.float32),
+                jnp.sqrt(rr).astype(jnp.float32),
+                jnp.sqrt(rr / bb).astype(jnp.float32),
+            ])
+            return padded, stats
 
         return solve
 
@@ -310,13 +318,13 @@ class ConjugateGradient:
             fn = self._solve_fn(tolerance, max_iterations, mesh, dim,
                                 replicate_below)
             self._fn_cache[key] = fn
-        padded, k, rnorm, rrel = fn(g0.data, f_dev)
-        k = int(k)
-        rrel = float(rrel)
+        padded, stats = fn(g0.data, f_dev)
+        stats = np.asarray(stats)  # single fetch
+        rrel = float(stats[2])
         return CGResult(
             grid=HaloGrid(data=padded, halo=1, bc=g0.bc),
-            iterations=k,
-            residual=float(rnorm),
+            iterations=int(stats[0]),
+            residual=float(stats[1]),
             residual_rel=rrel,
             converged=bool(rrel <= tolerance),
         )
@@ -508,7 +516,14 @@ class BiCGStab:
             # certificate from the SOLUTION, not the recurrence
             r_true = f - apply_op(padded, op_data)
             rr = dot(r_true, r_true)
-            return padded, k, jnp.sqrt(rr), jnp.sqrt(rr / bb), bb
+            # one stats vector -> one fetch per (re)start (see CG)
+            stats = jnp.stack([
+                k.astype(jnp.float32),
+                jnp.sqrt(rr).astype(jnp.float32),
+                jnp.sqrt(rr / bb).astype(jnp.float32),
+                bb.astype(jnp.float32),
+            ])
+            return padded, stats
 
         return solve
 
@@ -547,20 +562,22 @@ class BiCGStab:
         remaining = int(max_iterations)
         bb0 = 0.0
         for attempt in range(max(0, int(restarts)) + 1):
-            padded, k, rnorm, rrel, bb = fn(
+            padded, stats = fn(
                 padded, f_dev, jnp.int32(remaining),
                 jnp.asarray(bb0, dtype), op_data, kdatas)
-            k = int(k)
+            stats = np.asarray(stats)  # single fetch per (re)start
+            k = int(stats[0])
             total += k
             remaining -= k
-            rrel = float(rrel)
-            bb0 = float(bb)
+            rnorm = float(stats[1])
+            rrel = float(stats[2])
+            bb0 = float(stats[3])
             if rrel <= tolerance or remaining <= 0 or k == 0:
                 break
         return CGResult(
             grid=HaloGrid(data=padded, halo=1, bc=g0.bc),
             iterations=total,
-            residual=float(rnorm),
+            residual=rnorm,
             residual_rel=rrel,
             converged=bool(rrel <= tolerance),
         )
