@@ -36,6 +36,7 @@ def __getattr__(name):
                               "OperatorMultigrid"),
         "ConjugateGradient": ("stencil_tpu.krylov", "ConjugateGradient"),
         "BiCGStab": ("stencil_tpu.krylov", "BiCGStab"),
+        "GMRES": ("stencil_tpu.krylov", "GMRES"),
         "PoissonProblem": ("stencil_tpu.models.poisson", "PoissonProblem"),
         "AdvectionDiffusionProblem": (
             "stencil_tpu.models.advection_diffusion",
@@ -70,6 +71,7 @@ __all__ = [
     "AdvectionDiffusionProblem",
     "BiCGStab",
     "ConjugateGradient",
+    "GMRES",
     "HeterogeneousPoissonProblem",
     "OperatorMultigrid",
     "DirichletBC",
