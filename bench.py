@@ -362,11 +362,22 @@ def main() -> int:
             fad = _jnp.asarray(
                 np.random.default_rng(3).normal(
                     size=adp.shape).astype(np.float32))
-            bstab = BiCGStab(adp,
-                             preconditioner=OperatorMultigrid(adp))
+            opmg = OperatorMultigrid(adp)
+            bstab = BiCGStab(adp, preconditioner=opmg)
             solve_items.append((
                 "cfg14_bicgstab_mg_advdiff_255",
                 lambda: bstab.solve(fad, tolerance=1e-4,
+                                    max_iterations=3000)))
+            # same problem by MG-preconditioned restarted GMRES — the
+            # long-recurrence alternative (monotone residual);
+            # restart=8 is the measured operating point (CGS2 cost
+            # scales with m; results/ROUND4.md sec 23)
+            from stencil_tpu.krylov import GMRES
+
+            gmres = GMRES(adp, preconditioner=opmg, restart=8)
+            solve_items.append((
+                "cfg15_gmres_mg_advdiff_255",
+                lambda: gmres.solve(fad, tolerance=1e-4,
                                     max_iterations=3000)))
         except Exception as e:
             print(f"# cfg14 setup failed: {e}", file=sys.stderr)
