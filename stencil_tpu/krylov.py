@@ -838,7 +838,7 @@ class GMRES:
         total = 0
         remaining = int(max_iterations)
         bb0 = 0.0
-        rnorm = rrel = float("inf")
+        rnorm = rrel = prev_rrel = float("inf")
         while remaining > 0:
             padded, stats = fn(
                 padded, f_dev, jnp.int32(remaining),
@@ -852,6 +852,16 @@ class GMRES:
             bb0 = float(stats[3])
             if rrel <= tolerance or k == 0:
                 break
+            # stall guard: the certificate is the TRUE residual of the
+            # solution, which floors at fp32 rounding (~1e-6 relative,
+            # higher for stiff inv_h2 operators) regardless of what the
+            # Arnoldi recurrence reports — a cycle that fails to
+            # improve it by >=10% means further cycles re-solve
+            # rounding noise; stop and report honestly rather than
+            # grinding the budget (cf. BiCGStab's bounded `restarts`)
+            if rrel > 0.9 * prev_rrel:
+                break
+            prev_rrel = rrel
         return CGResult(
             grid=HaloGrid(data=padded, halo=1, bc=g0.bc),
             iterations=total,
