@@ -651,6 +651,36 @@ class GMRES:
                     f"than ({tuple(self.problem.shape)}, "
                     f"h={self.problem.h})")
 
+    def _check_basis_budget(self, f_dev, mesh) -> None:
+        """Refuse an ``(m+1) x grid`` Arnoldi basis that cannot fit in
+        device memory BEFORE the allocator discovers it mid-solve.
+
+        The basis is the solve's dominant allocation (restart=16 at
+        511^3 fp32 is ~9 GiB of a 16 GiB v5e); the working set on top
+        (padded iterate, rhs, w, the preconditioner hierarchy, and
+        XLA's while_loop double-buffering of V) takes the practical
+        ceiling well below capacity, so gate at half of HBM. A sharded
+        solve divides the basis across the mesh devices."""
+        import math
+
+        from stencil_tpu import device_model
+
+        n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        per_vec = (math.prod(f_dev.shape) * f_dev.dtype.itemsize
+                   // n_dev)
+        basis = (self.restart + 1) * per_vec
+        budget = device_model.hbm_bytes() // 2
+        if basis > budget:
+            fit = max(1, budget // per_vec - 1)
+            raise ValueError(
+                f"GMRES basis (restart+1) x grid = {self.restart + 1} "
+                f"x {f_dev.shape} {f_dev.dtype} = {basis / 2**30:.2f} "
+                f"GiB per device exceeds half of device memory "
+                f"({budget / 2**30:.2f} GiB of "
+                f"{device_model.hbm_bytes() / 2**30:.0f} GiB). Reduce "
+                f"restart to <= {fit}, shard the solve over a mesh, or "
+                f"use BiCGStab (O(1) vectors)")
+
     def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0,
                   replicate_below: Optional[int] = None):
         ndim = len(self.problem.shape)
@@ -737,51 +767,72 @@ class GMRES:
             sn = jnp.zeros((m,), dt)
             g = jnp.zeros((m + 1,), dt).at[0].set(beta)
 
-            def cond(st):
-                V, H, cs, sn, g, j = st
-                return ((g[j] * g[j] > tol2 * bb) & (j < m)
-                        & (j < budget))
-
-            def body(st):
-                V, H, cs, sn, g, j = st
-                w = pin(A(K(V[j])))
+            def make_body(pr):
                 # CGS2: classical Gram-Schmidt, two passes — each pass
                 # two stacked contractions instead of MGS's j dependent
-                # thin dots; rows > j of V are zero so the mask only
-                # guards exactness of the stored column
-                mask = (jnp.arange(m + 1) <= j).astype(dt)
-                h1 = mask * jnp.tensordot(V, w, axes=ax_vw)
-                w = w - jnp.tensordot(h1, V, axes=([0], [0]))
-                h2 = mask * jnp.tensordot(V, w, axes=ax_vw)
-                w = w - jnp.tensordot(h2, V, axes=([0], [0]))
-                hcol = h1 + h2
-                hnorm = jnp.sqrt(dot(w, w))
-                V = V.at[j + 1].set(pin(w / safe(hnorm)))
-                hcol = hcol.at[j + 1].set(hnorm)
+                # thin dots. ``pr`` is the number of basis rows this
+                # stage contracts: step j only needs rows 0..j (the
+                # rest are still zero), so the Arnoldi loop runs in
+                # doubling-prefix STAGES (4, 8, ..., m steps), each a
+                # while_loop whose contractions slice V[:pr]
+                # statically — measured round 4: the full-stack
+                # contraction made gmres(16) 14% slower than gmres(8)
+                # at 6 steps (ROUND4.md §23); the prefix stages remove
+                # the m-independent cost for early steps.
+                def body(st):
+                    V, H, cs, sn, g, j = st
+                    w = pin(A(K(V[j])))
+                    Vp = V[:pr]
+                    # rows > j of V are zero so the mask only guards
+                    # exactness of the stored column
+                    mask = (jnp.arange(pr) <= j).astype(dt)
+                    h1 = mask * jnp.tensordot(Vp, w, axes=ax_vw)
+                    w = w - jnp.tensordot(h1, Vp, axes=([0], [0]))
+                    h2 = mask * jnp.tensordot(Vp, w, axes=ax_vw)
+                    w = w - jnp.tensordot(h2, Vp, axes=([0], [0]))
+                    hnorm = jnp.sqrt(dot(w, w))
+                    V = V.at[j + 1].set(pin(w / safe(hnorm)))
+                    hcol = jnp.zeros((m + 1,), dt).at[:pr].set(h1 + h2)
+                    hcol = hcol.at[j + 1].set(hnorm)
 
-                # accumulated Givens rotations (i < j), then a new one
-                # zeroing the subdiagonal; |g| tracks the least-squares
-                # residual exactly
-                def rot(i, hc):
-                    hi = cs[i] * hc[i] + sn[i] * hc[i + 1]
-                    hi1 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
-                    on = i < j
-                    return (hc.at[i].set(jnp.where(on, hi, hc[i]))
-                            .at[i + 1].set(jnp.where(on, hi1,
-                                                     hc[i + 1])))
+                    # accumulated Givens rotations (i < j), then a new
+                    # one zeroing the subdiagonal; |g| tracks the
+                    # least-squares residual exactly
+                    def rot(i, hc):
+                        hi = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                        hi1 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                        on = i < j
+                        return (hc.at[i].set(jnp.where(on, hi, hc[i]))
+                                .at[i + 1].set(jnp.where(on, hi1,
+                                                         hc[i + 1])))
 
-                hcol = jax.lax.fori_loop(0, m, rot, hcol)
-                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                c = hcol[j] / safe(denom)
-                s = hcol[j + 1] / safe(denom)
-                hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
-                gj = g[j]
-                g = g.at[j + 1].set(-s * gj).at[j].set(c * gj)
-                return (V, H.at[:, j].set(hcol), cs.at[j].set(c),
-                        sn.at[j].set(s), g, j + 1)
+                    hcol = jax.lax.fori_loop(0, m, rot, hcol)
+                    denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                    c = hcol[j] / safe(denom)
+                    s = hcol[j + 1] / safe(denom)
+                    hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+                    gj = g[j]
+                    g = g.at[j + 1].set(-s * gj).at[j].set(c * gj)
+                    return (V, H.at[:, j].set(hcol), cs.at[j].set(c),
+                            sn.at[j].set(s), g, j + 1)
 
-            V, H, cs, sn, g, jfin = jax.lax.while_loop(
-                cond, body, (V, H, cs, sn, g, jnp.int32(0)))
+                return body
+
+            caps = []
+            p = 4
+            while p < m:
+                caps.append(p)
+                p *= 2
+            caps.append(m)
+            st = (V, H, cs, sn, g, jnp.int32(0))
+            for cap in caps:
+                def cond(st, _cap=cap):
+                    V, H, cs, sn, g, j = st
+                    return ((g[j] * g[j] > tol2 * bb) & (j < _cap)
+                            & (j < budget))
+
+                st = jax.lax.while_loop(cond, make_body(cap + 1), st)
+            V, H, cs, sn, g, jfin = st
 
             # back substitution on the rotated (upper-triangular) H,
             # masked to the jfin live columns; a breakdown row has
@@ -812,18 +863,30 @@ class GMRES:
     def solve(self, f, tolerance: float = 1e-5,
               max_iterations: int = 2000, mesh=None, dim: int = 0,
               initial: Optional[HaloGrid] = None,
-              replicate_below: Optional[int] = None) -> CGResult:
+              replicate_below: Optional[int] = None,
+              stall_ratio: Optional[float] = 0.9) -> CGResult:
         """Solve ``A u = f`` to ``||f - A u||_2 <= tolerance * ||b||_2``
         (true-residual certificate; fp32 floors as for CG).
         ``max_iterations`` is the TOTAL Arnoldi-step budget across
-        restart cycles (each cycle runs at most ``self.restart``).
-        ``mesh`` (1D) distributes the solve exactly as for BiCGStab;
-        ``initial`` warm-starts with r0-relative tolerance semantics."""
+        restart cycles (each cycle runs at most ``self.restart``);
+        ``max_iterations <= 0`` runs zero Arnoldi steps but still
+        returns the honest certificate of the initial iterate (and
+        ``converged=True`` if a warm start already meets tolerance) —
+        same budget-0 contract as BiCGStab.
+        ``mesh`` distributes the solve exactly as for BiCGStab;
+        ``initial`` warm-starts with r0-relative tolerance semantics.
+        ``stall_ratio`` stops restarting when a full cycle fails to
+        contract the TRUE residual below ``stall_ratio * previous``
+        (the fp32 certificate floor shows up as exactly such a stall);
+        pass ``None`` to disable for legitimately slow-contracting
+        unpreconditioned GMRES(m) near-stagnation regimes and spend the
+        whole ``max_iterations`` budget."""
         f_dev = as_device_array(f, self.problem.dtype)
         if f_dev.shape != tuple(self.problem.shape):
             raise ValueError(
                 f"source shape {f_dev.shape} != interior "
                 f"{self.problem.shape}")
+        self._check_basis_budget(f_dev, mesh)
         g0 = _initial_or(self.problem, initial)
         key = (float(tolerance), mesh, dim, replicate_below)
         fn = self._fn_cache.get(key)
@@ -839,9 +902,13 @@ class GMRES:
         remaining = int(max_iterations)
         bb0 = 0.0
         rnorm = rrel = prev_rrel = float("inf")
-        while remaining > 0:
+        while True:
+            # budget <= 0 still runs ONE cycle of zero Arnoldi steps:
+            # the cycle computes and returns the true-residual
+            # certificate of the current iterate (a warm start that
+            # already meets tolerance reports converged=True)
             padded, stats = fn(
-                padded, f_dev, jnp.int32(remaining),
+                padded, f_dev, jnp.int32(max(0, remaining)),
                 jnp.asarray(bb0, dtype), op_data, kdatas)
             stats = np.asarray(stats)  # single fetch per cycle
             k = int(stats[0])
@@ -850,16 +917,16 @@ class GMRES:
             rnorm = float(stats[1])
             rrel = float(stats[2])
             bb0 = float(stats[3])
-            if rrel <= tolerance or k == 0:
+            if rrel <= tolerance or k == 0 or remaining <= 0:
                 break
             # stall guard: the certificate is the TRUE residual of the
             # solution, which floors at fp32 rounding (~1e-6 relative,
             # higher for stiff inv_h2 operators) regardless of what the
             # Arnoldi recurrence reports — a cycle that fails to
-            # improve it by >=10% means further cycles re-solve
+            # improve it past stall_ratio means further cycles re-solve
             # rounding noise; stop and report honestly rather than
             # grinding the budget (cf. BiCGStab's bounded `restarts`)
-            if rrel > 0.9 * prev_rrel:
+            if stall_ratio is not None and rrel > stall_ratio * prev_rrel:
                 break
             prev_rrel = rrel
         return CGResult(

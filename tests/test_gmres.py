@@ -118,6 +118,8 @@ def test_field_operator_heterogeneous_poisson():
     weights threaded as runtime data): the heterogeneous Poisson solve
     must agree with its dense float64 twin, with and without the
     coefficient-coarsened OperatorMultigrid preconditioner."""
+    from test_hetero_poisson import dense_operator as dense_field_op
+
     from stencil_tpu.models.diffusion import (
         HeterogeneousPoissonProblem,
     )
@@ -128,17 +130,8 @@ def test_field_operator_heterogeneous_poisson():
     a = np.where(rng.uniform(size=shape) > 0.5, 10.0, 0.1)
     prob = HeterogeneousPoissonProblem(shape=shape, a=a)
     f = rng.normal(size=shape)
-    offsets, fields = prob.operator_fields()
-    n = int(np.prod(shape))
-    ids = np.arange(n).reshape(shape)
-    A = np.zeros((n, n), np.float64)
-    for off, w in zip(offsets, fields):
-        dst = tuple(slice(max(0, -o), min(s, s - o))
-                    for o, s in zip(off, shape))
-        src = tuple(slice(max(0, o), min(s, s + o))
-                    for o, s in zip(off, shape))
-        A[ids[dst].ravel(), ids[src].ravel()] += w[dst].ravel()
-    u_dense = np.linalg.solve(A, f.ravel()).reshape(shape)
+    u_dense = np.linalg.solve(dense_field_op(prob),
+                              f.ravel()).reshape(shape)
     scale = np.max(np.abs(u_dense))
     for solver in (GMRES(prob, restart=64),
                    GMRES(prob,
@@ -237,3 +230,63 @@ def test_eigenvector_rhs_resolves_in_one_step():
     err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64)
                         - u))
     assert err < 1.2 * (1.0 / 64) ** 2, err
+
+
+def test_budget_zero_returns_honest_certificate():
+    """max_iterations <= 0 runs zero Arnoldi steps but still evaluates
+    the TRUE residual of the initial iterate — same budget-0 contract
+    as BiCGStab — and a warm start already below tolerance reports
+    converged=True."""
+    shape = (9, 10)
+    prob = AdvectionDiffusionProblem(
+        shape=shape, velocity=(0.5, -0.25), nu=1.0)
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=shape).astype(np.float32)
+    s = GMRES(prob)
+    cold = s.solve(f, tolerance=1e-5, max_iterations=0)
+    assert cold.iterations == 0 and not cold.converged
+    assert np.isfinite(cold.residual) and cold.residual > 0
+    assert abs(cold.residual - float(np.linalg.norm(f))) \
+        <= 1e-4 * cold.residual
+    # warm budget-0: the ABSOLUTE certificate is the warm iterate's
+    # true residual (rrel is 1.0 by the r0-relative contract — the
+    # baseline is the warm start's own residual)
+    solved = s.solve(f, tolerance=1e-4, max_iterations=500)
+    assert solved.converged
+    warm = s.solve(f, tolerance=1e-2, max_iterations=0,
+                   initial=solved.grid)
+    assert warm.iterations == 0, warm.summary()
+    assert warm.residual <= 1.01 * solved.residual
+
+
+def test_stall_ratio_none_spends_budget():
+    """stall_ratio=None disables the stall guard: a floored solve
+    keeps restarting until the step budget is gone (the legitimate
+    slow-contraction regime must not be force-aborted)."""
+    shape = (15, 15)
+    prob = PoissonProblem(shape=shape)
+    rng = np.random.default_rng(12)
+    f = rng.normal(size=shape).astype(np.float32)
+    s = GMRES(prob, restart=4)
+    # fp32 floor: an unreachable tolerance stalls the certificate. A
+    # STRICT guard (demand 2x contraction per cycle) must abort early;
+    # stall_ratio=None must grind the whole budget.
+    guarded = s.solve(f, tolerance=1e-12, max_iterations=64,
+                      stall_ratio=0.5)
+    free = s.solve(f, tolerance=1e-12, max_iterations=64,
+                   stall_ratio=None)
+    assert not guarded.converged and not free.converged
+    assert guarded.iterations < 64
+    assert free.iterations == 64
+    # and the honest certificates agree within the floor band
+    assert free.residual_rel <= guarded.residual_rel * 1.5
+
+
+def test_oversized_restart_fails_eagerly(monkeypatch):
+    """An Arnoldi basis that cannot fit in half of device memory must
+    refuse BEFORE allocation, with sizing guidance."""
+    monkeypatch.setenv("STENCIL_TPU_HBM_MB", "1")  # 1 MiB device
+    prob = PoissonProblem(shape=(63, 63, 63))  # ~1 MB per basis vector
+    f = np.zeros((63, 63, 63), np.float32)
+    with pytest.raises(ValueError, match="Reduce restart"):
+        GMRES(prob, restart=16).solve(f)
