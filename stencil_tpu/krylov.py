@@ -63,6 +63,22 @@ class CGResult:
                 f"(rel {self.residual_rel:.3e})")
 
 
+def _check_mesh_operator(problem, preconditioner) -> None:
+    """Distributed solves run under GSPMD; the single-device pallas
+    coeff matvec cannot — refuse with guidance (construct the problem,
+    and therefore the rediscretized preconditioner hierarchy, with
+    ``kernel='xla'`` for mesh solves)."""
+    probs = [problem]
+    if preconditioner is not None:
+        probs += list(getattr(preconditioner, "_probs", ()))
+    for p in probs:
+        if getattr(p, "_use_pallas", False):
+            raise ValueError(
+                "distributed solves need the GSPMD XLA operator: "
+                "construct the problem with kernel='xla' (the pallas "
+                "coeff matvec is single-device)")
+
+
 def _initial_or(problem, initial: Optional[HaloGrid]) -> HaloGrid:
     """The warm-start iterate, validated, or the problem's zero-interior
     wall-pinned grid."""
@@ -402,6 +418,8 @@ class BiCGStab:
     def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0,
                   replicate_below: Optional[int] = None):
         ndim = len(self.problem.shape)
+        if mesh is not None:
+            _check_mesh_operator(self.problem, self.preconditioner)
         # the loop watches the RECURRENCE residual but the certificate
         # is re-evaluated from the solution; exit 2x tighter so the
         # (slightly larger) true residual lands under the requested
@@ -684,6 +702,8 @@ class GMRES:
     def _solve_fn(self, tolerance: float, mesh=None, dim: int = 0,
                   replicate_below: Optional[int] = None):
         ndim = len(self.problem.shape)
+        if mesh is not None:
+            _check_mesh_operator(self.problem, self.preconditioner)
         m = int(self.restart)
         # exit the Arnoldi loop on the recurrence estimate at half
         # tolerance; the certificate (true residual of the returned

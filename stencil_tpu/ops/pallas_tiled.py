@@ -170,6 +170,30 @@ class TiledPlan:
     # reference's one-buffer ping-pong cannot express a second-order
     # recursion at all (stencil.cpp:23-57).
     two_level: bool = False
+    # tap_mode == 'coeff' (variable-coefficient / heterogeneous taps,
+    # models/diffusion.py — a per-point generalization of the
+    # reference's hardcoded constant weighting, stencil.cpp:85-125):
+    # the kernel streams the cell-centered coefficient a(x) as ONE
+    # extra window per tile and synthesizes the 2*ndim harmonic-mean
+    # face weights IN-REGISTER, once per tile (5 stored weight windows:
+    # 3 lo faces + the d2 hi face + the center), amortized over the k
+    # virtual sweeps. The update is
+    #   u' = ctr*u + sum_d [w_lo_d * u(-e_d) + w_hi_d * u(+e_d)],
+    #   w_lo_d = coeff_nb * harm(a(p), a(p-e_d)),
+    #   ctr    = coeff_c0 + coeff_cs * sum(6 face means)
+    # (FTCS diffusion: nb=+dt/h^2, c0=1, cs=-dt/h^2; the steady
+    # operator A: nb=-1/h^2, c0=0, cs=+1/h^2). d0/d1 hi faces need no
+    # stored window: w_hi_d(p)*u(p+e_d) = shift_+d(w_lo_d ⊙ u).
+    # Coefficient ghosts are edge-replicated (pad_coeff), so the face
+    # mean reduces to edge replication at walls — exactly
+    # models.diffusion.face_harmonic_means.
+    coeff_nb: float = 0.0
+    coeff_c0: float = 0.0
+    coeff_cs: float = 0.0
+
+    @property
+    def has_coeff(self) -> bool:
+        return self.tap_mode == "coeff"
 
     @property
     def halo(self) -> int:
@@ -192,7 +216,8 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
-    P2 = (round_up(shape[2], 128) if tap_mode in ("synth", "rotacc")
+    P2 = (round_up(shape[2], 128)
+          if tap_mode in ("synth", "rotacc", "coeff")
           else round_up(shape[2] + 2 * kr, 128))
     w0, w1 = s0 + 2 * kr, t1 + 2 * p1
     itemsize = np.dtype(dtype).itemsize
@@ -203,11 +228,15 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
     # temporaries; a fused source streams through its own `slots` window
     # slots (plus sweep-slice temporaries, charged as one more window);
     # the two-level recursion adds `slots` prev-level windows, a second
-    # compute ping-pong, and 2 more output slots
+    # compute ping-pong, and 2 more output slots; coeff mode adds its
+    # `slots` coefficient stream, the 5 stored weight windows, and ~1
+    # win of weight-prep temporaries
     cbuf = (2 * win if slide else win) if k > 1 else 0
     src = (slots + 1) * win if has_source else 0
     lvl2 = (slots * win + win + 2 * out) if two_level else 0
-    return (slots * win + cbuf + 2 * out + win + src + lvl2) * itemsize
+    coeff = (slots + 6) * win if tap_mode == "coeff" else 0
+    return (slots * win + cbuf + 2 * out + win + src + lvl2
+            + coeff) * itemsize
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
@@ -344,13 +373,30 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
                     cores=1, embed=False, has_source=False,
-                    two_level=False) -> TiledPlan:
+                    two_level=False, coeff_scales=None) -> TiledPlan:
     # budget resolution is delegated to choose_tiles: a defaulted (None)
     # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
         raise ValueError("tiled kernel is 3D-only")
     if slots < 2:
         raise ValueError("the DMA pipeline needs >= 2 input slots")
+    if (tap_mode == "coeff") != (coeff_scales is not None):
+        raise ValueError(
+            "tap_mode='coeff' and coeff_scales=(nb, c0, cs) go together")
+    if coeff_scales is not None:
+        if np.dtype(dtype).itemsize != 4:
+            raise ValueError(
+                "coeff tap mode needs a 4-byte dtype (its d1 shifts are "
+                "sublane rotates, which have no Mosaic-safe lowering "
+                "for 16-bit dtypes)")
+        if slide or two_level:
+            raise ValueError(
+                "coeff tap mode composes with the plain pipelined "
+                "schedule only (no slide/two_level)")
+        if spec.radius != 1:
+            raise ValueError(
+                "coeff tap mode is the radius-1 face-weight stencil; "
+                "pass a radius-1 spec")
     if slide and not pipeline:
         raise ValueError("slide requires the pipelined DMA schedule")
     if cores < 1:
@@ -425,10 +471,10 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         tap_mode = "synth"
     layout = PaddedLayout.for_halo(tuple(interior_shape),
                                    sweeps_per_call * spec.radius, sublane)
-    if tap_mode not in ("slice", "roll", "synth", "rotacc"):
+    if tap_mode not in ("slice", "roll", "synth", "rotacc", "coeff"):
         raise ValueError(
             f"tiled kernel tap_mode {tap_mode!r} not in "
-            "slice/roll/synth/rotacc"
+            "slice/roll/synth/rotacc/coeff"
         )
     if tap_mode == "rotacc" and jnp.dtype(dtype).itemsize != 4:
         raise ValueError(
@@ -445,7 +491,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             "roll tap mode needs a 4-byte dtype (pltpu.roll crashes the "
             "Mosaic compiler on sub-32-bit dtypes); use synth for 16-bit"
         )
-    if tap_mode in ("synth", "rotacc"):
+    if tap_mode in ("synth", "rotacc", "coeff"):
         # no d2 ghost columns in HBM at all: lane width is exactly
         # round_up(n2, 128); boundary columns are synthesized in-register
         n2 = interior_shape[2]
@@ -501,7 +547,9 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
-        extra = 2 * win_b if tap_mode == "rotacc" else 0
+        # coeff keeps rolled full-window temporaries live across the
+        # face-term accumulation like rotacc does across weight groups
+        extra = 2 * win_b if tap_mode in ("rotacc", "coeff") else 0
         # The margin is a PER-CLASS compromise, bisected on v5e:
         # - the limit VALUE changes Mosaic's schedule: jacobi7 k=8 64x64
         #   rotacc runs 111 GLUPS at a 56.1MB limit and ~93 at >=58.8MB
@@ -533,7 +581,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             # keep their round-2 values.
             ratio = 1.5 if tap_mode == "roll" else 1.05
             margin = int(est * ratio) + 4 * 1024 * 1024
-        elif slide or (spec.radius >= 2 and tap_mode != "rotacc"):
+        elif slide or (spec.radius >= 2 and tap_mode != "rotacc") \
+                or tap_mode == "coeff":
             margin = int(est * 0.35) + 4 * 1024 * 1024
         else:
             margin = int(est * 0.25)
@@ -543,12 +592,16 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         vmem_limit = device_model.cap_limit(
             max(b.tiled_limit_floor, est + margin + extra), b
         )
+    cnb, cc0, ccs = (coeff_scales if coeff_scales is not None
+                     else (0.0, 0.0, 0.0))
     return TiledPlan(spec=spec, interior_shape=tuple(interior_shape),
                      dtype=dtype, sweeps_per_call=sweeps_per_call,
                      s0=s0, t1=t1, layout=layout, vmem_limit=vmem_limit,
                      tap_mode=tap_mode, pipeline=pipeline, slots=slots,
                      slide=slide, cores=cores, embed=embed,
-                     has_source=has_source, two_level=two_level)
+                     has_source=has_source, two_level=two_level,
+                     coeff_nb=float(cnb), coeff_c0=float(cc0),
+                     coeff_cs=float(ccs))
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -628,19 +681,32 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 shape01 + (P2 - d2_lo - n2,), d2_hi_bc, dtype
             )
 
+    has_coeff = plan.has_coeff
+
     def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, *rest):
         prev_hbm = pscratch = psem = out2_hbm = otile2 = osem2 = None
         src_hbm = sscratch = ssem = None
+        coeff_hbm = cscratch = cwsem = fwbuf = None
         if plan.two_level:
             (prev_hbm, _nxt2, out_hbm, out2_hbm, scratch, cbuf, otile,
              isem, osem, cbuf2, csem, pscratch, psem, otile2,
              osem2) = rest
-        elif plan.has_source:
-            (src_hbm, out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
-             csem, sscratch, ssem) = rest
         else:
+            i = 0
+            if plan.has_source:
+                src_hbm = rest[i]
+                i += 1
+            if has_coeff:
+                coeff_hbm = rest[i]
+                i += 1
             (out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
-             csem) = rest
+             csem) = rest[i:i + 8]
+            i += 8
+            if plan.has_source:
+                sscratch, ssem = rest[i:i + 2]
+                i += 2
+            if has_coeff:
+                cscratch, cwsem, fwbuf = rest[i:i + 3]
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -682,6 +748,59 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 sscratch.at[sl],
                 ssem.at[sl],
             )
+
+        def cf_copy(i, sl):
+            # coefficient-window twin of in_copy (coeff tap mode)
+            r0, c1 = tile_coords(i)
+            c1 = pl.multiple_of(c1, sublane)
+            return pltpu.make_async_copy(
+                coeff_hbm.at[pl.ds(r0, w0), pl.ds(c1, w1)],
+                cscratch.at[sl],
+                cwsem.at[sl],
+            )
+
+        def prep_weights(sl):
+            """Synthesize the per-tile face-weight windows from the
+            coefficient window — ONCE per tile, amortized over the k
+            virtual sweeps (the fused-source stream pattern, extended
+            from 'read one more operand' to 'read one more operand and
+            derive 5 weight fields from it in-register').
+
+            fwbuf[0..2]: w_lo_d = nb * harm(a(p), a(p-e_d)) for d=0,1,2;
+            fwbuf[3]: the d2 HI face (the lane boundary needs its own
+            ghost substitution, so it cannot be recovered as a shift);
+            fwbuf[4]: the center weight c0 + cs * sum(6 face means).
+            Window edge rows (d0 row 0 / last, the d1 roll's wrapped
+            row) hold duplicated/wrapped values — positive, never read
+            by used outputs (reads stay >= 1 inside the window), and
+            physical-ghost band cells are re-pinned after every sweep.
+            Coefficient ghosts are edge-replicated (pad_coeff), so
+            harm(a, a_ghost) = a at every wall — the golden model's
+            edge-replication rule (models/diffusion.py)."""
+            aw = cscratch.at[sl][...]
+            lanes = lax.broadcasted_iota(jnp.int32, (1, 1, P2), 2)
+
+            def harm(x, y):
+                return 2.0 * x * y / (x + y)
+
+            hm0 = harm(aw, jnp.concatenate([aw[:1], aw[:-1]], axis=0))
+            hm1 = harm(aw, pltpu.roll(aw, 1, 1))
+            hm2 = harm(aw, jnp.where(lanes < 1, aw,
+                                     lane_roll(aw, 1, 2)))
+            hm2h = harm(aw, jnp.where(lanes >= n2 - 1, aw,
+                                      lane_roll(aw, P2 - 1, 2)))
+            # hi faces of d0/d1 are shifts of the lo-face means:
+            # hm_d(p+e_d) is the hi-face mean at p
+            sum6 = (hm0 + jnp.concatenate([hm0[1:], hm0[-1:]], axis=0)
+                    + hm1 + pltpu.roll(hm1, w1 - 1, 1)
+                    + hm2 + hm2h)
+            nb = jnp.asarray(plan.coeff_nb, dtype)
+            fwbuf[0] = nb * hm0
+            fwbuf[1] = nb * hm1
+            fwbuf[2] = nb * hm2
+            fwbuf[3] = nb * hm2h
+            fwbuf[4] = (jnp.asarray(plan.coeff_c0, dtype)
+                        + jnp.asarray(plan.coeff_cs, dtype) * sum6)
 
         def pv_copy(i, sl):
             # prev-level window twin of in_copy (two-level recursion)
@@ -964,8 +1083,45 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 acc = acc * jnp.asarray(uw, dtype)
             return lax.slice(acc, (0, a1, d2_lo), (m0, a1 + m1, d2_lo + n2))
 
+        def taps_coeff(src_val, a0, m0, a1, m1):
+            """Variable-coefficient face-weight taps (fp32, radius 1).
+
+            rotacc structure: full-minor-extent terms accumulated at
+            (m0, w1, P2), ONE misaligned slice on the result. Per dim:
+            the lo term is w_lo_d ⊙ shift_-d(u); the hi term needs NO
+            stored hi window because w_hi_d(p) u(p+e_d) =
+            shift_+d(w_lo_d ⊙ u) — the weight and the operand shift
+            together. d2 shifts are lane rotates with in-register
+            boundary synthesis exactly as in taps_synth (u's lane
+            ghosts get the Dirichlet face value; the d2-hi weight is
+            the stored fwbuf[3], whose lane-boundary substitution
+            happened at prep time). d0 shifts are major-dim slices.
+            Wrapped d1-rotate rows never reach used outputs (reads
+            stay >= 1 inside the window, same argument as rotacc)."""
+            u = src_val
+            lanes = lax.broadcasted_iota(jnp.int32, (1, 1, P2), 2)
+            ulo1 = pltpu.roll(u, 1, 1)
+            ghi1 = pltpu.roll(fwbuf[1] * u, w1 - 1, 1)
+            ulo2 = jnp.where(lanes < 1, jnp.asarray(d2_lo_bc, dtype),
+                             lane_roll(u, 1, 2))
+            uhi2 = jnp.where(lanes >= n2 - 1,
+                             jnp.asarray(d2_hi_bc, dtype),
+                             lane_roll(u, P2 - 1, 2))
+            acc = (fwbuf[4] * u + fwbuf[1] * ulo1 + ghi1
+                   + fwbuf[2] * ulo2 + fwbuf[3] * uhi2)
+
+            def d0s(x, o0):
+                return lax.slice(x, (a0 + o0, 0, 0),
+                                 (a0 + o0 + m0, w1, P2))
+
+            out = (d0s(acc, 0) + d0s(fwbuf[0], 0) * d0s(u, -1)
+                   + d0s(fwbuf[0] * u, 1))
+            return lax.slice(out, (0, a1, d2_lo),
+                             (m0, a1 + m1, d2_lo + n2))
+
         taps_into = {"slice": taps_slice, "roll": taps_roll,
-                     "synth": taps_synth, "rotacc": taps_rotacc}[plan.tap_mode]
+                     "synth": taps_synth, "rotacc": taps_rotacc,
+                     "coeff": taps_coeff}[plan.tap_mode]
 
         def pin(dst, i, need):
             """Re-pin physical ghosts of the compute buffer after an
@@ -1223,6 +1379,10 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 if plan.has_source:
                     src_copy(tid, sl).start()
                     src_copy(tid, sl).wait()
+                if has_coeff:
+                    cf_copy(tid, sl).start()
+                    cf_copy(tid, sl).wait()
+                    prep_weights(sl)
                 if plan.two_level:
                     pv_copy(tid, sl).start()
                     pv_copy(tid, sl).wait()
@@ -1257,6 +1417,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             in_copy(ids_ref[0], 0).start()
             if plan.has_source:
                 src_copy(ids_ref[0], 0).start()
+            if has_coeff:
+                cf_copy(ids_ref[0], 0).start()
             if plan.two_level:
                 pv_copy(ids_ref[0], 0).start()
             for j in range(1, min(S, nt_run)):
@@ -1264,6 +1426,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                         partial=slide and not is_row_start(j)).start()
                 if plan.has_source:
                     src_copy(ids_ref[j], j).start()
+                if has_coeff:
+                    cf_copy(ids_ref[j], j).start()
                 if plan.two_level:
                     pv_copy(ids_ref[j], j).start()
         else:
@@ -1277,6 +1441,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     if plan.has_source:
                         src_copy(ids_ref[c_lo + j],
                                  lax.rem(c_lo + j, S)).start()
+                    if has_coeff:
+                        cf_copy(ids_ref[c_lo + j],
+                                lax.rem(c_lo + j, S)).start()
 
         def body(pos, _):
             tid = ids_ref[pos]
@@ -1297,6 +1464,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                 in_copy(tid, sl).wait()
                 if plan.has_source:
                     src_copy(tid, sl).wait()
+                if has_coeff:
+                    cf_copy(tid, sl).wait()
+                    prep_weights(sl)
                 if plan.two_level:
                     pv_copy(tid, sl).wait()
 
@@ -1345,6 +1515,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     in_copy(ids_ref[pos + S], sl).start()
                     if plan.has_source:
                         src_copy(ids_ref[pos + S], sl).start()
+                    if has_coeff:
+                        cf_copy(ids_ref[pos + S], sl).start()
                     if plan.two_level:
                         pv_copy(ids_ref[pos + S], sl).start()
 
@@ -1422,6 +1594,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             pltpu.VMEM((S,) + win_shape, dtype),
             pltpu.SemaphoreType.DMA((S,)),
         ]
+    if has_coeff:
+        # the coefficient streams through its own S window slots; the 5
+        # derived face-weight windows live in one stacked scratch
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((S,) + win_shape, dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.VMEM((5,) + win_shape, dtype),
+        ]
     if plan.two_level:
         # prev-level input stream + a second (aliased) output level
         in_specs += [pl.BlockSpec(memory_space=pl.ANY),
@@ -1460,6 +1641,18 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             if pins is None:
                 pins = jnp.ones((4,), jnp.int32)
             return _call(pins, cur, nxt, prev, nxt2)
+    elif plan.has_source and has_coeff:
+        @jax.jit
+        def sweep(cur, nxt, src, coeffp, pins=None):
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt, src, coeffp)
+    elif has_coeff:
+        @jax.jit
+        def sweep(cur, nxt, coeffp, pins=None):
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt, coeffp)
     elif plan.has_source:
         @jax.jit
         def sweep(cur, nxt, src, pins=None):
@@ -1664,6 +1857,123 @@ def _cached_tiled_source_iterate(plan: TiledPlan, bc: DirichletBC,
     return run
 
 
+def pad_coeff(plan: TiledPlan, a, bc: DirichletBC):
+    """Build the padded coefficient operand of a ``coeff`` plan.
+
+    Ghost cells are EDGE-REPLICATED (nearest interior value): the
+    harmonic face mean then reduces to edge replication at physical
+    walls — exactly ``models.diffusion.face_harmonic_means``'s rule —
+    and every pad cell stays positive (the in-kernel ``harm`` divides
+    by ``a + a_nb``). Dynamic (periodic/Neumann) dims get wrapped /
+    mirrored images at full temporal depth — static, because the
+    coefficient does not evolve, so ONE refresh at pad time suffices
+    (same contract as ``pad_source``)."""
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    dt = jnp.dtype(plan.dtype)
+    arr = jnp.asarray(a, dt)
+    if arr.shape != plan.interior_shape:
+        raise ValueError(
+            f"coefficient shape {arr.shape} != interior "
+            f"{plan.interior_shape}")
+    p = jnp.pad(arr, plan.layout.pads, mode="edge")
+    if bc.any_dynamic:
+        p = refresh_dynamic_layout(p, plan.layout, bc,
+                                   plan.layout.halo)
+    return p
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tiled_coeff_iterate(plan: TiledPlan, bc: DirichletBC,
+                                interpret: bool, grid_halo: int):
+    """Coefficient twin of ``_cached_tiled_source_iterate``: the jitted
+    runner threads the (static, pre-padded) coefficient operand into
+    every kernel call (variable-coefficient FTCS diffusion at tiled-
+    kernel speed — vs the fused-XLA ``ops.xla.iterate_fields_dynamic``,
+    measured 8.2 GLUPS at 256^3 on v5e)."""
+    from stencil_tpu.core.grid import fill_halo
+    from stencil_tpu.ops.layout import refresh_dynamic_layout
+
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+    depth = plan.layout.halo
+    pins = _dynamic_pins(bc) if bc.any_dynamic else None
+
+    @jax.jit
+    def run(data, n_outer, coeff_padded):
+        h = grid_halo
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        if bc.any_dynamic:
+            cur = refresh_dynamic_layout(cur, plan.layout, bc, depth)
+        nxt = jnp.copy(cur)
+
+        def body(_, carry):
+            c, n = carry
+            if bc.any_dynamic:
+                out = sweep(c, n, coeff_padded, jnp.asarray(pins))
+                out = refresh_dynamic_layout(out, plan.layout, bc, depth)
+            else:
+                out = sweep(c, n, coeff_padded)
+            return (out, c)
+
+        cur, nxt = lax.fori_loop(0, n_outer, body, (cur, nxt))
+        out = jnp.pad(plan.layout.unpad(cur), h)
+        return fill_halo(out, h, bc)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_coeff_apply(plan: TiledPlan, interpret: bool):
+    """Jitted single application ``(padded_h1, coeff_padded) ->
+    interior`` of the variable-coefficient operator — the Pallas fast
+    path behind ``HeterogeneousPoissonProblem.operator_apply`` (the
+    matrix-free matvec inside every Krylov iteration).
+
+    The operator must honor the ghost ring of the INPUT array (the
+    Krylov solvers call it on ``jnp.pad(e, 1)`` for the zero-wall
+    correction operator and once per solve on the true-wall iterate),
+    so the halo-1 array's d0/d1 ghost faces are seated into the kernel
+    layout after the pad — at ``sweeps_per_call=1`` only the
+    face-adjacent ghost layer is ever read, and the radius-1 star
+    never reads ghost corners. The coeff layout carries NO d2 ghost
+    columns (the kernel synthesizes the lane boundary as zero here),
+    so the d2 ghost contribution is added EXACTLY outside the kernel:
+    at a wall the harmonic mean edge-replicates (harm(a, a) = a), so
+    the face weight on the boundary column is just ``coeff_nb * a``."""
+    if plan.sweeps_per_call != 1:
+        raise ValueError("operator apply wants a sweeps_per_call=1 plan")
+    bc0 = DirichletBC.zero(3)
+    sweep = _cached_tiled_sweep(plan, bc0, interpret)
+    layout = plan.layout
+    (l0, _), (l1, _), (l2, _) = layout.pads
+    n0, n1, n2 = layout.interior_shape
+    nb = float(plan.coeff_nb)
+
+    @jax.jit
+    def apply(padded_h1, coeff_padded):
+        cur = layout.pad(padded_h1[1:-1, 1:-1, 1:-1], bc0)
+        cur = cur.at[l0 - 1, l1:l1 + n1, l2:l2 + n2].set(
+            padded_h1[0, 1:-1, 1:-1])
+        cur = cur.at[l0 + n0, l1:l1 + n1, l2:l2 + n2].set(
+            padded_h1[-1, 1:-1, 1:-1])
+        cur = cur.at[l0:l0 + n0, l1 - 1, l2:l2 + n2].set(
+            padded_h1[1:-1, 0, 1:-1])
+        cur = cur.at[l0:l0 + n0, l1 + n1, l2:l2 + n2].set(
+            padded_h1[1:-1, -1, 1:-1])
+        out = sweep(cur, jnp.copy(cur), coeff_padded)
+        out = layout.unpad(out)
+        a_lo = coeff_padded[l0:l0 + n0, l1:l1 + n1, l2]
+        a_hi = coeff_padded[l0:l0 + n0, l1:l1 + n1, l2 + n2 - 1]
+        out = out.at[:, :, 0].add(
+            nb * a_lo * padded_h1[1:-1, 1:-1, 0])
+        out = out.at[:, :, n2 - 1].add(
+            nb * a_hi * padded_h1[1:-1, 1:-1, -1])
+        return out
+
+    return apply
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_wave_iterate(plan: TiledPlan, bc: DirichletBC,
                          interpret: bool, grid_halo: int):
@@ -1723,12 +2033,29 @@ class TiledPallasStencil:
                  sweeps_per_call=1, tiles=None, interpret=False,
                  vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False,
-                 cores=1, embed=False, source=None, source_scale=1.0):
+                 cores=1, embed=False, source=None, source_scale=1.0,
+                 coeff=None, coeff_scales=None):
+        if coeff is not None:
+            if tap_mode not in (None, "coeff"):
+                raise ValueError(
+                    f"a coefficient field implies tap_mode='coeff', "
+                    f"got {tap_mode!r}")
+            tap_mode = "coeff"
+            if coeff_scales is None:
+                raise ValueError(
+                    "coeff needs coeff_scales=(nb, c0, cs)")
+            if source is not None:
+                raise ValueError(
+                    "source + coeff iterate runner not wired yet "
+                    "(the kernel supports both; extend "
+                    "_cached_tiled_coeff_iterate when a workload "
+                    "needs the combination)")
         self.plan = make_tiled_plan(spec, tuple(interior_shape), dtype,
                                     sweeps_per_call, tiles, vmem_budget,
                                     vmem_limit, tap_mode, pipeline, slots,
                                     slide, cores, embed,
-                                    has_source=source is not None)
+                                    has_source=source is not None,
+                                    coeff_scales=coeff_scales)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -1740,6 +2067,8 @@ class TiledPallasStencil:
         self.source = source
         self.source_scale = source_scale
         self._src_padded = {}  # bc -> padded source for self.plan
+        self.coeff = coeff
+        self._coeff_padded = {}  # (plan, bc) -> padded coefficient
 
     def _padded_source(self, plan: TiledPlan, bc: DirichletBC):
         key = (plan, bc)
@@ -1747,6 +2076,12 @@ class TiledPallasStencil:
             self._src_padded[key] = pad_source(plan, self.source,
                                                self.source_scale, bc)
         return self._src_padded[key]
+
+    def _padded_coeff(self, plan: TiledPlan, bc: DirichletBC):
+        key = (plan, bc)
+        if key not in self._coeff_padded:
+            self._coeff_padded[key] = pad_coeff(plan, self.coeff, bc)
+        return self._coeff_padded[key]
 
     def prepare(self, grid: HaloGrid):
         padded = self.plan.layout.pad_grid(grid)
@@ -1824,12 +2159,18 @@ class TiledPallasStencil:
         n_outer, rem = divmod(iterations, k)
         data = grid.data
         has_src = self.plan.has_source
+        has_cf = self.plan.has_coeff
         if n_outer:
             if has_src:
                 run = _cached_tiled_source_iterate(
                     self.plan, grid.bc, self.interpret, grid.halo)
                 data = run(data, n_outer,
                            self._padded_source(self.plan, grid.bc))
+            elif has_cf:
+                run = _cached_tiled_coeff_iterate(
+                    self.plan, grid.bc, self.interpret, grid.halo)
+                data = run(data, n_outer,
+                           self._padded_coeff(self.plan, grid.bc))
             else:
                 run = _cached_tiled_iterate(self.plan, grid.bc,
                                             self.interpret, grid.halo)
@@ -1849,12 +2190,20 @@ class TiledPallasStencil:
                 embed=self.plan.embed,
                 source=self.source,
                 source_scale=self.source_scale,
+                coeff=self.coeff,
+                coeff_scales=((self.plan.coeff_nb, self.plan.coeff_c0,
+                               self.plan.coeff_cs) if has_cf else None),
             )
             if has_src:
                 run = _cached_tiled_source_iterate(
                     rem_method.plan, grid.bc, self.interpret, grid.halo)
                 data = run(data, 1,
                            self._padded_source(rem_method.plan, grid.bc))
+            elif has_cf:
+                run = _cached_tiled_coeff_iterate(
+                    rem_method.plan, grid.bc, self.interpret, grid.halo)
+                data = run(data, 1,
+                           self._padded_coeff(rem_method.plan, grid.bc))
             else:
                 run = _cached_tiled_iterate(rem_method.plan, grid.bc,
                                             self.interpret, grid.halo)
