@@ -135,6 +135,12 @@ def bench_method(config: RunConfig, spec, runner):
 
 def run_all(config: RunConfig, out=None) -> List[dict]:
     out = out if out is not None else sys.stdout
+    if config.solve:
+        # --solve: the steady-solver surface (multigrid/Krylov) —
+        # same dispatch-by-name UX, its own driver (solve_cli.py)
+        from stencil_tpu import solve_cli
+
+        return solve_cli.run_solve(config, out)
     spec = config.resolved_spec()
     points = int(np.prod(config.size))
     results = []
@@ -276,7 +282,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     config = parse_args(argv)
     config.apply_platform()
     try:
-        config.resolved_spec()
+        if not config.solve:  # solve mode has no iterate spec
+            config.resolved_spec()
         overlap = set(config.periodic_dims()) & set(config.neumann_dims())
         if overlap:
             raise ValueError(
@@ -294,7 +301,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if config.verbose:
         print(f"total driver time: {timer.pretty()}")
     bad = [r for r in results
-           if r.get("check", {}).get("ok") is False or "error" in r]
+           if r.get("check", {}).get("ok") is False or "error" in r
+           or r.get("converged") is False]
     return 1 if bad else 0
 
 

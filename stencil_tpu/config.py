@@ -69,6 +69,32 @@ class RunConfig:
     periodic: Tuple[object, ...] = ()
     neumann: Tuple[object, ...] = ()
 
+    # -- steady-state solver mode (--solve) -------------------------
+    # The iterate surface above benchmarks kernels; --solve runs the
+    # SOLVER stack (multigrid / Krylov) on a named problem family with
+    # the same name->method dispatch UX the reference's CLI has for
+    # kernels (main.cpp:46-50, stencil.cpp:61-66). In solve mode,
+    # -i/--iterations is the solver's TOTAL iteration budget (Krylov
+    # steps / MG cycles / relaxation sweeps) and -c re-certifies the
+    # returned residual in float64 outside the solve.
+    solve: Optional[str] = None          # poisson | hetero | advdiff
+    solver: str = "auto"                 # auto|relax|mg|fmg|cg|pcg|bicgstab|gmres
+    tolerance: float = 1e-5              # --tol: relative residual target
+    precond: Optional[str] = None        # none|mg|opmg (None = per-solver default)
+    precond_dtype: Optional[str] = None  # preconditioning-cycle dtype (e.g. bfloat16)
+    smoother: str = "wjacobi"            # MG smoothing: wjacobi | chebyshev
+    gamma: int = 1                       # MG cycle index: 1 = V, 2 = W
+    nu_smooth: Tuple[int, int] = (2, 2)  # MG pre/post smoothing sweeps
+    fine_method: str = "auto"            # MG fine level: auto|xla|pallas_tiled
+    restart: int = 16                    # GMRES restart length m
+    warm_start: Optional[str] = None     # 'fmg': initialize Krylov from an FMG pass
+    velocity: Tuple[float, ...] = ()     # advdiff transport velocity per dim
+    nu: float = 1.0                      # advdiff viscosity
+    scheme: str = "upwind"               # advdiff transport: upwind | central
+    contrast: float = 100.0              # hetero two-material ratio max(a)/min(a)
+    rhs: str = "auto"                    # auto|sine|random|ones
+    op_kernel: str = "auto"              # hetero matvec engine: auto|xla|pallas
+
     # protocol
     repeat: int = 1                      # (-R, reference -R/--repeat)
     check: bool = False                  # (-c, reference -c/--check-result)
@@ -195,6 +221,75 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["slice", "roll", "synth", "rotacc"],
                    help="tap evaluation strategy for the pallas kernels "
                         "(default: per-dtype best)")
+    p.add_argument("--solve", type=str, default=None,
+                   choices=["poisson", "hetero", "advdiff"],
+                   help="run the SOLVER stack on a steady problem "
+                        "family instead of benchmarking iterate "
+                        "kernels (-i becomes the solver's total "
+                        "iteration budget; -c re-certifies the "
+                        "residual in float64)")
+    p.add_argument("--solver", type=str, default="auto",
+                   choices=["auto", "relax", "mg", "fmg", "cg", "pcg",
+                            "bicgstab", "gmres"],
+                   help="solver for --solve (auto: pcg for poisson, "
+                        "MG-preconditioned bicgstab otherwise)")
+    p.add_argument("--tol", type=float, default=1e-5, dest="tolerance",
+                   help="solver relative-residual target")
+    p.add_argument("--precond", type=str, default=None,
+                   choices=["none", "mg", "opmg"],
+                   help="Krylov preconditioner (default per solver: "
+                        "pcg=mg, bicgstab/gmres=opmg, cg=none)")
+    p.add_argument("--precond-dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="run the preconditioning cycle's arrays in "
+                        "this dtype (bfloat16 halves its HBM traffic; "
+                        "the Krylov recurrence + certificate stay in "
+                        "the problem dtype)")
+    p.add_argument("--smoother", type=str, default="wjacobi",
+                   choices=["wjacobi", "chebyshev"],
+                   help="multigrid smoother (chebyshev: ~2x per-sweep "
+                        "damping at the same cost)")
+    p.add_argument("--gamma", type=int, default=1, choices=[1, 2],
+                   help="multigrid cycle index (1 = V-cycle, 2 = W)")
+    p.add_argument("--nu-smooth", type=int, nargs=2, default=[2, 2],
+                   metavar=("NU1", "NU2"),
+                   help="multigrid pre/post smoothing sweeps")
+    p.add_argument("--fine-method", type=str, default="auto",
+                   choices=["auto", "xla", "pallas_tiled"],
+                   help="multigrid fine-level engine (pallas_tiled "
+                        "runs ~7/8 of the cycle's work on the tiled "
+                        "source kernels; auto picks it on-TPU for "
+                        "single-device 3D fp32)")
+    p.add_argument("--restart", type=int, default=16,
+                   help="GMRES restart length m (device basis is "
+                        "(m+1) x grid; an oversized basis is refused "
+                        "with sizing guidance)")
+    p.add_argument("--warm-start", type=str, default=None,
+                   choices=["fmg"],
+                   help="initialize the Krylov solve from a full-"
+                        "multigrid pass instead of zero (poisson)")
+    p.add_argument("--velocity", type=float, nargs="+", default=[],
+                   help="advdiff transport velocity per dim "
+                        "(default 1 per dim)")
+    p.add_argument("--nu", type=float, default=1.0,
+                   help="advdiff viscosity (diffusion coefficient)")
+    p.add_argument("--scheme", type=str, default="upwind",
+                   choices=["upwind", "central"],
+                   help="advdiff transport discretization")
+    p.add_argument("--contrast", type=float, default=100.0,
+                   help="hetero two-material coefficient ratio "
+                        "max(a)/min(a)")
+    p.add_argument("--rhs", type=str, default="auto",
+                   choices=["auto", "sine", "random", "ones"],
+                   help="solve-mode right-hand side (auto: the "
+                        "manufactured sine for poisson — reports the "
+                        "error vs the exact solution — random "
+                        "otherwise)")
+    p.add_argument("--op-kernel", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="hetero operator matvec engine (pallas: the "
+                        "tiled variable-coefficient kernel; auto "
+                        "resolves per problem size/platform)")
     p.add_argument("-R", "--repeat", type=int, default=1,
                    help="timed wall-clock repeats (per-run + average "
                         "report, reference -R) and marginal-timing "
@@ -249,6 +344,23 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         chunks=ns.chunks,
         periodic=tuple(ns.periodic),
         neumann=tuple(ns.neumann),
+        solve=ns.solve,
+        solver=ns.solver,
+        tolerance=ns.tolerance,
+        precond=ns.precond,
+        precond_dtype=ns.precond_dtype,
+        smoother=ns.smoother,
+        gamma=ns.gamma,
+        nu_smooth=tuple(ns.nu_smooth),
+        fine_method=ns.fine_method,
+        restart=ns.restart,
+        warm_start=ns.warm_start,
+        velocity=tuple(ns.velocity),
+        nu=ns.nu,
+        scheme=ns.scheme,
+        contrast=ns.contrast,
+        rhs=ns.rhs,
+        op_kernel=ns.op_kernel,
         repeat=ns.repeat,
         check=ns.check,
         check_tolerance=ns.check_tolerance,

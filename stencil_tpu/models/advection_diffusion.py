@@ -34,7 +34,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from stencil_tpu.core.grid import DirichletBC, HaloGrid, fill_halo_np
+from stencil_tpu.core.grid import DirichletBC, HaloGrid
 from stencil_tpu.core.spec import StencilSpec, weighted
 
 
@@ -183,31 +183,18 @@ class AdvectionDiffusionProblem:
         return HaloGrid.from_interior(
             jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
 
-    def _padded_f64(self, interior) -> np.ndarray:
-        """Interior embedded in its Dirichlet ghost ring, float64
-        (pure NumPy — ``HaloGrid`` would round through the device
-        dtype)."""
+    def apply_f64(self, interior) -> np.ndarray:
+        """``A u`` in float64 with the problem's true wall values in the
+        ghost ring — the golden twin of the device-side operator (used
+        by tests and residual certificates; pure NumPy so the
+        certificate never rounds through the device dtype)."""
         u = np.asarray(interior, np.float64)
         if u.shape != tuple(self.shape):
             raise ValueError(
                 f"interior shape {u.shape} != {self.shape}")
-        padded = np.pad(u, 1)
-        return fill_halo_np(padded, 1, self.bc)
+        from stencil_tpu.ops.golden import apply_spec_f64
 
-    def apply_f64(self, interior) -> np.ndarray:
-        """``A u`` in float64 with the problem's true wall values in the
-        ghost ring — the golden twin of the device-side operator (used
-        by tests and residual certificates)."""
-        padded = self._padded_f64(interior)
-        nd = self.ndim
-        n = tuple(self.shape)
-        out = np.zeros(n, np.float64)
-        for off, w in zip(self.operator_spec.offsets,
-                          self.operator_spec.weights):
-            idx = tuple(slice(1 + off[d], 1 + off[d] + n[d])
-                        for d in range(nd))
-            out += float(w) * padded[idx]
-        return out
+        return apply_spec_f64(u, self.operator_spec, self.bc)
 
     def residual_f64(self, grid: HaloGrid, f) -> float:
         """``max |f - A u|`` in float64 — the certificate."""

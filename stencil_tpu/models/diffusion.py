@@ -62,6 +62,16 @@ def face_harmonic_means(a: np.ndarray,
     return tuple(faces)
 
 
+def two_material(shape, lo: float = 0.01, hi: float = 1.0,
+                 seed: int = 0) -> np.ndarray:
+    """A deterministic two-material coefficient field: each cell is
+    ``hi`` or ``lo`` with equal probability (seeded). The standard
+    high-contrast test field for heterogeneous operators (also the
+    CLI's ``--solve hetero`` field, with ``--contrast`` = hi/lo)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random(shape) > 0.5, float(hi), float(lo))
+
+
 @dataclasses.dataclass(frozen=True)
 class HeterogeneousDiffusion:
     """Explicit FTCS for ``u_t = div(a(x) grad u)``.

@@ -122,6 +122,19 @@ class PoissonProblem:
         return HaloGrid.from_interior(
             jnp.asarray(interior, dtype=self.dtype), halo=1, bc=self.bc)
 
+    def apply_f64(self, interior) -> np.ndarray:
+        """``laplacian(u)`` in float64 with the true wall values in the
+        ghost ring — the golden twin of the device operator."""
+        from stencil_tpu.ops.golden import apply_spec_f64
+
+        return apply_spec_f64(interior, self.operator_spec, self.bc)
+
+    def residual_f64(self, grid: HaloGrid, f) -> float:
+        """``max |f - laplacian(u)|`` in float64 — the certificate."""
+        r = np.asarray(f, np.float64) - self.apply_f64(
+            np.asarray(grid.interior(), np.float64))
+        return float(np.max(np.abs(r)))
+
     def runner(self, f, method: str = "xla", sweeps_per_call: int = 8,
                interpret: bool = False, autotune=False,
                **plan_kw) -> Runner:
@@ -268,17 +281,22 @@ class PoissonProblem:
 
 
 def manufactured_sine(shape: Tuple[int, ...], h: Optional[float] = None):
-    """Manufactured Dirichlet-0 test problem on the unit cube:
-    ``u*(x) = prod_d sin(pi x_d)`` with ``laplacian(u*) = -ndim pi^2 u*``.
-    Returns ``(f, u_exact)`` as float64 arrays on the interior points
+    """Manufactured Dirichlet-0 test problem: ``u*(x) = prod_d
+    sin(pi x_d / L_d)`` on the box with per-dim extent
+    ``L_d = (shape[d] + 1) * h`` (the domain a uniform-``h`` grid of
+    that shape actually spans — the unit cube when the grid is cubic
+    with the default ``h``), so u* vanishes on EVERY wall and
+    ``laplacian(u*) = -pi^2 (sum_d 1/L_d^2) u*``. Returns
+    ``(f, u_exact)`` as float64 arrays on the interior points
     ``x_i = (i + 1) * h``; the discrete solve converges to ``u_exact``
     up to the O(h^2) discretization error."""
-    ndim = len(shape)
     if h is None:
         h = 1.0 / (shape[0] + 1)
-    axes = [np.sin(np.pi * (np.arange(1, n + 1) * h)) for n in shape]
+    extents = [(n + 1) * h for n in shape]
+    axes = [np.sin(np.pi * (np.arange(1, n + 1) * h) / L)
+            for n, L in zip(shape, extents)]
     u = axes[0]
     for a in axes[1:]:
         u = np.multiply.outer(u, a)
-    f = -ndim * np.pi ** 2 * u
+    f = -np.pi ** 2 * sum(1.0 / (L * L) for L in extents) * u
     return f, u

@@ -51,6 +51,29 @@ def golden_sweep(padded: np.ndarray, spec: StencilSpec) -> np.ndarray:
     return acc
 
 
+def apply_spec_f64(interior, spec: StencilSpec,
+                   bc: Optional[DirichletBC] = None) -> np.ndarray:
+    """``A u`` in float64 with the problem's wall values in the ghost
+    ring — the golden twin of a device-side OPERATOR application (one
+    tap contraction, no iteration). Shared by the steady-problem
+    residual certificates (``models/*.residual_f64``): pure NumPy so
+    the certificate never rounds through the device dtype."""
+    u = np.asarray(interior, np.float64)
+    r = spec.radius
+    padded = np.pad(u, r)
+    if bc is not None:
+        padded = fill_halo_np(padded, r, bc)
+        if bc.any_dynamic:
+            padded = refresh_dynamic_np(padded, r, bc)
+    n = u.shape
+    out = np.zeros(n, np.float64)
+    for off, w in zip(spec.offsets, spec.weights):
+        idx = tuple(slice(r + off[d], r + off[d] + n[d])
+                    for d in range(u.ndim))
+        out += float(w) * padded[idx]
+    return out
+
+
 def golden_iterate(
     interior0: np.ndarray,
     spec: StencilSpec,

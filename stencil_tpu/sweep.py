@@ -61,6 +61,48 @@ def sweep_configs(
     return out
 
 
+def solver_sweep_configs(
+    families: Sequence[str] = ("poisson",),
+    solvers: Sequence[str] = ("pcg", "bicgstab", "gmres"),
+    sizes: Iterable[int] = (63, 127),
+    tolerances: Iterable[float] = (1e-5,),
+    ndim: int = 3,
+    iterations: int = 2000,
+    check: bool = True,
+    preconds: Sequence[Optional[str]] = (None,),
+    smoothers: Sequence[str] = ("wjacobi",),
+    restarts: Sequence[int] = (16,),
+    mesh: Sequence[int] = (),
+    dtypes: Sequence[str] = ("float32",),
+) -> List[RunConfig]:
+    """Solver-parameter sweep: the cross product of (family, solver,
+    size, tolerance, preconditioner, smoother, restart) as RunConfigs
+    on the SAME dataclass the CLI parses into — the solver stack gets
+    the identical anti-drift guarantee the iterate sweep has."""
+    out = []
+    for (fam, sol, size, tol, pre, smo, m, dt) in itertools.product(
+            families, solvers, sizes, tolerances, preconds, smoothers,
+            restarts, dtypes):
+        if sol != "gmres" and m != restarts[0]:
+            continue  # restart only varies gmres rows
+        if smo != smoothers[0] and sol not in ("mg", "fmg", "pcg"):
+            continue  # smoother only varies MG-cycle rows
+        out.append(RunConfig(
+            size=(size,) * ndim,
+            iterations=iterations,
+            solve=fam,
+            solver=sol,
+            tolerance=tol,
+            precond=pre,
+            smoother=smo,
+            restart=m,
+            check=check,
+            dtype=dt,
+            mesh=tuple(mesh),
+        ))
+    return out
+
+
 def run_sweep(
     configs: Sequence[RunConfig],
     csv_path: str | Path = "sweep.csv",
@@ -69,8 +111,10 @@ def run_sweep(
 ) -> List[dict]:
     rows: List[dict] = []
     for i, cfg in enumerate(configs):
-        progress(f"[{i + 1}/{len(configs)}] size={cfg.size} "
-                 f"iters={cfg.iterations} methods={cfg.methods}")
+        what = (f"solve={cfg.solve} solver={cfg.solver} "
+                f"tol={cfg.tolerance}" if cfg.solve
+                else f"iters={cfg.iterations} methods={cfg.methods}")
+        progress(f"[{i + 1}/{len(configs)}] size={cfg.size} {what}")
         for rec in run_all(cfg):
             rows.append(rec)
     if rows:
@@ -115,6 +159,20 @@ def main(argv=None) -> int:
                         "for every config")
     p.add_argument("--mesh", type=int, nargs="*", default=[],
                    help="device-mesh axis sizes for sharded methods")
+    p.add_argument("--solve", type=str, nargs="+", default=[],
+                   choices=["poisson", "hetero", "advdiff"],
+                   help="sweep the SOLVER stack over these problem "
+                        "families instead of iterate kernels")
+    p.add_argument("--solvers", type=str, nargs="+",
+                   default=["pcg", "bicgstab", "gmres"],
+                   help="solvers to cross with --solve families")
+    p.add_argument("--tols", type=float, nargs="+", default=[1e-5],
+                   help="solver tolerances to sweep")
+    p.add_argument("--restarts", type=int, nargs="+", default=[16],
+                   help="GMRES restart lengths to sweep")
+    p.add_argument("--smoothers", type=str, nargs="+",
+                   default=["wjacobi"],
+                   help="MG smoothers to sweep (wjacobi/chebyshev)")
     p.add_argument("--csv", type=str, default="sweep.csv")
     p.add_argument("--json", type=str, default="sweep.jsonl")
     p.add_argument("--platform", type=str, default="",
@@ -125,9 +183,17 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", ns.platform)
-    cfgs = sweep_configs(ns.sizes, ns.iterations, ns.methods, ns.ndim,
-                         ns.spec, ns.temporal, ns.check, ns.dtypes,
-                         ns.mesh, ns.periodic, ns.neumann)
+    if ns.solve:
+        cfgs = solver_sweep_configs(
+            ns.solve, ns.solvers, ns.sizes, ns.tols, ns.ndim,
+            iterations=ns.iterations[0], check=ns.check,
+            smoothers=ns.smoothers, restarts=ns.restarts,
+            mesh=ns.mesh, dtypes=ns.dtypes)
+    else:
+        cfgs = sweep_configs(ns.sizes, ns.iterations, ns.methods,
+                             ns.ndim, ns.spec, ns.temporal, ns.check,
+                             ns.dtypes, ns.mesh, ns.periodic,
+                             ns.neumann)
     run_sweep(cfgs, ns.csv, ns.json)
     return 0
 

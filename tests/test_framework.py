@@ -197,6 +197,30 @@ def test_every_config_field_is_consumed(tmp_path):
     )
     cli.run_all(cfg, out=open(os.devnull, "w"))
     cfg.apply_platform()          # consumed on the main() path
+    # the SOLVER surface reads the solve-mode fields — same guarantee
+    # (round-4 verdict: "no solver capability reachable only by
+    # writing Python", and no dead solver flag either)
+    devnull = open(os.devnull, "w")
+    for kw in (
+        dict(solve="poisson", solver="gmres", iterations=40,
+             restart=8, precond="none", warm_start="fmg",
+             tolerance=1e-3, rhs="sine", check=True,
+             checkpoint_dir=str(tmp_path / "sckpt"),
+             checkpoint_every=20, repeat=1),
+        dict(solve="poisson", solver="pcg", iterations=40,
+             smoother="chebyshev", gamma=2, nu_smooth=(1, 1),
+             fine_method="xla", precond_dtype="bfloat16",
+             tolerance=1e-3, repeat=2,
+             dump_image=str(tmp_path / "s.bmp"),
+             json_out=str(tmp_path / "s.jsonl")),
+        dict(solve="advdiff", solver="bicgstab", iterations=40,
+             velocity=(1.0, 0.5), nu=0.5, scheme="upwind",
+             tolerance=1e-3),
+        dict(solve="hetero", solver="bicgstab", iterations=40,
+             contrast=10.0, op_kernel="xla", tolerance=1e-3),
+    ):
+        scfg = TrackingConfig(size=(15, 15), **kw)
+        cli.run_all(scfg, out=devnull)
     fields = {f.name for f in dc.fields(RunConfig)}
     unread = fields - read
     # `verbose` is consumed by main() (total-driver-time line), which we
