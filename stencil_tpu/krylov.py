@@ -79,6 +79,29 @@ def _check_mesh_operator(problem, preconditioner) -> None:
                 "coeff matvec is single-device)")
 
 
+def _fine_sharding(mesh, dim: int, ndim: int):
+    """The unpreconditioned solvers' Krylov-vector sharding: mesh axis
+    ``a`` shards grid dim ``dim + a`` (1D or 2D meshes — the 2D form
+    is the v5e-16 4x4-torus decomposition, halving halo bytes vs one
+    fat axis). Preconditioned solves instead inherit the cycle's
+    per-level ladder (``multigrid._level_shardings_for``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    naxes = len(mesh.axis_names)
+    if naxes not in (1, 2):
+        raise ValueError(
+            f"distributed Krylov wants a 1D or 2D mesh, got axes "
+            f"{mesh.axis_names}")
+    if not 0 <= dim <= ndim - naxes:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} shard grid dims "
+            f"{dim}..{dim + naxes - 1}, out of range for {ndim}D")
+    spec = [None] * ndim
+    for a, axis in enumerate(mesh.axis_names):
+        spec[dim + a] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def _initial_or(problem, initial: Optional[HaloGrid]) -> HaloGrid:
     """The warm-start iterate, validated, or the problem's zero-interior
     wall-pinned grid."""
@@ -215,17 +238,7 @@ class ConjugateGradient:
                 return jax.lax.with_sharding_constraint(a, shardings[0])
         else:
             # distributed plain CG: fine sharding only
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            if len(mesh.axis_names) != 1:
-                raise ValueError(
-                    f"distributed CG wants a 1D mesh, got axes "
-                    f"{mesh.axis_names}")
-            if not 0 <= dim < ndim:
-                raise ValueError(f"dim {dim} out of range for {ndim}D")
-            spec = [None] * ndim
-            spec[dim] = mesh.axis_names[0]
-            s0 = NamedSharding(mesh, P(*spec))
+            s0 = _fine_sharding(mesh, dim, ndim)
             cycle = None
 
             def pin(a):
@@ -309,8 +322,9 @@ class ConjugateGradient:
         2-norm; fp32 floors near ~1e-6 — see
         ``Multigrid.residual_norm`` for the rounding argument).
 
-        ``mesh`` (a 1D ``jax.sharding.Mesh``) distributes the solve:
-        Krylov vectors shard along grid dim ``dim``, the
+        ``mesh`` (a 1D or 2D ``jax.sharding.Mesh``) distributes the
+        solve: Krylov vectors shard along grid dims ``dim..`` (one per
+        mesh axis), the
         preconditioning cycle runs its per-level sharding ladder
         (replicated coarse tail), dot products become all-reduces —
         all inside the same single jitted while_loop.
@@ -445,17 +459,7 @@ class BiCGStab:
             def pin(a):
                 return jax.lax.with_sharding_constraint(a, shardings[0])
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            if len(mesh.axis_names) != 1:
-                raise ValueError(
-                    f"distributed BiCGStab wants a 1D mesh, got axes "
-                    f"{mesh.axis_names}")
-            if not 0 <= dim < ndim:
-                raise ValueError(f"dim {dim} out of range for {ndim}D")
-            pspec = [None] * ndim
-            pspec[dim] = mesh.axis_names[0]
-            s0 = NamedSharding(mesh, P(*pspec))
+            s0 = _fine_sharding(mesh, dim, ndim)
 
             def pin(a):
                 return jax.lax.with_sharding_constraint(a, s0)
@@ -552,8 +556,8 @@ class BiCGStab:
               replicate_below: Optional[int] = None) -> CGResult:
         """Solve ``A u = f`` to ``||f - A u||_2 <= tolerance * ||b||_2``
         (the certificate is the true residual of the returned solution;
-        fp32 floors apply as for CG). ``mesh`` (1D) shards the Krylov
-        vectors along grid dim ``dim``; dot products become
+        fp32 floors apply as for CG). ``mesh`` (1D or 2D) shards the
+        Krylov vectors along grid dims ``dim..`` (one per mesh axis); dot products become
         all-reduces, the operator's halo slices GSPMD collectives.
         ``restarts`` bounds the drift-recovery restarts (see class
         docstring); ``max_iterations`` is the TOTAL budget across
@@ -726,17 +730,7 @@ class GMRES:
             def pin(a):
                 return jax.lax.with_sharding_constraint(a, shardings[0])
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            if len(mesh.axis_names) != 1:
-                raise ValueError(
-                    f"distributed GMRES wants a 1D mesh, got axes "
-                    f"{mesh.axis_names}")
-            if not 0 <= dim < ndim:
-                raise ValueError(f"dim {dim} out of range for {ndim}D")
-            pspec = [None] * ndim
-            pspec[dim] = mesh.axis_names[0]
-            s0 = NamedSharding(mesh, P(*pspec))
+            s0 = _fine_sharding(mesh, dim, ndim)
 
             def pin(a):
                 return jax.lax.with_sharding_constraint(a, s0)

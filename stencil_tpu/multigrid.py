@@ -270,38 +270,52 @@ def _level_shapes(shape: Tuple[int, ...],
 def _level_shardings_for(shapes, ndim: int, mesh, dim: int = 0,
                          replicate_below: Optional[int] = None):
     """Per-level ``NamedSharding``s for a coarsening hierarchy over a
-    1D mesh: levels at least ``replicate_below`` interior points wide
-    along ``dim`` shard on the mesh axis, the rest replicate (the
-    redundant-coarse-solve design). Shared by ``Multigrid`` and
+    1D or 2D mesh: mesh axis ``a`` shards grid dim ``dim + a`` on
+    levels at least ``replicate_below`` interior points wide along
+    that dim; narrower levels drop that axis (the redundant-coarse-
+    solve design, decided PER AXIS — a level can stay sharded along
+    d0 while its d1 width has already collapsed). The 2D form is the
+    v5e-16 4x4-torus decomposition (halo bytes halve vs one fat axis;
+    the analog of the reference's natively-2D 8x8 CPE mesh,
+    ``stencil_rma.cpp:194-196``). Shared by ``Multigrid`` and
     ``OperatorMultigrid``; returns ``(shardings, sharded_flags,
-    replicate_below)``."""
-    if len(mesh.axis_names) != 1:
+    replicate_below_per_axis)``."""
+    naxes = len(mesh.axis_names)
+    if naxes not in (1, 2):
         raise ValueError(
-            f"distributed multigrid wants a 1D mesh, got axes "
+            f"distributed multigrid wants a 1D or 2D mesh, got axes "
             f"{mesh.axis_names}")
-    if not 0 <= dim < ndim:
-        raise ValueError(f"dim {dim} out of range for {ndim}D")
-    nsh = int(np.prod(mesh.devices.shape))
+    if not 0 <= dim <= ndim - naxes:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} shard grid dims "
+            f"{dim}..{dim + naxes - 1}, out of range for {ndim}D")
     if replicate_below is None:
-        # keep >= 2 interior planes per shard, never below the
-        # point where the halo traffic rivals the level's volume
-        replicate_below = max(2 * nsh, 17)
-    axis = mesh.axis_names[0]
+        # keep >= 2 interior planes per shard along each sharded dim,
+        # never below the point where halo traffic rivals the level's
+        # volume (per AXIS: each axis sees only its own device count)
+        rb = tuple(max(2 * int(s), 17) for s in mesh.devices.shape)
+    else:
+        rb = (int(replicate_below),) * naxes
     shardings = []
     sharded_levels = []
     for shp in shapes:
-        wide = shp[dim] >= int(replicate_below)
         spec = [None] * ndim
-        if wide:
-            spec[dim] = axis
+        used = False
+        for a, axis in enumerate(mesh.axis_names):
+            if shp[dim + a] >= rb[a]:
+                spec[dim + a] = axis
+                used = True
         shardings.append(NamedSharding(mesh, P(*spec)))
-        sharded_levels.append(bool(wide))
-    if not sharded_levels[0]:
+        sharded_levels.append(used)
+    missing = [axis for a, axis in enumerate(mesh.axis_names)
+               if shapes[0][dim + a] < rb[a]]
+    if missing:
         raise ValueError(
-            f"fine level width {shapes[0][dim]} along dim "
-            f"{dim} is below replicate_below={replicate_below}; "
-            "nothing would be distributed")
-    return shardings, sharded_levels, int(replicate_below)
+            f"fine level {tuple(shapes[0])} is too narrow to use mesh "
+            f"axis(es) {missing} (needs >= {rb} interior points along "
+            f"dims {tuple(range(dim, dim + naxes))}); use a smaller/"
+            "1D mesh or a bigger grid")
+    return shardings, sharded_levels, rb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -598,7 +612,7 @@ class Multigrid:
 
     def _level_shardings(self, mesh, dim: int = 0,
                          replicate_below: Optional[int] = None):
-        """Per-level ``NamedSharding``s for the hierarchy over a 1D
+        """Per-level ``NamedSharding``s for the hierarchy over a 1D/2D
         mesh: levels at least ``replicate_below`` interior points wide
         along ``dim`` shard on the mesh axis, the rest replicate.
         Returns ``(shardings, sharded_flags, replicate_below)``; shared
@@ -610,7 +624,7 @@ class Multigrid:
 
     def sharded_runner(self, f, mesh, dim: int = 0,
                        replicate_below: Optional[int] = None) -> Runner:
-        """Distributed V/W-cycle over a 1D ``jax.sharding.Mesh``.
+        """Distributed V/W-cycle over a 1D or 2D ``jax.sharding.Mesh``.
 
         TPU-first shape: the whole hierarchy stays ONE jitted SPMD
         computation — each level's arrays carry a
@@ -676,7 +690,7 @@ class Multigrid:
                 "mesh": list(mesh.devices.shape),
                 "sharded_dim": dim,
                 "sharded_levels": sharded_levels,
-                "replicate_below": int(replicate_below)}
+                "replicate_below": list(replicate_below)}
         return Runner(
             name=f"multigrid_sharded({self.levels} levels, "
                  f"{nsh}-device mesh)",
@@ -860,7 +874,7 @@ class OperatorMultigrid:
 
     def _level_shardings(self, mesh, dim: int = 0,
                          replicate_below: Optional[int] = None):
-        """Per-level shardings over a 1D mesh — the same replicated-
+        """Per-level shardings over a 1D/2D mesh — the same replicated-
         coarse-tail policy as ``Multigrid`` (shared helper); consumed
         by distributed preconditioned BiCGStab."""
         return _level_shardings_for(self._shapes,
