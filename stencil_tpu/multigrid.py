@@ -95,6 +95,53 @@ def residual_spec(ndim: int, h: float) -> StencilSpec:
                     name=f"neg_laplace{ndim}d")
 
 
+def nbsum_spec(ndim: int) -> StencilSpec:
+    """The center-less neighbor sum (all face taps, weight 1): the
+    fixed STRUCTURE of the tiled kernel's Chebyshev mode, whose
+    per-sweep weights multiply in-register (pallas_tiled
+    ``cheby_coeffs``)."""
+    return weighted(ndim, _axial_taps(ndim, 0.0, 1.0)[1:],
+                    name=f"nbsum{ndim}d")
+
+
+def _cheby_sweep_coeffs(nu: int, ratio: float, ndim: int, h: float):
+    """Per-sweep affine coefficients ``(c, n, pv, s)`` of the degree-nu
+    Chebyshev smoother as tiled-kernel sweeps:
+
+      u_t = c_t u_{t-1} + n_t nbsum(u_{t-1}) + pv_t u_{t-2} + s_t f
+
+    Derived by substituting ``d_{t-1} = u_{t-1} - u_{t-2}`` into the
+    ``_smooth_cheby`` recurrence (with ``A = (2 ndim u - nbsum(u)) /
+    h^2``, ``D^-1 = h^2 / (2 ndim)``):
+
+      u_t = (1 + b_t - a_t) u_{t-1} + (a_t / 2 ndim) nbsum(u_{t-1})
+            - b_t u_{t-2} - a_t (h^2 / 2 ndim) f,
+      a_1 = 1/theta, b_1 = 0;  rho_1 = 1/sigma;
+      rho_t = 1/(2 sigma - rho_{t-1}), b_t = rho_t rho_{t-1},
+      a_t = 2 rho_t / delta.
+
+    Bit-compatible with ``_smooth_cheby`` in exact arithmetic (the
+    differential tests bound the fp32 reassociation drift)."""
+    lmax = 2.0
+    lmin = lmax / float(ratio)
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    two_d = 2.0 * ndim
+    inv_d = (h * h) / two_d
+    out = []
+    a, b = 1.0 / theta, 0.0
+    rho_prev = 1.0 / sigma
+    for t in range(nu):
+        if t > 0:
+            rho = 1.0 / (2.0 * sigma - rho_prev)
+            b = rho * rho_prev
+            a = 2.0 * rho / delta
+            rho_prev = rho
+        out.append((1.0 + b - a, a / two_d, -b, -a * inv_d))
+    return tuple(out)
+
+
 def _nb_sum(padded: jax.Array) -> jax.Array:
     """Sum of the 2*ndim face neighbors, interior-shaped (padded has one
     ghost layer per face)."""
@@ -334,10 +381,11 @@ class Multigrid:
     min_size: int = 3
     # 'wjacobi' (damped Jacobi, the reference-compatible default) or
     # 'chebyshev' (polynomial smoothing on the upper spectral band —
-    # ~2x the per-sweep damping at the same cost; XLA cycle only: its
-    # per-step coefficients vary, which the fixed-spec temporal-blocked
-    # kernel cannot express). The coarsest level always relaxes with
-    # damped Jacobi (it is a solve over the WHOLE spectrum, not a
+    # ~2x the per-sweep damping at the same cost; composes with BOTH
+    # fine methods — the tiled kernel runs the recurrence at full
+    # temporal blocking via per-virtual-sweep trace-time coefficients,
+    # pallas_tiled cheby_coeffs). The coarsest level always relaxes
+    # with damped Jacobi (it is a solve over the WHOLE spectrum, not a
     # band smoother).
     smoother: str = "wjacobi"
     cheby_ratio: float = 4.0
@@ -369,16 +417,21 @@ class Multigrid:
             raise ValueError(
                 f"unknown smoother {self.smoother!r} "
                 "(wjacobi | chebyshev)")
-        if self.smoother == "chebyshev" and self.fine_method != "xla":
-            raise ValueError(
-                "the Chebyshev smoother's per-step coefficients vary, "
-                "which the fixed-spec tiled kernel cannot express; "
-                "use fine_method='xla' (or smoother='wjacobi')")
         if self.cheby_ratio <= 1.0:
             raise ValueError("cheby_ratio must be > 1")
         if self.gamma not in (1, 2):
             raise ValueError("gamma must be 1 (V-cycle) or 2 (W-cycle)")
         shapes = _level_shapes(self.problem.shape, self.min_size)
+        if (self.smoother == "chebyshev"
+                and self.fine_method == "pallas_tiled"
+                and len(shapes) == 1):
+            # the degenerate single-level hierarchy IS the coarsest
+            # level, which must relax with damped Jacobi (Chebyshev is
+            # a band smoother, not a full-spectrum solve)
+            raise ValueError(
+                "chebyshev + pallas_tiled needs a >= 2-level hierarchy "
+                "(odd interior widths); use fine_method='xla' for "
+                "non-coarsenable grids")
         object.__setattr__(self, "_shapes", shapes)
         object.__setattr__(self, "_fmg_cache", {})
 
@@ -549,16 +602,35 @@ class Multigrid:
         kw = dict(dtype=self.problem.dtype, interpret=self.interpret)
         if self.tiles is not None:
             kw["tiles"] = tuple(self.tiles)
-        pre = TiledPallasStencil(
-            wjacobi_spec(ndim, self.omega), self.problem.shape,
-            sweeps_per_call=max(1, self.nu1), source=source_dev,
-            source_scale=-(self.omega / (2 * ndim)) * h0 * h0, **kw)
-        post = pre if self.nu2 in (self.nu1, 0) \
-            else TiledPallasStencil(
+        if self.smoother == "chebyshev":
+            # Chebyshev smoothing AT FULL TEMPORAL BLOCKING: the nu
+            # recurrence sweeps run as ONE kernel call (one HBM round
+            # trip) with per-virtual-sweep trace-time coefficients —
+            # the round-4 "mutually exclusive best levers" gap closed
+            # (cheby was the best cycle, the pallas fine level the best
+            # engine; pallas_tiled cheby_coeffs combines them)
+            def cheby_op(nu):
+                return TiledPallasStencil(
+                    nbsum_spec(ndim), self.problem.shape,
+                    sweeps_per_call=max(1, nu), source=source_dev,
+                    source_scale=1.0,
+                    cheby_coeffs=_cheby_sweep_coeffs(
+                        max(1, nu), self.cheby_ratio, ndim, h0), **kw)
+
+            pre = cheby_op(self.nu1)
+            post = pre if self.nu2 in (self.nu1, 0) \
+                else cheby_op(self.nu2)
+        else:
+            pre = TiledPallasStencil(
                 wjacobi_spec(ndim, self.omega), self.problem.shape,
-                sweeps_per_call=self.nu2, source=source_dev,
-                source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
-                **kw)
+                sweeps_per_call=max(1, self.nu1), source=source_dev,
+                source_scale=-(self.omega / (2 * ndim)) * h0 * h0, **kw)
+            post = pre if self.nu2 in (self.nu1, 0) \
+                else TiledPallasStencil(
+                    wjacobi_spec(ndim, self.omega), self.problem.shape,
+                    sweeps_per_call=self.nu2, source=source_dev,
+                    source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
+                    **kw)
         res = TiledPallasStencil(
             residual_spec(ndim, h0), self.problem.shape,
             sweeps_per_call=1, source=source_dev, source_scale=1.0, **kw)

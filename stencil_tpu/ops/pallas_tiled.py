@@ -190,10 +190,29 @@ class TiledPlan:
     coeff_nb: float = 0.0
     coeff_c0: float = 0.0
     coeff_cs: float = 0.0
+    # cheby_coeffs (non-empty = Chebyshev mode, multigrid.py smoother):
+    # per-VIRTUAL-SWEEP affine recurrence
+    #   u_t = n_t * nbsum(u_{t-1}) + c_t * u_{t-1} + pv_t * u_{t-2}
+    #         + s_t * f
+    # as a tuple of k (c, n, pv, s) float tuples. The virtual-sweep loop
+    # is a trace-time Python loop, so the per-sweep scalars are plain
+    # compile-time constants — the spec is the CENTER-LESS neighbor-sum
+    # star and the Chebyshev weights multiply in-register. pv_1 = 0 by
+    # construction (each smoother application restarts the recurrence),
+    # so unlike the wave leapfrog no prev window crosses the call: the
+    # extra state is just two dedicated ping-pong buffers + the fused
+    # source stream. This is what lifts the round-4 gate "chebyshev is
+    # XLA-only": the fixed-spec temporal blocking could not express
+    # per-sweep coefficients, per-sweep SPECS at trace time can.
+    cheby_coeffs: Tuple = ()
 
     @property
     def has_coeff(self) -> bool:
         return self.tap_mode == "coeff"
+
+    @property
+    def has_cheby(self) -> bool:
+        return bool(self.cheby_coeffs)
 
     @property
     def halo(self) -> int:
@@ -373,7 +392,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     vmem_limit=None, tap_mode=None,
                     pipeline=True, slots=2, slide=False,
                     cores=1, embed=False, has_source=False,
-                    two_level=False, coeff_scales=None) -> TiledPlan:
+                    two_level=False, coeff_scales=None,
+                    cheby_coeffs=None) -> TiledPlan:
     # budget resolution is delegated to choose_tiles: a defaulted (None)
     # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
@@ -414,6 +434,28 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         raise ValueError(
             "the two-level (leapfrog) recursion composes with the plain "
             "pipelined schedule only (no source/slide/cores/embed)")
+    has_cheby = cheby_coeffs is not None
+    if has_cheby:
+        if not has_source:
+            raise ValueError(
+                "cheby_coeffs needs the fused source stream "
+                "(has_source=True): every sweep reads s_t * f")
+        if slide or two_level or embed or coeff_scales is not None:
+            raise ValueError(
+                "the Chebyshev recurrence composes with the plain "
+                "pipelined source schedule only "
+                "(no slide/two_level/embed/coeff)")
+        if spec.radius != 1:
+            raise ValueError(
+                "cheby_coeffs expects the radius-1 neighbor-sum spec")
+        if len(cheby_coeffs) != sweeps_per_call:
+            raise ValueError(
+                f"cheby_coeffs has {len(cheby_coeffs)} sweeps, plan has "
+                f"sweeps_per_call={sweeps_per_call}")
+        cheby_coeffs = tuple(
+            tuple(float(v) for v in c) for c in cheby_coeffs)
+        if any(len(c) != 4 for c in cheby_coeffs):
+            raise ValueError("each cheby sweep needs (c, n, pv, s)")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -541,9 +583,11 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # accumulation, which needs ~2 windows beyond the generic headroom
         # (bisected on v5e: the radius-2 64x64 k=4 plan compiles at an
         # 80MB limit and hard-crashes at 61MB).
+        # cheby's double compute ping-pong has slide's VMEM shape:
+        # estimate it as slide + source
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                          s0, t1, tap_mode, slots, slide, has_source,
-                          two_level)
+                          s0, t1, tap_mode, slots, slide or has_cheby,
+                          has_source, two_level)
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
@@ -582,7 +626,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             ratio = 1.5 if tap_mode == "roll" else 1.05
             margin = int(est * ratio) + 4 * 1024 * 1024
         elif slide or (spec.radius >= 2 and tap_mode != "rotacc") \
-                or tap_mode == "coeff":
+                or tap_mode == "coeff" or has_cheby:
             margin = int(est * 0.35) + 4 * 1024 * 1024
         else:
             margin = int(est * 0.25)
@@ -601,7 +645,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      slide=slide, cores=cores, embed=embed,
                      has_source=has_source, two_level=two_level,
                      coeff_nb=float(cnb), coeff_c0=float(cc0),
-                     coeff_cs=float(ccs))
+                     coeff_cs=float(ccs),
+                     cheby_coeffs=cheby_coeffs if has_cheby else ())
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -682,6 +727,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             )
 
     has_coeff = plan.has_coeff
+    has_cheby = plan.has_cheby
 
     def kernel(pins_ref, ids_ref, cur_hbm, nxt_hbm, *rest):
         prev_hbm = pscratch = psem = out2_hbm = otile2 = osem2 = None
@@ -1321,13 +1367,69 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                                    pl.ds(d2_lo, n2))] = jnp.full(
                                 (s0, extra1, n2), d1_hi_bc, dtype)
 
+        def compute_cheby(sl, osl, i):
+            """Chebyshev-recurrence sweeps (the multigrid smoother,
+            ``multigrid._cheby_sweep_coeffs``) with per-virtual-sweep
+            TRACE-TIME scalars:
+
+              u_t = n_t nbsum(u_{t-1}) + c_t u_{t-1} + pv_t u_{t-2}
+                    + s_t f
+
+            over the shrinking trapezoid. taps_into evaluates the
+            center-less neighbor-sum star (plan.spec); the per-sweep
+            Chebyshev weights multiply in-register. pv_1 = 0 (each
+            smoother application restarts the recurrence), so no prev
+            window crosses the call: u_{t-2} at t=2 is the pristine DMA
+            window and at t>2 the SAME ping-pong buffer about to be
+            overwritten (y is materialized as a value before the region
+            store — the compute2 read-before-write argument). The
+            source window holds the RAW f (source_scale=1.0 at pad
+            time); s_t applies here."""
+            d1_idx = pl.ds(p1, t1) if full_d1 else slice(None)
+            d2i = pl.ds(d2_lo, n2)
+
+            def tgt(t):
+                return (cbuf, cbuf2)[(t - 1) % 2]
+
+            for t in range(1, k + 1):
+                cc, nn, pv, ss = plan.cheby_coeffs[t - 1]
+                need = (k - t) * r
+                a0, m0 = kr - need, s0 + 2 * need
+                a1, m1 = p1 - need, t1 + 2 * need
+                s_in = scratch.at[sl] if t == 1 else tgt(t - 1)
+                reg = (slice(a0, a0 + m0), slice(a1, a1 + m1),
+                       slice(d2_lo, d2_lo + n2))
+                y = (jnp.asarray(nn, dtype)
+                     * taps_into(s_in[...], a0, m0, a1, m1)
+                     + jnp.asarray(cc, dtype) * s_in[reg]
+                     + jnp.asarray(ss, dtype) * sscratch.at[sl][reg])
+                if t >= 2:
+                    prev = scratch.at[sl] if t == 2 else tgt(t - 2)
+                    y = y + jnp.asarray(pv, dtype) * prev[reg]
+                if t < k:
+                    dst = tgt(t)
+                    dst[pl.ds(a0, m0), pl.ds(a1, m1), d2i] = y
+                    pin(dst, i, need)
+                else:
+                    otile[(osl, slice(None), d1_idx, d2i)] = y
+                    if extra1:
+                        # ragged d1 clamp overhang of the final sweep
+                        _, c1 = tile_coords(i)
+
+                        @pl.when((pins_ref[3] != 0) & (c1 >= C1))
+                        def _():
+                            otile[(osl, slice(None),
+                                   pl.ds(t1 - extra1, extra1),
+                                   pl.ds(d2_lo, n2))] = jnp.full(
+                                (s0, extra1, n2), d1_hi_bc, dtype)
+
         # one-time d2 ghost fills: the compute buffer and output tiles
         # carry constant BC columns that compute never writes (the DMA
         # window slots get theirs from HBM, where padded arrays maintain
         # them end to end)
         if k > 1:
             fill_d2_ghosts(cbuf, (w0, w1))
-            if plan.slide or plan.two_level:
+            if plan.slide or plan.two_level or has_cheby:
                 fill_d2_ghosts(cbuf2, (w0, w1))
         ot_d1 = P1 if full_d1 else t1
         if full_d1:
@@ -1392,7 +1494,10 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     out_copy(tid, osl).wait()
                     out2_copy(tid, osl).wait()
                 else:
-                    compute(sl, osl, tid)
+                    if has_cheby:
+                        compute_cheby(sl, osl, tid)
+                    else:
+                        compute(sl, osl, tid)
                     out_copy(tid, osl).start()
                     out_copy(tid, osl).wait()
                 return 0
@@ -1490,6 +1595,8 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
 
             if plan.two_level:
                 compute2(sl, osl, tid)
+            elif has_cheby:
+                compute_cheby(sl, osl, tid)
             else:
                 compute(sl, osl, tid)
 
@@ -1580,7 +1687,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         pltpu.VMEM((2,) + otile_shape, dtype),
         pltpu.SemaphoreType.DMA((S,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM(win_shape if (k > 1 and (plan.slide or plan.two_level))
+        pltpu.VMEM(win_shape
+                   if (k > 1 and (plan.slide or plan.two_level
+                                  or plan.has_cheby))
                    else (1, 1, 1), dtype),
         pltpu.SemaphoreType.DMA((1,)),
     ]
@@ -2034,7 +2143,7 @@ class TiledPallasStencil:
                  vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False,
                  cores=1, embed=False, source=None, source_scale=1.0,
-                 coeff=None, coeff_scales=None):
+                 coeff=None, coeff_scales=None, cheby_coeffs=None):
         if coeff is not None:
             if tap_mode not in (None, "coeff"):
                 raise ValueError(
@@ -2055,7 +2164,8 @@ class TiledPallasStencil:
                                     vmem_limit, tap_mode, pipeline, slots,
                                     slide, cores, embed,
                                     has_source=source is not None,
-                                    coeff_scales=coeff_scales)
+                                    coeff_scales=coeff_scales,
+                                    cheby_coeffs=cheby_coeffs)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget
@@ -2193,6 +2303,11 @@ class TiledPallasStencil:
                 coeff=self.coeff,
                 coeff_scales=((self.plan.coeff_nb, self.plan.coeff_c0,
                                self.plan.coeff_cs) if has_cf else None),
+                # remainder-length Chebyshev: the recurrence
+                # coefficients depend only on the sweep index, so the
+                # first `rem` sweeps ARE the degree-rem smoother
+                cheby_coeffs=(self.plan.cheby_coeffs[:rem]
+                              if self.plan.has_cheby else None),
             )
             if has_src:
                 run = _cached_tiled_source_iterate(

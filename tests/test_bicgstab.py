@@ -166,13 +166,13 @@ def test_gates():
     with pytest.raises(ValueError, match="singular"):
         BiCGStab(PoissonProblem(
             shape=(8, 8), bc=DirichletBC.zero(2).with_neumann((1,))))
-    with pytest.raises(ValueError, match="1D mesh"):
+    with pytest.raises(ValueError, match="1D or 2D"):
         from stencil_tpu.parallel.halo import make_mesh
 
-        prob = AdvectionDiffusionProblem(shape=(8, 8),
-                                         velocity=(1.0, 0.0))
-        BiCGStab(prob).solve(np.ones((8, 8), np.float32),
-                             mesh=make_mesh((2, 2), ("x", "y")))
+        prob = AdvectionDiffusionProblem(shape=(8, 8, 8),
+                                         velocity=(1.0, 0.0, 0.0))
+        BiCGStab(prob).solve(np.ones((8, 8, 8), np.float32),
+                             mesh=make_mesh((2, 2, 2), ("x", "y", "z")))
 
 
 def test_operator_spec_taps_upwind():

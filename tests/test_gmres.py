@@ -200,10 +200,10 @@ def test_gates():
     import jax
     from jax.sharding import Mesh
 
-    devs = np.array(jax.devices()[:4]).reshape(2, 2)
-    with pytest.raises(ValueError, match="1D mesh"):
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    with pytest.raises(ValueError, match="1D or 2D"):
         GMRES(prob).solve(np.zeros((8, 8), np.float32),
-                          mesh=Mesh(devs, ("x", "y")))
+                          mesh=Mesh(devs, ("x", "y", "z")))
 
 
 def test_eigenvector_rhs_resolves_in_one_step():

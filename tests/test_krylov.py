@@ -217,10 +217,10 @@ def test_distributed_gates():
     prob = PoissonProblem(shape=(63, 63))
     f = np.zeros((63, 63), np.float32)
     from stencil_tpu.parallel.halo import make_mesh
-    with pytest.raises(ValueError, match="1D mesh"):
-        ConjugateGradient(prob).solve(f, mesh=make_mesh((2, 2),
-                                                        ("x", "y")))
-    with pytest.raises(ValueError, match="replicate_below"):
+    with pytest.raises(ValueError, match="1D or 2D"):
+        ConjugateGradient(prob).solve(
+            f, mesh=make_mesh((2, 2, 2), ("x", "y", "z")))
+    with pytest.raises(ValueError, match="too narrow"):
         ConjugateGradient(prob, preconditioner=Multigrid(prob)).solve(
             f, mesh=_mesh1d(4), replicate_below=64)
 

@@ -327,12 +327,13 @@ def test_sharded_runner_nonlead_dim():
 def test_sharded_runner_gates():
     prob = PoissonProblem(shape=(63, 63))
     f = np.zeros((63, 63), np.float32)
-    with pytest.raises(ValueError, match="1D mesh"):
+    with pytest.raises(ValueError, match="1D or 2D"):
         from stencil_tpu.parallel.halo import make_mesh
-        Multigrid(prob).sharded_runner(f, make_mesh((2, 2), ("x", "y")))
-    with pytest.raises(ValueError, match="replicate_below"):
+        Multigrid(prob).sharded_runner(
+            f, make_mesh((2, 2, 2), ("x", "y", "z")))
+    with pytest.raises(ValueError, match="too narrow"):
         Multigrid(prob).sharded_runner(f, _mesh1d(4), replicate_below=64)
-    with pytest.raises(ValueError, match="dim 2 out of range"):
+    with pytest.raises(ValueError, match="out of range"):
         Multigrid(prob).sharded_runner(f, _mesh1d(4), dim=2)
     prob3 = PoissonProblem(shape=(31, 31, 31))
     with pytest.raises(ValueError, match="GSPMD"):
@@ -483,10 +484,109 @@ def test_pcg_chebyshev_preconditioner():
 
 def test_chebyshev_gates():
     prob3 = PoissonProblem(shape=(15, 15, 15))
-    with pytest.raises(ValueError, match="Chebyshev"):
-        Multigrid(prob3, smoother="chebyshev",
-                  fine_method="pallas_tiled")
     with pytest.raises(ValueError, match="unknown smoother"):
         Multigrid(prob3, smoother="sor")
     with pytest.raises(ValueError, match="cheby_ratio"):
         Multigrid(prob3, smoother="chebyshev", cheby_ratio=1.0)
+    # chebyshev + pallas on a NON-coarsenable grid: the single level is
+    # the coarsest (must relax wjacobi) -> refused with guidance
+    with pytest.raises(ValueError, match="2-level"):
+        Multigrid(PoissonProblem(shape=(16, 16, 16)),
+                  smoother="chebyshev", fine_method="pallas_tiled")
+
+
+# ---- Chebyshev smoothing ON the Pallas fine level (round-5 item 5:
+# the round-4 "mutually exclusive best levers" gap) -----------------
+
+
+@pytest.mark.parametrize("nu1,nu2,gamma", [(2, 2, 1), (3, 1, 1),
+                                           (2, 2, 2)])
+def test_chebyshev_pallas_fine_matches_xla_cycle(nu1, nu2, gamma):
+    """The tiled kernel's per-virtual-sweep Chebyshev recurrence
+    (cheby_coeffs) must reproduce the XLA _smooth_cheby cycle to fp32
+    rounding — asymmetric nu, W-cycles, multiple cycles."""
+    prob = PoissonProblem(shape=(31, 31, 31))
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    kw = dict(nu1=nu1, nu2=nu2, gamma=gamma, smoother="chebyshev")
+    rx = Multigrid(prob, fine_method="xla", **kw).runner(f)
+    rp = Multigrid(prob, fine_method="pallas_tiled", interpret=True,
+                   **kw).runner(f)
+    g0 = prob.initial_grid()
+    ax = np.asarray(rx.iterate(g0, 3).interior(), np.float64)
+    ap = np.asarray(rp.iterate(g0, 3).interior(), np.float64)
+    np.testing.assert_allclose(ap, ax, atol=5e-6)
+
+
+def test_chebyshev_pallas_fine_reaches_discretization_error():
+    from stencil_tpu import solver
+    from stencil_tpu.models.poisson import manufactured_sine
+
+    prob = PoissonProblem(shape=(31, 31, 31))
+    f, u_exact = manufactured_sine(prob.shape, h=prob.h)
+    mg = Multigrid(prob, smoother="chebyshev",
+                   fine_method="pallas_tiled", interpret=True)
+    res = solver.solve(mg.runner(f.astype(np.float32)),
+                       prob.initial_grid(), tolerance=1e-6,
+                       max_iterations=30, check_every=1)
+    assert res.converged
+    err = np.max(np.abs(np.asarray(res.grid.interior(), np.float64)
+                        - u_exact))
+    assert err < 3 * float(prob.h) ** 2
+
+
+def test_pcg_chebyshev_pallas_preconditioner():
+    """Cheby+pallas cycle as the PCG preconditioner: same iteration
+    count as the cheby+XLA cycle (the operator is identical up to
+    rounding)."""
+    from stencil_tpu.krylov import ConjugateGradient
+
+    prob = PoissonProblem(shape=(31, 31, 31))
+    rng = np.random.default_rng(12)
+    f = rng.normal(size=prob.shape).astype(np.float32)
+    rx = ConjugateGradient(
+        prob, preconditioner=Multigrid(prob, smoother="chebyshev"))         .solve(f, tolerance=1e-5, max_iterations=50)
+    rp = ConjugateGradient(
+        prob, preconditioner=Multigrid(
+            prob, smoother="chebyshev", fine_method="pallas_tiled",
+            interpret=True))         .solve(f, tolerance=1e-5, max_iterations=50)
+    assert rp.converged and rp.iterations == rx.iterations
+    np.testing.assert_allclose(np.asarray(rp.grid.interior()),
+                               np.asarray(rx.grid.interior()),
+                               atol=5e-5)
+
+
+def test_cheby_sweep_coeffs_match_smooth_cheby():
+    """The algebraic rewrite itself (u_t from d_t substitution) against
+    _smooth_cheby in float64 NumPy — independent of the kernel."""
+    from stencil_tpu.multigrid import (
+        _cheby_sweep_coeffs, _smooth_cheby,
+    )
+
+    rng = np.random.default_rng(13)
+    shape = (9, 9, 9)
+    h, ratio, nu = 0.1, 4.0, 4
+    u0 = rng.normal(size=shape)
+    f = rng.normal(size=shape)
+    import jax.numpy as jnp
+
+    pad = jnp.asarray(np.pad(u0, 1))
+    want = np.asarray(_smooth_cheby(pad, jnp.asarray(f), 1.0 / h ** 2,
+                                    6.0, nu, ratio))[1:-1, 1:-1, 1:-1]
+
+    def nbsum(p):
+        acc = np.zeros(shape)
+        for d in range(3):
+            for o in (0, 2):
+                idx = tuple(slice(o, shape[e] + o) if e == d
+                            else slice(1, -1) for e in range(3))
+                acc += p[idx]
+        return acc
+
+    u_prev, u = None, np.pad(u0, 1)
+    for c, n, pv, sc in _cheby_sweep_coeffs(nu, ratio, 3, h):
+        y = c * u[1:-1, 1:-1, 1:-1] + n * nbsum(u) + sc * f
+        if u_prev is not None:
+            y = y + pv * u_prev[1:-1, 1:-1, 1:-1]
+        u_prev, u = u, np.pad(y, 1)
+    np.testing.assert_allclose(u[1:-1, 1:-1, 1:-1], want, atol=1e-5)
