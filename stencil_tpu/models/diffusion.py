@@ -140,7 +140,7 @@ class HeterogeneousDiffusion:
         coefficient TILED kernel: the cell-centered a(x) streams as one
         extra window per tile and the harmonic face weights are
         synthesized in-register, with full temporal blocking
-        (``sweeps_per_call``) — measured v5e 256^3 k=8: ~66 GLUPS vs
+        (``sweeps_per_call``) — measured v5e 256^3 k=8: 62.6 GLUPS vs
         8.2 for the fused-XLA path. ``'xla'`` is the rank-general
         fallback; ``'auto'`` picks pallas whenever it applies. A
         dynamic (periodic/Neumann) LANE dim needs the XLA path (the
@@ -263,14 +263,18 @@ class HeterogeneousPoissonProblem:
     h: Optional[float] = None
     bc: Optional[DirichletBC] = None
     dtype: str = "float32"
-    # operator matvec engine: 'xla' (rank-general fused pass, measured
-    # 8.2 GLUPS at 255^3 on v5e), 'pallas' (3D fp32: the tiled coeff
-    # kernel at k=1 — streams a(x), synthesizes the face weights
-    # in-register), or 'auto' (pallas whenever it applies — which
-    # resolves to 'xla' on the small coarse levels the
-    # OperatorMultigrid rediscretization builds via
-    # ``with_discretization``). ``interpret=None`` auto-detects the
-    # backend (CPU tests run the kernel in interpreter mode).
+    # operator matvec engine: 'xla' (rank-general fused pass), 'pallas'
+    # (3D fp32: the tiled coeff kernel at k=1 — streams a(x),
+    # synthesizes the face weights in-register), or 'auto'. MEASURED
+    # v5e 255^3 (r5 campaign): 'auto' resolves to XLA — at k=1 the
+    # kernel's layout pad/unpad per matvec costs more than its sweep
+    # saves (BiCGStab+opmg solve: 488 ms pallas vs 278 ms xla, same 11
+    # iterations); the kernel's 7.6x win (62.6 vs 8.2 GLUPS) belongs to
+    # the k>=4 temporally-blocked MARCHING runner
+    # (HeterogeneousDiffusion.runner), which amortizes one layout
+    # round trip over k sweeps. 'pallas' stays available explicitly.
+    # ``interpret=None`` auto-detects the backend (CPU tests run the
+    # kernel in interpreter mode).
     kernel: str = "auto"
     interpret: Optional[bool] = None
 
@@ -295,10 +299,6 @@ class HeterogeneousPoissonProblem:
             raise ValueError(
                 f"unknown kernel {self.kernel!r} (auto | xla | pallas)")
         use_pallas = self.kernel == "pallas"
-        if self.kernel == "auto":
-            use_pallas = (len(self.shape) == 3
-                          and np.dtype(self.dtype).itemsize == 4
-                          and min(self.shape) >= 32)
         if use_pallas and (len(self.shape) != 3
                            or np.dtype(self.dtype).itemsize != 4):
             raise ValueError(

@@ -297,7 +297,25 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
                   vmem_budget, tap_mode, s0_fixed, has_source=False,
                   two_level=False):
     widened = False
-    if vmem_budget is None \
+    doubled_stream = has_source or two_level or tap_mode == "coeff"
+    if vmem_budget is None and doubled_stream:
+        widened = True
+        # Doubled-input-stream classes (fused source, two-level wave,
+        # variable-coefficient): round-4 flagged the default chooser
+        # ~8% low here; round-5 silicon shows the measured winners sit
+        # ABOVE the default budget but ARE the fetch-ratio winners once
+        # admitted — wave 256^3 k8 (64,128) est 116MB runs 62.1 vs 57.1
+        # at the default (64,48); source 512^3 k8 (64,64) est 108MB
+        # runs 91.8 vs 87.3 at (64,48); coeff 256^3 k8 (64,64) est 87MB
+        # runs 62.6 vs 58.0 at (32,64). All compile via the normal
+        # auto-limit path (cap_limit bounds the scoped limit); the
+        # infeasible-on-chip coeff (64,128) (163MB scoped, hard compile
+        # OOM) stays excluded at this budget (est 158MB).
+        from stencil_tpu import device_model
+
+        b = device_model.budgets()
+        vmem_budget = max(b.tiled_budget, b.vmem * 118 // 128)
+    elif vmem_budget is None \
             and _wants_wide_budget(interior_shape, dtype, tap_mode):
         widened = True
         # Fat lane dims / ragged grids: window bytes scale with P2 (and
@@ -383,6 +401,17 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
                 key = (-ratio, vol, t1)  # min ratio; ties: vol, then t1
                 out.append((key, (s0, t1)))
     out.sort(key=lambda kt: kt[0], reverse=True)
+    if (has_source and not two_level and tap_mode != "coeff"
+            and interior_shape[2] <= 256 and n0 % 32 == 0
+            and any(t == (32, 64) for _, t in out)):
+        # measured v5e EXCEPTION to the ratio model (bisected twice:
+        # ROUND4 sec 14 and the round-5 re-run): the single-level
+        # source class at P2 <= 256 runs (32,64) at 102.9 GLUPS vs the
+        # ratio winner (64,64)'s 91.7 — the doubled stream favors the
+        # smaller d0 window there, and ONLY there (512^3 flips back:
+        # (32,64) 87.0 < (64,64) 91.8). Pin the measured winner first;
+        # the ratio ranking keeps ordering the rest.
+        out.sort(key=lambda kt: kt[1] != (32, 64))
     return out
 
 
