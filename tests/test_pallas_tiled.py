@@ -822,3 +822,32 @@ def test_fat_lane_default_budget_widens():
     from stencil_tpu.ops.pallas_tiled import _vmem_bytes, _resolve_budget
     assert _vmem_bytes(spec, (512, 512, 512), "bfloat16", 8, *t_bf16,
                        "synth") <= _resolve_budget(None)
+
+
+def test_doubled_stream_default_budget_and_winners():
+    """Round-5 silicon refit (results/ROUND5.md sec 3): the doubled-
+    input-stream classes (fused source, two-level wave, coeff) widen
+    the default budget to 118/128 of device VMEM, after which the
+    fetch-ratio model picks the measured winners — with the one pinned
+    ratio exception (source 256^3 (32,64), 102.9 vs 91.7 measured
+    twice; 512^3 flips back to the ratio winner (64,64))."""
+    spec = get_spec("jacobi7")
+    assert choose_tiles(spec, (256, 256, 256), sweeps_per_call=8,
+                        has_source=True) == (32, 64)
+    assert choose_tiles(spec, (512, 512, 512), sweeps_per_call=8,
+                        has_source=True) == (64, 64)
+    assert choose_tiles(spec, (256, 256, 256), sweeps_per_call=8,
+                        two_level=True) == (64, 128)
+    assert choose_tiles(spec, (256, 256, 256), sweeps_per_call=8,
+                        tap_mode="coeff") == (64, 64)
+    # homogeneous classes bit-untouched by the widening
+    assert choose_tiles(spec, (256, 256, 256),
+                        sweeps_per_call=8) == (64, 64)
+    assert choose_tiles(spec, (512, 512, 512),
+                        sweeps_per_call=8) == (64, 64)
+    # the on-chip-infeasible coeff (64,128) (163M scoped compile OOM)
+    # stays excluded: est 158M > the widened budget
+    from stencil_tpu.ops.pallas_tiled import rank_tiles
+    ranked = rank_tiles(spec, (256, 256, 256), sweeps_per_call=8,
+                        tap_mode="coeff")
+    assert (64, 128) not in ranked
