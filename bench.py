@@ -231,12 +231,15 @@ def main() -> int:
                                 "float32"))
             # round-5: BOTH best levers combined — Chebyshev smoothing
             # AT full temporal blocking on the Pallas fine level
-            # (pallas_tiled cheby_coeffs)
+            # (pallas_tiled cheby_coeffs). nu=4 pairs with cfg10's
+            # wjacobi nu=4 (same per-cycle work, ~3x the contraction:
+            # rho 0.10 vs 0.31) and is the measured-best ms/decade
+            # operating point (15.48 — results/ROUND5.md sec 2).
             mrunner_cp = Multigrid(
-                mprob, smoother="chebyshev",
+                mprob, nu1=4, nu2=4, smoother="chebyshev",
                 fine_method="pallas_tiled").runner(mf)
             mrunner_cp.iterate(mgrid, 1)  # compile
-            cfg_runners.append(("cfg17_mg_vcycle_255_cheby_pallas",
+            cfg_runners.append(("cfg17_mg_vcycle_255_cheby_pallas_nu4",
                                 mgrid, mrunner_cp,
                                 int(np.prod(mshape)), "float32"))
             # flagship time-to-solution row: chebyshev-preconditioned
