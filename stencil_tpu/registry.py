@@ -46,6 +46,12 @@ class Runner:
     # 'pinned' | 'flag' | 'autotune'), recorded into the CLI JSON so an
     # autotuned run says WHAT it ran (round-3 verdict item 7)
     plan_info: dict = dataclasses.field(default_factory=dict)
+    # optional method-specific golden model for -c: (x0_f64, iters, bc)
+    # -> interior_f64. Methods whose update the SPEC golden cannot
+    # represent (per-point tap fields: 'varcoeff') provide one; the
+    # driver prefers it over the spec golden (NumPy — the driver caps
+    # iterations like the spec fallback and warns).
+    golden_fn: object = None
 
 
 def _on_tpu() -> bool:
@@ -496,6 +502,52 @@ def make_streamed(config, spec, grid) -> Runner:
     )
 
 
+def make_varcoeff(config, spec: StencilSpec, grid: HaloGrid) -> Runner:
+    """Variable-coefficient (heterogeneous) FTCS diffusion marching —
+    the model family behind ``--solve hetero``, exposed as an ITERATE
+    method so the coeff kernel (streamed a(x), in-register harmonic
+    face weights; 62.6 GLUPS at 256^3 k=8 on v5e vs 8.2 XLA) is
+    CLI-benchmarkable like every other kernel. The coefficient field
+    is the deterministic two-material a(x) with ratio ``--contrast``
+    (same field ``--solve hetero`` uses); the requested spec must be
+    the radius-1 star the scheme discretizes (jacobi5/7 by rank).
+    ``-c`` checks against the float64 FIELD golden model via the
+    runner's ``golden_fn`` hook (``ops.golden.golden_iterate_fields``;
+    the native spec golden cannot represent per-point taps)."""
+    from stencil_tpu.models.diffusion import (
+        HeterogeneousDiffusion, two_material,
+    )
+    from stencil_tpu.ops import golden as golden_mod
+
+    if spec.name not in ("jacobi5", "jacobi7"):
+        raise ValueError(
+            "varcoeff discretizes the radius-1 star; run it with "
+            "--spec jacobi5 (2D) or jacobi7 (3D)")
+    contrast = float(getattr(config, "contrast", 100.0) or 100.0)
+    if contrast < 1.0:
+        raise ValueError(f"--contrast must be >= 1 (got {contrast})")
+    a = two_material(tuple(config.size), lo=1.0 / contrast, hi=1.0,
+                     seed=0)
+    het = HeterogeneousDiffusion(shape=tuple(config.size), a=a,
+                                 bc=grid.bc, dtype=config.dtype)
+    k = max(1, config.temporal)
+    method = "auto"
+    tiles = None
+    if config.block is not None:
+        tiles = (config.block, config.block)
+    runner = het.runner(method=method, sweeps_per_call=k, tiles=tiles,
+                        interpret=not _on_tpu())
+    offsets, fields = het.tap_fields()
+
+    def golden_fn(x0, iters, bc):
+        return golden_mod.golden_iterate_fields(x0, offsets, fields,
+                                                iters, bc=bc)
+
+    runner.plan_info["contrast"] = contrast
+    runner.golden_fn = golden_fn
+    return runner
+
+
 REGISTRY: Dict[str, Callable] = {
     "xla": make_xla,
     "pallas": make_pallas,
@@ -506,6 +558,7 @@ REGISTRY: Dict[str, Callable] = {
     "sharded_pallas": make_sharded_pallas,
     "rma": make_rma,
     "streamed": make_streamed,
+    "varcoeff": make_varcoeff,
 }
 
 # Dynamic BCs — periodic (wrap-around) and Neumann (zero-flux mirror)

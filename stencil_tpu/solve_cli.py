@@ -136,8 +136,13 @@ def _resolve_fine_method(config: RunConfig, mesh) -> str:
     fm = config.fine_method
     if fm != "auto":
         return fm
+    # measured v5e 255^3 (results/ROUND5.md sec 2): the pallas fine
+    # level wins only when temporal blocking amortizes its fixed
+    # per-call cost — nu=4 cycles run 15.5 vs 21.0 ms (cheby), while
+    # nu=2 cycles LOSE (13.1 vs 11.6); auto follows the data
     if (mesh is None and len(config.size) == 3
             and config.dtype == "float32" and min(config.size) >= 32
+            and min(int(v) for v in config.nu_smooth) >= 4
             and _on_tpu()):
         return "pallas_tiled"
     return "xla"

@@ -272,3 +272,31 @@ def test_coeff_mode_gates():
                         coeff_scales=(1.0, 1.0, -1.0))
     with pytest.raises(ValueError, match="coeff_scales"):
         TiledPallasStencil(spec, (8, 8, 8), coeff=np.ones((8, 8, 8)))
+
+
+def test_varcoeff_registry_method_cli():
+    """The marching coeff kernel is CLI-reachable as method 'varcoeff'
+    (round-5: no kernel capability reachable only by writing Python):
+    driver check rides the runner's field-golden hook."""
+    import io
+
+    from stencil_tpu.cli import run_all
+    from stencil_tpu.config import RunConfig
+
+    out = io.StringIO()
+    cfg = RunConfig(size=(16, 14, 18), iterations=7, spec="jacobi7",
+                    methods=("varcoeff",), temporal=3, contrast=30.0,
+                    check=True)
+    (rec,) = run_all(cfg, out=out)
+    assert rec["check"]["ok"], out.getvalue()
+    assert rec["plan"]["contrast"] == 30.0
+    # 2D rides the XLA field path under the same method name
+    cfg2 = RunConfig(size=(24, 16), iterations=5, spec="jacobi5",
+                     methods=("varcoeff",), contrast=10.0, check=True)
+    (rec2,) = run_all(cfg2, out=out)
+    assert rec2["check"]["ok"], out.getvalue()
+    # wrong spec is a polite record, not a traceback
+    cfg3 = RunConfig(size=(16, 16), iterations=5, spec="jacobi9",
+                     methods=("varcoeff",))
+    (rec3,) = run_all(cfg3, out=out)
+    assert "error" in rec3 and "radius-1" in rec3["error"]
