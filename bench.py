@@ -250,11 +250,14 @@ def main() -> int:
             import jax.numpy as jnp
             from stencil_tpu.krylov import ConjugateGradient
 
+            # preconditioning cycle on the FUSED smooth+residual pallas
+            # fine level (round-5: 9.2 vs 11.9 ms/cycle at nu2)
             pcg_item = (
                 ConjugateGradient(
                     mprob,
-                    preconditioner=Multigrid(mprob,
-                                             smoother="chebyshev")),
+                    preconditioner=Multigrid(
+                        mprob, smoother="chebyshev",
+                        fine_method="pallas_tiled")),
                 jnp.asarray(mf))
         except Exception as e:
             print(f"# cfg10_mg setup failed: {e}", file=sys.stderr)

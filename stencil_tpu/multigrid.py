@@ -531,10 +531,11 @@ class Multigrid:
         # remote-compile tunnel, 511^3 exceeds its request limit
         # outright with HTTP 413).
         from stencil_tpu.ops.pallas_tiled import (
-            _cached_tiled_source_iterate, pad_source,
+            _cached_cheby_dual_fn, _cached_tiled_source_iterate,
+            pad_source,
         )
 
-        pre, res, post = fine_ops
+        pre, res, post, fused = fine_ops
         gamma = int(self.gamma)
         pre_run = _cached_tiled_source_iterate(
             pre.plan, bc, pre.interpret, 1)
@@ -542,6 +543,12 @@ class Multigrid:
             res.plan, bc, res.interpret, 1)
         post_run = _cached_tiled_source_iterate(
             post.plan, bc, post.interpret, 1)
+        # fused smooth+residual (cheby_dual): pre-smooth AND residual
+        # in ONE kernel round trip; the degenerate 1-level hierarchy
+        # keeps the plain smoother loop (no residual needed there)
+        fused_run = (_cached_cheby_dual_fn(fused.plan, bc,
+                                           fused.interpret)
+                     if fused is not None and n_levels > 1 else None)
 
         def prep_sources(f):
             src_pre = pad_source(pre.plan, f, pre.source_scale, bc)
@@ -549,27 +556,33 @@ class Multigrid:
             src_post = (src_pre if post.plan is pre.plan
                         else pad_source(post.plan, f, post.source_scale,
                                         bc))
-            return (src_pre, src_res, src_post)
+            src_fused = (pad_source(fused.plan, f, fused.source_scale,
+                                    bc) if fused_run is not None
+                         else None)
+            return (src_pre, src_res, src_post, src_fused)
 
         def vcycle_pallas(padded_u, f):
             # loop-invariant in every caller's cycle loop; jitted
             # callers pre-pad once via ``prep_sources`` and pass the
             # triple through f (see _vcycle_fn return contract below)
             if isinstance(f, tuple):
-                src_pre, src_res, src_post = f
+                src_pre, src_res, src_post, src_fused = f
             else:
-                src_pre, src_res, src_post = prep_sources(f)
+                src_pre, src_res, src_post, src_fused = prep_sources(f)
             if n_levels == 1:
                 n = -(-max(coarse, nu1 + nu2) // max(1, nu1))
                 data = padded_u
                 for _ in range(n):
                     data = pre_run(data, 1, src_pre)
                 return data
-            data = padded_u
-            if nu1:
-                data = pre_run(data, 1, src_pre)
-            r_pad = res_run(data, 1, src_res)
-            r = r_pad[tuple(slice(1, s - 1) for s in r_pad.shape)]
+            if fused_run is not None:
+                data, r = fused_run(padded_u, src_fused)
+            else:
+                data = padded_u
+                if nu1:
+                    data = pre_run(data, 1, src_pre)
+                r_pad = res_run(data, 1, src_res)
+                r = r_pad[tuple(slice(1, s - 1) for s in r_pad.shape)]
             rc = _restrict_fw(r)
             rc_scaled = (4.0 * h0 * h0) * rc
             ec_pad = jnp.zeros(tuple(s + 2 for s in rc.shape),
@@ -602,6 +615,7 @@ class Multigrid:
         kw = dict(dtype=self.problem.dtype, interpret=self.interpret)
         if self.tiles is not None:
             kw["tiles"] = tuple(self.tiles)
+        fused = None
         if self.smoother == "chebyshev":
             # Chebyshev smoothing AT FULL TEMPORAL BLOCKING: the nu
             # recurrence sweeps run as ONE kernel call (one HBM round
@@ -620,6 +634,24 @@ class Multigrid:
             pre = cheby_op(self.nu1)
             post = pre if self.nu2 in (self.nu1, 0) \
                 else cheby_op(self.nu2)
+            if self.nu1 >= 1:
+                # fused smooth+residual: the residual r = f - L u
+                # (L the Laplacian, as in _residual / residual_spec) is
+                # ONE more affine sweep appended to the smoother
+                # ((c, n, pv, s) = (+2 ndim/h^2, -1/h^2, 0, +1)) with
+                # the smoothed iterate shipped as the second (dual)
+                # output — the standalone residual kernel's whole
+                # window round trip per V-cycle disappears
+                inv_h2 = 1.0 / (h0 * h0)
+                res_tuple = (2.0 * ndim * inv_h2, -inv_h2, 0.0, 1.0)
+                fused = TiledPallasStencil(
+                    nbsum_spec(ndim), self.problem.shape,
+                    sweeps_per_call=self.nu1 + 1, source=source_dev,
+                    source_scale=1.0,
+                    cheby_coeffs=_cheby_sweep_coeffs(
+                        self.nu1, self.cheby_ratio, ndim, h0)
+                    + (res_tuple,),
+                    cheby_dual=True, **kw)
         else:
             pre = TiledPallasStencil(
                 wjacobi_spec(ndim, self.omega), self.problem.shape,
@@ -634,7 +666,7 @@ class Multigrid:
         res = TiledPallasStencil(
             residual_spec(ndim, h0), self.problem.shape,
             sweeps_per_call=1, source=source_dev, source_scale=1.0, **kw)
-        return (pre, res, post)
+        return (pre, res, post, fused)
 
     def runner(self, f) -> Runner:
         """Registry Runner: ``iterate(grid, n)`` = n V-cycles (so

@@ -205,6 +205,17 @@ class TiledPlan:
     # XLA-only": the fixed-spec temporal blocking could not express
     # per-sweep coefficients, per-sweep SPECS at trace time can.
     cheby_coeffs: Tuple = ()
+    # cheby_dual: the final virtual sweep's output goes to a SECOND
+    # aliased output while the PENULTIMATE sweep's result ships as the
+    # first-class iterate — the multigrid "fused smooth+residual":
+    # sweeps 1..k-1 are the Chebyshev (or any affine) smoother, sweep k
+    # evaluates r = f - A u_{k-1} as one more affine tuple
+    # ((-2 ndim/h^2, 1/h^2, 0, +1)), and the kernel returns
+    # (r, u_{k-1}) in one HBM round trip — saving the standalone
+    # residual kernel's full window movement plus one layout round trip
+    # per V-cycle (measured r5c: the two_level dual-output machinery,
+    # reused verbatim on the output side).
+    cheby_dual: bool = False
 
     @property
     def has_coeff(self) -> bool:
@@ -231,7 +242,7 @@ class TiledPlan:
 
 def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
                 slots=2, slide=False, has_source=False,
-                two_level=False) -> int:
+                two_level=False, cheby=False, cheby_dual=False) -> int:
     sublane = sublane_for_dtype(dtype)
     kr = k * spec.radius
     p1 = round_up(kr, sublane)
@@ -250,23 +261,25 @@ def _vmem_bytes(spec, shape, dtype, k, s0, t1, tap_mode="synth",
     # compute ping-pong, and 2 more output slots; coeff mode adds its
     # `slots` coefficient stream, the 5 stored weight windows, and ~1
     # win of weight-prep temporaries
-    cbuf = (2 * win if slide else win) if k > 1 else 0
+    cbuf = (2 * win if (slide or cheby) else win) if k > 1 else 0
     src = (slots + 1) * win if has_source else 0
     lvl2 = (slots * win + win + 2 * out) if two_level else 0
     coeff = (slots + 6) * win if tap_mode == "coeff" else 0
+    out2 = 2 * out if cheby_dual else 0
     return (slots * win + cbuf + 2 * out + win + src + lvl2
-            + coeff) * itemsize
+            + coeff + out2) * itemsize
 
 
 def rank_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                vmem_budget=None, tap_mode="synth",
-               s0_fixed=None, has_source=False, two_level=False):
+               s0_fixed=None, has_source=False, two_level=False,
+               cheby=False, cheby_dual=False):
     """All VMEM-feasible (s0, t1) candidates, best-ranked first, by the
     same fetched/useful ratio ``choose_tiles`` uses. The autotuner
     measures the head of this list on the attached device."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
                            sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
-                           has_source, two_level)
+                           has_source, two_level, cheby, cheby_dual)
     return [t for _, t in ranked]
 
 
@@ -274,7 +287,8 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
                  vmem_budget=None,
                  tap_mode="synth", s0_fixed=None,
                  has_source=False,
-                 two_level=False) -> Optional[Tuple[int, int]]:
+                 two_level=False, cheby=False,
+                 cheby_dual=False) -> Optional[Tuple[int, int]]:
     """Pick (s0, t1) minimizing the fetched-window/useful-points ratio
     ceil(n0/s0)*ceil(n1/t1)*(s0+2kr)(t1+2p1)/(n0*n1) within budget;
     t1 % sublane == 0 (or the whole dim). Tiles need NOT divide the grid
@@ -289,13 +303,13 @@ def choose_tiles(spec, interior_shape, dtype="float32", sweeps_per_call=1,
     flag) and only t1 is chosen."""
     ranked = _ranked_tiles(spec, tuple(interior_shape), dtype,
                            sweeps_per_call, vmem_budget, tap_mode, s0_fixed,
-                           has_source, two_level)
+                           has_source, two_level, cheby, cheby_dual)
     return ranked[0][1] if ranked else None
 
 
 def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
                   vmem_budget, tap_mode, s0_fixed, has_source=False,
-                  two_level=False):
+                  two_level=False, cheby=False, cheby_dual=False):
     widened = False
     doubled_stream = has_source or two_level or tap_mode == "coeff"
     if vmem_budget is None and doubled_stream:
@@ -391,7 +405,8 @@ def _ranked_tiles(spec, interior_shape, dtype, sweeps_per_call,
             cap = base_budget if t1 == n1 else vmem_budget
             if _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
                            s0, t1, tap_mode, has_source=has_source,
-                           two_level=two_level) <= cap:
+                           two_level=two_level, cheby=cheby,
+                           cheby_dual=cheby_dual) <= cap:
                 nt0 = -(-n0 // s0)
                 nt1 = -(-n1 // t1)
                 vol = s0 * t1
@@ -422,7 +437,7 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                     pipeline=True, slots=2, slide=False,
                     cores=1, embed=False, has_source=False,
                     two_level=False, coeff_scales=None,
-                    cheby_coeffs=None) -> TiledPlan:
+                    cheby_coeffs=None, cheby_dual=False) -> TiledPlan:
     # budget resolution is delegated to choose_tiles: a defaulted (None)
     # budget gets the device-scaled default plus the fat-lane widening
     if spec.ndim != 3 or len(interior_shape) != 3:
@@ -485,6 +500,12 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
             tuple(float(v) for v in c) for c in cheby_coeffs)
         if any(len(c) != 4 for c in cheby_coeffs):
             raise ValueError("each cheby sweep needs (c, n, pv, s)")
+        if cheby_dual and sweeps_per_call < 2:
+            raise ValueError(
+                "cheby_dual fuses the final sweep as a second output; "
+                "it needs sweeps_per_call >= 2 (smoother + final)")
+    elif cheby_dual:
+        raise ValueError("cheby_dual needs cheby_coeffs")
     defaulted = tap_mode is None
     if defaulted:
         # measured on v5e: rotacc matches synth on stars (jacobi7 256^3
@@ -498,7 +519,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
     if tiles is None:
         tiles = choose_tiles(spec, interior_shape, dtype, sweeps_per_call,
                              vmem_budget, tap_mode, has_source=has_source,
-                             two_level=two_level)
+                             two_level=two_level, cheby=has_cheby,
+                             cheby_dual=cheby_dual)
         if tiles is None:
             sublane = sublane_for_dtype(dtype)
             raise ValueError(
@@ -615,8 +637,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
         # cheby's double compute ping-pong has slide's VMEM shape:
         # estimate it as slide + source
         est = _vmem_bytes(spec, interior_shape, dtype, sweeps_per_call,
-                          s0, t1, tap_mode, slots, slide or has_cheby,
-                          has_source, two_level)
+                          s0, t1, tap_mode, slots, slide,
+                          has_source, two_level, has_cheby, cheby_dual)
         kr_ = sweeps_per_call * spec.radius
         win_b = ((s0 + 2 * kr_) * (t1 + 2 * round_up(kr_, sublane))
                  * layout.padded_shape[2] * np.dtype(dtype).itemsize)
@@ -675,7 +697,8 @@ def make_tiled_plan(spec, interior_shape, dtype="float32",
                      has_source=has_source, two_level=two_level,
                      coeff_nb=float(cnb), coeff_c0=float(cc0),
                      coeff_cs=float(ccs),
-                     cheby_coeffs=cheby_coeffs if has_cheby else ())
+                     cheby_coeffs=cheby_coeffs if has_cheby else (),
+                     cheby_dual=bool(cheby_dual))
 
 
 def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
@@ -774,14 +797,25 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             if has_coeff:
                 coeff_hbm = rest[i]
                 i += 1
-            (out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
-             csem) = rest[i:i + 8]
-            i += 8
+            if plan.cheby_dual:
+                # one more aliased destination + the output pair
+                _nxt2, out_hbm, out2_hbm = rest[i:i + 3]
+                i += 3
+                (scratch, cbuf, otile, isem, osem, cbuf2,
+                 csem) = rest[i:i + 7]
+                i += 7
+            else:
+                (out_hbm, scratch, cbuf, otile, isem, osem, cbuf2,
+                 csem) = rest[i:i + 8]
+                i += 8
             if plan.has_source:
                 sscratch, ssem = rest[i:i + 2]
                 i += 2
             if has_coeff:
                 cscratch, cwsem, fwbuf = rest[i:i + 3]
+                i += 3
+            if plan.cheby_dual:
+                otile2, osem2 = rest[i:i + 2]
         sublane = sublane_for_dtype(dtype)
 
         def tile_coords(i):
@@ -1439,6 +1473,14 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     dst = tgt(t)
                     dst[pl.ds(a0, m0), pl.ds(a1, m1), d2i] = y
                     pin(dst, i, need)
+                    if plan.cheby_dual and t == k - 1:
+                        # dual mode: the penultimate sweep IS the
+                        # smoothed iterate — ship it as the second
+                        # output (sliced from the PINNED buffer, the
+                        # compute2 contract)
+                        otile2[(osl, slice(None), d1_idx, d2i)] = \
+                            dst[kr:kr + s0, p1:p1 + t1,
+                                d2_lo:d2_lo + n2]
                 else:
                     otile[(osl, slice(None), d1_idx, d2i)] = y
                     if extra1:
@@ -1470,14 +1512,14 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                                                       d1_lo_bc, dtype)
                 otile.at[slot][:, p1 + t1:, :] = jnp.full(
                     (s0, P1 - p1 - t1, P2), d1_hi_bc, dtype)
-                if plan.two_level:
+                if plan.two_level or plan.cheby_dual:
                     otile2.at[slot][:, 0:p1, :] = jnp.full(
                         (s0, p1, P2), d1_lo_bc, dtype)
                     otile2.at[slot][:, p1 + t1:, :] = jnp.full(
                         (s0, P1 - p1 - t1, P2), d1_hi_bc, dtype)
         fill_d2_ghosts(otile.at[0], (s0, ot_d1))
         fill_d2_ghosts(otile.at[1], (s0, ot_d1))
-        if plan.two_level:
+        if plan.two_level or plan.cheby_dual:
             fill_d2_ghosts(otile2.at[0], (s0, ot_d1))
             fill_d2_ghosts(otile2.at[1], (s0, ot_d1))
 
@@ -1528,6 +1570,9 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                     else:
                         compute(sl, osl, tid)
                     out_copy(tid, osl).start()
+                    if plan.cheby_dual:
+                        out2_copy(tid, osl).start()
+                        out2_copy(tid, osl).wait()
                     out_copy(tid, osl).wait()
                 return 0
 
@@ -1607,7 +1652,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             @pl.when(pos >= c_lo + 2)
             def _():
                 out_copy(ids_ref[pos - 2], osl).wait()
-                if plan.two_level:
+                if plan.two_level or plan.cheby_dual:
                     out2_copy(ids_ref[pos - 2], osl).wait()
 
             if slide:
@@ -1657,7 +1702,7 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
                         pv_copy(ids_ref[pos + S], sl).start()
 
             out_copy(tid, osl).start()
-            if plan.two_level:
+            if plan.two_level or plan.cheby_dual:
                 out2_copy(tid, osl).start()
             return 0
 
@@ -1667,13 +1712,13 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
         # and this is exactly the round-3 epilogue
         if plan.cores == 1:
             out_copy(ids_ref[nt_run - 1], lax.rem(nt_run - 1, 2)).wait()
-            if plan.two_level:
+            if plan.two_level or plan.cheby_dual:
                 out2_copy(ids_ref[nt_run - 1],
                           lax.rem(nt_run - 1, 2)).wait()
 
             if nt_run > 1:
                 out_copy(ids_ref[nt_run - 2], lax.rem(nt_run - 2, 2)).wait()
-                if plan.two_level:
+                if plan.two_level or plan.cheby_dual:
                     out2_copy(ids_ref[nt_run - 2],
                               lax.rem(nt_run - 2, 2)).wait()
         else:
@@ -1756,6 +1801,21 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             pltpu.VMEM((2,) + otile_shape, dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if plan.cheby_dual:
+        # second aliased destination for the penultimate sweep (the
+        # smoothed iterate; the final output is the residual) — the
+        # two_level output machinery on the cheby input schedule.
+        # Inputs are (pins, ids, cur, nxt, src, nxt2) -> nxt2 is 5.
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (jax.ShapeDtypeStruct((P0, P1, P2), dtype),
+                     jax.ShapeDtypeStruct((P0, P1, P2), dtype))
+        aliases = {3: 0, 5: 1}
+        scratch_shapes += [
+            pltpu.VMEM((2,) + otile_shape, dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     def _call(pins, *arrays):
         return pl.pallas_call(
@@ -1779,6 +1839,15 @@ def build_tiled_sweep(plan: TiledPlan, bc: DirichletBC,
             if pins is None:
                 pins = jnp.ones((4,), jnp.int32)
             return _call(pins, cur, nxt, prev, nxt2)
+    elif plan.cheby_dual:
+        @jax.jit
+        def sweep(cur, nxt, nxt2, src, pins=None):
+            """Fused smooth+residual: returns ``(r, u_smoothed)`` —
+            the final sweep's output (the residual) and the
+            penultimate sweep's (the smoothed iterate)."""
+            if pins is None:
+                pins = jnp.ones((4,), jnp.int32)
+            return _call(pins, cur, nxt, src, nxt2)
     elif plan.has_source and has_coeff:
         @jax.jit
         def sweep(cur, nxt, src, coeffp, pins=None):
@@ -1995,6 +2064,37 @@ def _cached_tiled_source_iterate(plan: TiledPlan, bc: DirichletBC,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_cheby_dual_fn(plan: TiledPlan, bc: DirichletBC,
+                          interpret: bool):
+    """Fused smooth+residual runner (``cheby_dual`` plans): ONE kernel
+    call returns ``(u_smoothed_padded_h1, r_interior)`` — the
+    multigrid fine level's pre-smooth AND residual in a single HBM
+    round trip (the standalone residual kernel's full window movement
+    and one layout round trip per V-cycle are gone; measured pieces in
+    results/_diag_r5c.jsonl)."""
+    from stencil_tpu.core.grid import fill_halo
+
+    sweep = _cached_tiled_sweep(plan, bc, interpret)
+    if bc.any_dynamic:
+        raise ValueError(
+            "the fused smooth+residual path runs on static Dirichlet "
+            "walls (multigrid refuses dynamic BCs upstream)")
+
+    @jax.jit
+    def run(data, src_padded):
+        h = 1
+        idx = tuple(slice(h, s - h) for s in data.shape)
+        cur = plan.layout.pad(data[idx], bc)
+        nxt = jnp.copy(cur)
+        nxt2 = jnp.copy(cur)
+        r_pad, u_pad = sweep(cur, nxt, nxt2, src_padded)
+        u = jnp.pad(plan.layout.unpad(u_pad), h)
+        return fill_halo(u, h, bc), plan.layout.unpad(r_pad)
+
+    return run
+
+
 def pad_coeff(plan: TiledPlan, a, bc: DirichletBC):
     """Build the padded coefficient operand of a ``coeff`` plan.
 
@@ -2172,7 +2272,8 @@ class TiledPallasStencil:
                  vmem_budget=None, vmem_limit=None,
                  tap_mode=None, pipeline=True, slots=2, slide=False,
                  cores=1, embed=False, source=None, source_scale=1.0,
-                 coeff=None, coeff_scales=None, cheby_coeffs=None):
+                 coeff=None, coeff_scales=None, cheby_coeffs=None,
+                 cheby_dual=False):
         if coeff is not None:
             if tap_mode not in (None, "coeff"):
                 raise ValueError(
@@ -2194,7 +2295,8 @@ class TiledPallasStencil:
                                     slide, cores, embed,
                                     has_source=source is not None,
                                     coeff_scales=coeff_scales,
-                                    cheby_coeffs=cheby_coeffs)
+                                    cheby_coeffs=cheby_coeffs,
+                                    cheby_dual=cheby_dual)
         self.spec = spec
         self.interpret = interpret
         self.vmem_budget = vmem_budget

@@ -136,13 +136,15 @@ def _resolve_fine_method(config: RunConfig, mesh) -> str:
     fm = config.fine_method
     if fm != "auto":
         return fm
-    # measured v5e 255^3 (results/ROUND5.md sec 2): the pallas fine
-    # level wins only when temporal blocking amortizes its fixed
-    # per-call cost — nu=4 cycles run 15.5 vs 21.0 ms (cheby), while
-    # nu=2 cycles LOSE (13.1 vs 11.6); auto follows the data
+    # measured v5e 255^3 (results/ROUND5.md sec 2): with the fused
+    # smooth+residual kernel the chebyshev pallas fine level wins at
+    # every nu (nu2 9.2 vs 11.9 ms/cycle; nu4 11.5 vs 21.0); the
+    # UNfused wjacobi path still needs nu >= 4 to amortize its
+    # per-call cost (nu2 13.1 vs 11.6)
+    nu_min = 1 if config.smoother == "chebyshev" else 4
     if (mesh is None and len(config.size) == 3
             and config.dtype == "float32" and min(config.size) >= 32
-            and min(int(v) for v in config.nu_smooth) >= 4
+            and min(int(v) for v in config.nu_smooth) >= nu_min
             and _on_tpu()):
         return "pallas_tiled"
     return "xla"
