@@ -663,6 +663,21 @@ class Multigrid:
                     sweeps_per_call=self.nu2, source=source_dev,
                     source_scale=-(self.omega / (2 * ndim)) * h0 * h0,
                     **kw)
+            if self.nu1 >= 1:
+                # weighted Jacobi is ALSO a per-sweep affine form
+                # (c, n, pv, s) = (1-omega, omega/2d, 0, -omega h^2/2d)
+                # — the same fused smooth+residual applies (one HBM
+                # round trip fewer per cycle, same win as chebyshev's)
+                inv_h2 = 1.0 / (h0 * h0)
+                wj = (1.0 - self.omega, self.omega / (2 * ndim), 0.0,
+                      -(self.omega / (2 * ndim)) * h0 * h0)
+                fused = TiledPallasStencil(
+                    nbsum_spec(ndim), self.problem.shape,
+                    sweeps_per_call=self.nu1 + 1, source=source_dev,
+                    source_scale=1.0,
+                    cheby_coeffs=(wj,) * self.nu1
+                    + ((2.0 * ndim * inv_h2, -inv_h2, 0.0, 1.0),),
+                    cheby_dual=True, **kw)
         res = TiledPallasStencil(
             residual_spec(ndim, h0), self.problem.shape,
             sweeps_per_call=1, source=source_dev, source_scale=1.0, **kw)
